@@ -1,0 +1,31 @@
+"""nonlinearsolve_tpu — a TPU-native nonlinear-solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+SciML/NonlinearSolve.jl (see SURVEY.md for the reference's structure this
+build follows).  Solvers are pure jit-compilable ``lax.while_loop``
+iterations; whole solves vmap/pmap/shard_map.
+"""
+
+__version__ = "0.1.0"
+
+from .core import (HomotopyProblem, IntervalNonlinearProblem, NLStats,
+                   NonlinearFunction, NonlinearLeastSquaresProblem,
+                   NonlinearProblem, NonlinearSolution, ReturnCode,
+                   SCCNonlinearProblem, SteadyStateProblem, solve)
+from .core.termination import (AbsNormSafeBestTerminationMode,
+                               AbsNormSafeTerminationMode,
+                               AbsNormTerminationMode, AbsTerminationMode,
+                               NormTerminationMode,
+                               RelNormSafeBestTerminationMode,
+                               RelNormSafeTerminationMode,
+                               RelNormTerminationMode, RelTerminationMode,
+                               TerminationCondition)
+from .solvers import (Broyden, DFSane, FastShortcutNLLSPolyalg,
+                      FastShortcutNonlinearPolyalg, GaussNewton,
+                      GeneralizedDFSane, GeneralizedFirstOrderAlgorithm,
+                      Klement, LevenbergMarquardt, NewtonRaphson,
+                      NonlinearSolvePolyAlgorithm, PseudoTransient,
+                      QuasiNewtonAlgorithm, RobustMultiNewton, TrustRegion)
+from .core.linesearch import (BackTracking, LiFukushimaLineSearch,
+                              RobustNonMonotoneLineSearch)
+from .ops.linear_solve import LinearSolver

@@ -1,0 +1,339 @@
+"""Descent directions.
+
+Functional ports of the reference descent layer
+(/root/reference/lib/NonlinearSolveBase/src/descent/*.jl):
+
+* ``NewtonDescent``  — ``J δu = -fu`` (newton.jl:95-139; NLLS via
+  least-squares QR or normal form)
+* ``SteepestDescent`` — ``δu = -Jᵀ fu`` (steepest.jl:9-30)
+* ``DampedNewtonDescent`` — ``(JᵀJ + λDᵀD) δu = -Jᵀfu`` with the four modes
+  simple / least_squares / normal_form / minimum_norm (damped_newton.jl:40-340)
+* ``Dogleg`` — trust-region switch Newton ↔ Cauchy (dogleg.jl:95-160)
+* ``GeodesicAcceleration`` — LM second-order correction with accept test
+  ``2‖a‖ ≤ α‖v‖`` (geodesic_acceleration.jl:100-136)
+
+Protocol: static config; ``descent_init(cfg, ctx, J, fu, u) -> state``;
+``descent_solve(cfg, state, ctx, J, fu, u, trust_region=None) -> (DescentResult, state)``;
+``descent_post_step(cfg, state, accepted) -> state`` (LM λ update hook).
+``ctx`` is a ``DescentCtx`` with the flat residual fn and problem traits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear_solve import LinearSolver, solve_dense, solve_spd
+from ..utils.norms import l2_norm
+from ..utils.pytree import pytree_dataclass, static_config
+from . import damping as dmp
+
+
+@dataclasses.dataclass(frozen=True)
+class DescentCtx:
+    """Trace-time context handed to descent policies."""
+
+    f_flat: Callable            # f(u_vec) -> fu_vec
+    n_in: int
+    n_out: int
+    is_least_squares: bool
+
+    @property
+    def square(self) -> bool:
+        return self.n_in == self.n_out
+
+
+@pytree_dataclass
+class DescentResult:
+    du: Any
+    success: Any                # bool scalar
+    linsolve_success: Any       # bool scalar
+    duJtJdu: Any                # ‖J δu‖² when cheaply available, else NaN
+    v: Any = None               # geodesic velocity (None otherwise)
+    nf: Any = 0                 # extra residual evaluations performed
+    nsolve: Any = 1
+    nfactors: Any = 1
+
+
+def _ok_result(du, duJtJdu=None, **kw):
+    if duJtJdu is None:
+        duJtJdu = jnp.asarray(jnp.nan, du.dtype)
+    return DescentResult(du=du, success=jnp.bool_(True),
+                         linsolve_success=jnp.bool_(True), duJtJdu=duJtJdu, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Newton
+# ---------------------------------------------------------------------------
+
+@static_config
+class NewtonDescent:
+    linsolve: LinearSolver = LinearSolver()
+
+
+@static_config
+class SteepestDescent:
+    pass
+
+
+@static_config
+class DampedNewtonDescent:
+    initial_damping: float = 1.0
+    damping: Any = None          # LevenbergMarquardtDamping | SwitchedEvolutionRelaxation
+    linsolve: LinearSolver = LinearSolver()
+    mode: str = "auto"           # 'auto'|'simple'|'least_squares'|'normal_form'|'minimum_norm'
+
+    def resolve_mode(self, ctx: DescentCtx) -> str:
+        """damped_newton.jl:108-138 mode selection, adapted: the default dense
+        linear solver handles non-square systems (QR/lstsq), i.e.
+        ``needs_square_A == False`` → normal-form damping picks the stacked
+        least-squares formulation; SER's scalar damping picks 'simple';
+        underdetermined NLLS with normal-form damping picks 'minimum_norm'."""
+        if self.mode != "auto":
+            return self.mode
+        nf_damping = self.damping.returns_norm_form_damping
+        if ctx.is_least_squares and ctx.n_out < ctx.n_in and nf_damping:
+            return "minimum_norm"
+        if not nf_damping:
+            return "simple"
+        if self.linsolve.method in ("cholesky",):
+            return "normal_form"
+        return "least_squares"
+
+
+@static_config
+class Dogleg:
+    newton: Any = None           # NewtonDescent | DampedNewtonDescent
+    steepest: SteepestDescent = SteepestDescent()
+
+    def __post_init__(self):
+        if self.newton is None:
+            object.__setattr__(self, "newton", NewtonDescent())
+
+
+@static_config
+class GeodesicAcceleration:
+    descent: Any = None          # inner descent (DampedNewtonDescent for LM)
+    finite_diff_step: float = 0.1
+    alpha: float = 0.75
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+@pytree_dataclass
+class DampedNewtonState:
+    damping: Any                 # LM / SER damping state
+    last_D: Any                  # damping term used to build the current A
+
+
+def descent_init(cfg, ctx: DescentCtx, J, fu, u):
+    if isinstance(cfg, NewtonDescent) or isinstance(cfg, SteepestDescent):
+        return None
+    if isinstance(cfg, DampedNewtonDescent):
+        dtype = u.dtype
+        mode = cfg.resolve_mode(ctx)
+        if isinstance(cfg.damping, dmp.LevenbergMarquardtDamping):
+            n = ctx.n_out if mode == "minimum_norm" else ctx.n_in
+            dstate = dmp.lm_damping_init(cfg.damping, cfg.initial_damping, n,
+                                         dtype)
+            last_D = jnp.zeros((n,), dtype)
+        elif isinstance(cfg.damping, dmp.SwitchedEvolutionRelaxation):
+            dstate = dmp.ser_damping_init(cfg.damping, cfg.initial_damping, fu,
+                                          dtype)
+            last_D = jnp.zeros((), dtype)
+        else:
+            raise ValueError(f"unknown damping {cfg.damping!r}")
+        return DampedNewtonState(damping=dstate, last_D=last_D)
+    if isinstance(cfg, Dogleg):
+        return descent_init(cfg.newton, ctx, J, fu, u)
+    if isinstance(cfg, GeodesicAcceleration):
+        return descent_init(cfg.descent, ctx, J, fu, u)
+    raise ValueError(f"unknown descent {cfg!r}")
+
+
+# ---------------------------------------------------------------------------
+# solve
+# ---------------------------------------------------------------------------
+
+def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu):
+    if ctx.square:
+        x, ok = solve_dense(J, fu, cfg.linsolve)
+    else:
+        x, _, _, _ = jnp.linalg.lstsq(J, fu, rcond=None)
+        ok = jnp.all(jnp.isfinite(x))
+    du = -x
+    return du, ok
+
+
+def _damped_system(cfg: DampedNewtonDescent, state: DampedNewtonState,
+                   ctx: DescentCtx, J, fu, recompute_damping: bool):
+    """Build the damping term D for the resolved mode; returns (D, state)."""
+    mode = cfg.resolve_mode(ctx)
+    if not recompute_damping:
+        return state.last_D, state, mode
+    if isinstance(cfg.damping, dmp.LevenbergMarquardtDamping):
+        if mode == "minimum_norm":
+            JJt = J @ J.T
+            D, dstate = dmp.lm_damping_update(cfg.damping, state.damping, JJt,
+                                              is_normal_form=True)
+        elif mode == "normal_form":
+            JtJ = J.T @ J
+            D, dstate = dmp.lm_damping_update(cfg.damping, state.damping, JtJ,
+                                              is_normal_form=True)
+        else:  # least_squares: damping from J directly
+            D, dstate = dmp.lm_damping_update(cfg.damping, state.damping, J,
+                                              is_normal_form=False)
+    else:  # SER
+        D, dstate = dmp.ser_damping_update(cfg.damping, state.damping, fu)
+    return D, DampedNewtonState(damping=dstate, last_D=D), mode
+
+
+def _damped_solve(cfg: DampedNewtonDescent, mode: str, J, fu, D):
+    """Solve the damped system for δu (sign already negated). Returns
+    (δu, ok, δuJᵀJδu-or-None)."""
+    if mode == "simple":
+        A = J + D * jnp.eye(J.shape[0], J.shape[1], dtype=J.dtype)
+        x, ok = solve_dense(A, fu, cfg.linsolve)
+        return -x, ok, None
+    if mode == "least_squares":
+        # [J; √D] δu ≈ [-fu; 0]  (damped_newton.jl least_squares branch)
+        sqrtD = jnp.sqrt(jnp.maximum(D, 0.0))
+        A = jnp.vstack([J, jnp.diag(sqrtD)])
+        b = jnp.concatenate([fu, jnp.zeros((J.shape[1],), fu.dtype)])
+        x, _, _, _ = jnp.linalg.lstsq(A, b, rcond=None)
+        ok = jnp.all(jnp.isfinite(x))
+        return -x, ok, None
+    if mode == "normal_form":
+        JtJ = J.T @ J
+        A = JtJ + jnp.diag(D)
+        b = J.T @ fu
+        x, ok = solve_spd(A, b)
+        return -x, ok, None
+    if mode == "minimum_norm":
+        # (JJᵀ + λD̃) z = -fu; δu = Jᵀ z (damped_newton.jl minimum_norm)
+        JJt = J @ J.T
+        A = JJt + jnp.diag(D)
+        z, ok = solve_spd(A, fu)
+        return -(J.T @ z), ok, None
+    raise AssertionError(mode)
+
+
+def descent_solve(cfg, state, ctx: DescentCtx, J, fu, u, trust_region=None,
+                  recompute_damping: bool = True):
+    """Compute δu.  Returns (DescentResult, new_state)."""
+    if isinstance(cfg, NewtonDescent):
+        du, ok = _newton_solve(cfg, ctx, J, fu)
+        return DescentResult(du=du, success=ok, linsolve_success=ok,
+                             duJtJdu=jnp.asarray(jnp.nan, du.dtype)), state
+
+    if isinstance(cfg, SteepestDescent):
+        du = -(J.T @ fu)
+        return _ok_result(du, nsolve=0, nfactors=0), state
+
+    if isinstance(cfg, DampedNewtonDescent):
+        D, state, mode = _damped_system(cfg, state, ctx, J, fu,
+                                        recompute_damping)
+        du, ok, duJtJdu = _damped_solve(cfg, mode, J, fu, D)
+        return DescentResult(du=du, success=ok, linsolve_success=ok,
+                             duJtJdu=(jnp.asarray(jnp.nan, du.dtype)
+                                      if duJtJdu is None else duJtJdu)), state
+
+    if isinstance(cfg, Dogleg):
+        return _dogleg_solve(cfg, state, ctx, J, fu, u, trust_region)
+
+    if isinstance(cfg, GeodesicAcceleration):
+        return _geodesic_solve(cfg, state, ctx, J, fu, u, trust_region)
+
+    raise ValueError(f"unknown descent {cfg!r}")
+
+
+def _dogleg_solve(cfg: Dogleg, state, ctx: DescentCtx, J, fu, u, trust_region):
+    """dogleg.jl:95-160.  ``trust_region`` must be provided."""
+    assert trust_region is not None, "Dogleg requires a trust region radius"
+    res_newton, state = descent_solve(cfg.newton, state, ctx, J, fu, u)
+    du_newton = res_newton.du
+    nan = jnp.asarray(jnp.nan, du_newton.dtype)
+
+    # Cauchy (steepest-descent) point
+    du_cauchy = -(J.T @ fu)
+    l_grad = l2_norm(du_cauchy)
+    J_dc = J @ du_cauchy
+    duJtJdu = jnp.dot(J_dc, J_dc)
+    d_cauchy = (l_grad ** 3) / duJtJdu
+
+    # Branch 1: Newton inside the trust region.
+    newton_inside = l2_norm(du_newton) <= trust_region
+
+    # Branch 2: Cauchy point outside — clip steepest direction to the radius.
+    lam = trust_region / l_grad
+    du_clipped = lam * du_cauchy
+
+    # Branch 3: dogleg interpolation between Cauchy point and Newton step.
+    du1 = (d_cauchy / l_grad) * du_cauchy
+    du2 = du_newton - du1
+    a = jnp.dot(du2, du2)
+    b = 2.0 * jnp.dot(du1, du2)
+    c = d_cauchy ** 2 - trust_region ** 2
+    aux = jnp.maximum(0.0, b * b - 4.0 * a * c)
+    tau = (-b + jnp.sqrt(aux)) / (2.0 * a)
+    du_interp = du1 + tau * du2
+
+    du = jnp.where(newton_inside, du_newton,
+                   jnp.where(d_cauchy >= trust_region, du_clipped, du_interp))
+    extra = jnp.where(newton_inside, nan,
+                      jnp.where(d_cauchy >= trust_region,
+                                lam * lam * duJtJdu, nan))
+    ok = res_newton.linsolve_success
+    return DescentResult(du=du, success=ok, linsolve_success=ok,
+                         duJtJdu=extra, nsolve=res_newton.nsolve,
+                         nfactors=res_newton.nfactors), state
+
+
+def _geodesic_solve(cfg: GeodesicAcceleration, state, ctx: DescentCtx, J, fu,
+                    u, trust_region):
+    """geodesic_acceleration.jl:100-136."""
+    h = cfg.finite_diff_step
+    res_v, state = descent_solve(cfg.descent, state, ctx, J, fu, u,
+                                 trust_region=trust_region,
+                                 recompute_damping=True)
+    v = res_v.du
+    fu2 = ctx.f_flat(u + h * v)
+    Jv = J @ v
+    rhs = (2.0 / h) * ((fu2 - fu) / h - Jv)
+    # Second solve reuses the same damped system (reference passes
+    # reuse_A_if_factorization and a shared-cache idx).
+    res_a, state = descent_solve(cfg.descent, state, ctx, J, rhs, u,
+                                 trust_region=trust_region,
+                                 recompute_damping=False)
+    a = res_a.du
+    norm_v = l2_norm(v)
+    norm_a = l2_norm(a)
+    accepted = 2.0 * norm_a <= cfg.alpha * norm_v
+    du = jnp.where(accepted, v + a / 2.0, v)
+    ok = res_v.linsolve_success & res_a.linsolve_success
+    return DescentResult(du=du, success=accepted & ok, linsolve_success=ok,
+                         duJtJdu=jnp.asarray(jnp.nan, du.dtype), v=v,
+                         nf=res_v.nf + res_a.nf + 1,
+                         nsolve=res_v.nsolve + res_a.nsolve,
+                         nfactors=res_v.nfactors), state
+
+
+def descent_post_step(cfg, state, accepted):
+    """End-of-step hook: LM's λ update (callback_into_cache!,
+    levenberg_marquardt.jl:169-175)."""
+    if isinstance(cfg, DampedNewtonDescent):
+        if isinstance(cfg.damping, dmp.LevenbergMarquardtDamping):
+            dstate = dmp.lm_damping_post_step(cfg.damping, state.damping,
+                                              accepted)
+            return state.replace(damping=dstate)
+        return state
+    if isinstance(cfg, GeodesicAcceleration):
+        return descent_post_step(cfg.descent, state, accepted)
+    if isinstance(cfg, Dogleg):
+        return descent_post_step(cfg.newton, state, accepted)
+    return state

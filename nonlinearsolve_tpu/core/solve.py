@@ -1,0 +1,117 @@
+"""Top-level ``solve`` / ``init`` entry points (the L4 layer).
+
+Mirrors the reference driver chain ``solve → solve_up → solve_call →
+__solve`` (/root/reference/lib/NonlinearSolveBase/src/solve.jl:76-215) the
+TPU way: a hashable *plan* (problem function + algorithm + termination
+config) is the static argument of a cached ``jax.jit``; ``u0``, ``p`` and the
+tolerances are dynamic, so repeated solves with new data reuse the compiled
+executable — the analogue of the reference's AutoSpecialize no-recompile
+subsystem (autospecialize.jl), built on XLA's compilation cache instead of
+FunctionWrappers.
+
+The whole solve is itself traceable: ``jax.vmap(lambda u0: solve(prob.remake(
+u0=u0), alg).u)`` batches entire solves (EnsembleProblem parallelism,
+SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..utils.norms import get_tolerance
+from .autodiff import JacobianPolicy, construct_dense_jacobian_fn
+from .descent import DescentCtx
+from .problems import (HomotopyProblem, IntervalNonlinearProblem,
+                       NonlinearLeastSquaresProblem, NonlinearProblem,
+                       SCCNonlinearProblem, SteadyStateProblem)
+from .returncode import ReturnCode
+from .solution import NLStats, NonlinearSolution
+from .termination import TerminationCondition, default_termination_mode
+
+
+def _default_algorithm(prob):
+    from ..solvers.polyalg import FastShortcutNonlinearPolyalg, FastShortcutNLLSPolyalg
+    if isinstance(prob, NonlinearLeastSquaresProblem):
+        return FastShortcutNLLSPolyalg()
+    return FastShortcutNonlinearPolyalg()
+
+
+def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
+    """Solve a nonlinear problem.
+
+    kwargs: abstol, reltol, maxiters, termination_condition — merged over
+    problem-level kwargs (solve.jl:174-177: call-site kwargs win).
+    """
+    if isinstance(prob, SteadyStateProblem):
+        prob = prob.to_nonlinear()
+    merged = {**prob.kwargs, **kwargs}
+
+    if isinstance(prob, IntervalNonlinearProblem):
+        from ..solvers.bracketing import solve_bracketing
+        return solve_bracketing(prob, alg, **merged)
+    if isinstance(prob, HomotopyProblem):
+        from ..solvers.homotopy import solve_homotopy
+        return solve_homotopy(prob, alg, **merged)
+    if isinstance(prob, SCCNonlinearProblem):
+        from ..solvers.scc import solve_scc
+        return solve_scc(prob, alg, **merged)
+
+    if alg is None:
+        alg = _default_algorithm(prob)
+    return solve_nonlinear(prob, alg, **merged)
+
+
+def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
+                    termination_condition=None, **_ignored) -> NonlinearSolution:
+    u0_flat, _ = ravel_pytree(prob.u0)
+    dtype = u0_flat.dtype
+    abstol_v = jnp.asarray(get_tolerance(abstol, dtype), dtype)
+    reltol_v = jnp.asarray(get_tolerance(reltol, dtype), dtype)
+    is_lsq = prob.is_least_squares
+    if termination_condition is None:
+        termination_condition = default_termination_mode(is_lsq)
+
+    plan = (prob.f, alg, termination_condition, is_lsq)
+    return _jitted_solve(plan, prob.u0, prob.p, abstol_v, reltol_v,
+                         jnp.int32(maxiters))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jitted_solve(plan, u0, p, abstol, reltol, maxiters):
+    return _solve_impl(plan, u0, p, abstol, reltol, maxiters)
+
+
+def _solve_impl(plan, u0, p, abstol, reltol, maxiters) -> NonlinearSolution:
+    f, alg, term_cfg, is_lsq = plan
+    u0_flat, unravel_u = ravel_pytree(u0)
+    fu0_tree = f(u0, p)
+    fu0_flat, unravel_fu = ravel_pytree(fu0_tree)
+
+    def f_flat(u_vec):
+        out, _ = ravel_pytree(f(unravel_u(u_vec), p))
+        return out
+
+    ctx = DescentCtx(
+        f_flat=f_flat, n_in=int(u0_flat.size), n_out=int(fu0_flat.size),
+        is_least_squares=bool(is_lsq),
+    )
+
+    analytic = None
+    if f.jac is not None:
+        def analytic(u_vec):
+            J = f.jac(unravel_u(u_vec), p)
+            return jnp.asarray(J).reshape(ctx.n_out, ctx.n_in)
+
+    from ..solvers.dispatch import run_algorithm
+    carry = run_algorithm(alg, ctx, term_cfg, analytic, u0_flat, abstol,
+                          reltol, maxiters)
+
+    return NonlinearSolution(
+        u=unravel_u(carry.u), resid=unravel_fu(carry.fu),
+        retcode=carry.retcode, stats=carry.stats,
+    )

@@ -1,0 +1,7 @@
+from .first_order import (GaussNewton, GeneralizedFirstOrderAlgorithm,
+                          LevenbergMarquardt, NewtonRaphson, PseudoTransient,
+                          TrustRegion)
+from .polyalg import (FastShortcutNLLSPolyalg, FastShortcutNonlinearPolyalg,
+                      NonlinearSolvePolyAlgorithm, RobustMultiNewton)
+from .quasi_newton import Broyden, Klement, QuasiNewtonAlgorithm
+from .spectral import DFSane, GeneralizedDFSane

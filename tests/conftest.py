@@ -1,0 +1,15 @@
+"""Test configuration: force the CPU backend with a virtual 8-device mesh
+(the standard JAX analogue of a fake multi-chip slice, SURVEY.md §4) and
+enable x64 so golden values match the reference's Float64 tests."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

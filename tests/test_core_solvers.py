@@ -1,0 +1,183 @@
+"""Core rootfinding tests — the analogue of the reference's
+test/Core quickstart + termination-condition sweeps
+(common/common_rootfind_testing.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinearsolve_tpu as nls
+
+ALGS = [
+    nls.NewtonRaphson(),
+    nls.TrustRegion(),
+    nls.TrustRegion(radius_update_scheme="nlsolve"),
+    nls.TrustRegion(radius_update_scheme="nocedalwright"),
+    nls.TrustRegion(radius_update_scheme="hei"),
+    nls.TrustRegion(radius_update_scheme="yuan"),
+    nls.TrustRegion(radius_update_scheme="fan"),
+    nls.TrustRegion(radius_update_scheme="bastin"),
+    nls.LevenbergMarquardt(),
+    nls.LevenbergMarquardt(disable_geodesic=True),
+    nls.PseudoTransient(),
+    nls.Broyden(),
+    nls.Broyden(init_jacobian="true_jacobian"),
+    nls.Broyden(update_rule="bad_broyden"),
+    nls.Klement(),
+    nls.DFSane(),
+    nls.NewtonRaphson(linesearch=nls.BackTracking()),
+]
+
+
+def quadratic(u, p):
+    return u * u - p
+
+
+@pytest.mark.parametrize("alg", ALGS, ids=lambda a: getattr(a, "name", str(a)))
+def test_quickstart_quadratic(alg):
+    """README quickstart: f(u,p) = u² - 2 (BASELINE config 1)."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]),
+                                jnp.array(2.0))
+    sol = nls.solve(prob, alg, maxiters=1000)
+    assert int(sol.retcode) in (1, 7), f"retcode={int(sol.retcode)}"
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-6)
+
+
+def test_default_polyalgorithm():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]),
+                                jnp.array(2.0))
+    sol = nls.solve(prob)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-8)
+
+
+def test_scalar_problem():
+    prob = nls.NonlinearProblem(lambda u, p: u * u - p, 1.0, 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u), np.sqrt(2.0), rtol=1e-10)
+
+
+def test_pytree_state():
+    def f(u, p):
+        return {"a": u["a"] ** 2 - p, "b": u["b"] ** 3 - p}
+
+    prob = nls.NonlinearProblem(f, {"a": jnp.array([1.0]),
+                                    "b": jnp.array([1.0])}, 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u["a"][0]), 2 ** 0.5, rtol=1e-8)
+    np.testing.assert_allclose(float(sol.u["b"][0]), 2 ** (1 / 3), rtol=1e-8)
+
+
+TERMINATION_CONDITIONS = [
+    nls.RelTerminationMode(), nls.AbsTerminationMode(),
+    nls.NormTerminationMode(), nls.RelNormTerminationMode(),
+    nls.AbsNormTerminationMode(), nls.RelNormSafeTerminationMode(),
+    nls.AbsNormSafeTerminationMode(), nls.RelNormSafeBestTerminationMode(),
+    nls.AbsNormSafeBestTerminationMode(),
+]
+
+
+@pytest.mark.parametrize("tc", TERMINATION_CONDITIONS,
+                         ids=lambda t: t.mode)
+def test_termination_conditions(tc):
+    """All nine termination modes converge NewtonRaphson on the quadratic
+    (common_rootfind_testing.jl:3-13)."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]),
+                                jnp.array(2.0))
+    sol = nls.solve(prob, nls.NewtonRaphson(), termination_condition=tc,
+                    abstol=1e-9, reltol=1e-9)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-5)
+
+
+def test_newton_fails_polyalg_rescues():
+    """The reference's `newton_fails` fixture
+    (common_rootfind_testing.jl): NR diverges, robust methods succeed."""
+
+    def newton_fails(u, p):
+        return (0.010000000000000002
+                + 10.000000000000002 / (1 + (0.21640425613334457
+                                             + 216.40425613334457 / (1 + (0.21640425613334457
+                                                                          + 216.40425613334457 / (1 + 0.0006250000000000001 * u ** 2)) ** 2)) ** 2)
+                - 0.0011552453009332421 * u - p)
+
+    u0 = jnp.full((1,), -1.0)
+    prob = nls.NonlinearProblem(newton_fails, u0, jnp.array(0.0))
+    sol = nls.solve(prob, nls.RobustMultiNewton())
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
+
+
+def test_nlls_gauss_newton():
+    """Overdetermined least-squares (4 residuals, 2 unknowns)."""
+    ts = jnp.linspace(0.0, 1.0, 8)
+    target = 2.0 * jnp.exp(-1.5 * ts)
+
+    def resid(u, p):
+        return u[0] * jnp.exp(u[1] * ts) - target
+
+    prob = nls.NonlinearLeastSquaresProblem(resid, jnp.array([1.0, -1.0]))
+    for alg in [nls.GaussNewton(), nls.LevenbergMarquardt(), None]:
+        sol = nls.solve(prob, alg)
+        np.testing.assert_allclose(np.asarray(sol.u), [2.0, -1.5], rtol=1e-5)
+
+
+def test_nlls_underdetermined():
+    """Underdetermined NLLS hits the minimum-norm LM path."""
+
+    def resid(u, p):
+        return jnp.array([u[0] + u[1] + u[2] - 3.0])
+
+    prob = nls.NonlinearLeastSquaresProblem(resid, jnp.array([0.0, 0.0, 0.0]))
+    sol = nls.solve(prob, nls.LevenbergMarquardt())
+    assert float(jnp.abs(sol.resid[0])) < 1e-8
+
+
+def test_analytic_jacobian():
+    f = nls.NonlinearFunction(
+        f=lambda u, p: u * u - p,
+        jac=lambda u, p: jnp.diag(2.0 * u))
+    prob = nls.NonlinearProblem(f, jnp.array([1.0, 2.0]), jnp.array(2.0))
+    sol = nls.solve(prob, nls.NewtonRaphson())
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-10)
+
+
+def test_stats_counters():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]),
+                                jnp.array(2.0))
+    sol = nls.solve(prob, nls.NewtonRaphson())
+    assert int(sol.stats.nsteps) > 0
+    assert int(sol.stats.njacs) == int(sol.stats.nsteps)
+    assert int(sol.stats.nf) >= int(sol.stats.nsteps)
+
+
+def test_maxiters_retcode():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]),
+                                jnp.array(2.0))
+    sol = nls.solve(prob, nls.NewtonRaphson(), maxiters=1)
+    assert int(sol.retcode) == int(nls.ReturnCode.MaxIters)
+
+
+def test_vmap_over_solves():
+    """Whole-solve batching (EnsembleProblem analogue, SURVEY §2.10)."""
+    import jax
+
+    def solve_one(p):
+        prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), p)
+        return nls.solve(prob, nls.NewtonRaphson()).u
+
+    ps = jnp.array([1.0, 2.0, 3.0, 4.0])
+    roots = jax.vmap(solve_one)(ps)
+    expected = np.broadcast_to(np.sqrt(np.asarray(ps))[:, None], (4, 2))
+    np.testing.assert_allclose(np.asarray(roots), expected, rtol=1e-8)
+
+
+def test_float32():
+    import jax
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0], jnp.float32),
+                                jnp.float32(2.0))
+    sol = nls.solve(prob, nls.NewtonRaphson())
+    assert sol.u.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-5)
