@@ -28,4 +28,8 @@ from .solvers import (Broyden, DFSane, FastShortcutNLLSPolyalg,
                       QuasiNewtonAlgorithm, RobustMultiNewton, TrustRegion)
 from .core.linesearch import (BackTracking, LiFukushimaLineSearch,
                               RobustNonMonotoneLineSearch)
+from .solvers.simple import (SimpleBroyden, SimpleDFSane, SimpleGaussNewton,
+                             SimpleHalley, SimpleKlement,
+                             SimpleLimitedMemoryBroyden, SimpleNewtonRaphson,
+                             SimpleTrustRegion)
 from .ops.linear_solve import LinearSolver

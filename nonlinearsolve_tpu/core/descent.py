@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linear_solve import LinearSolver, solve_dense, solve_spd
+from ..ops.operators import StatefulJacobianOperator, mv, rmv
 from ..utils.norms import l2_norm
 from ..utils.pytree import pytree_dataclass, static_config
 from . import damping as dmp
@@ -160,7 +161,53 @@ def descent_init(cfg, ctx: DescentCtx, J, fu, u):
 # solve
 # ---------------------------------------------------------------------------
 
-def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu):
+def _jacobi_precond(cfg: LinearSolver, J):
+    """Jacobi (diagonal) preconditioner when the matrix is materialized
+    with an extractable diagonal."""
+    if cfg.precond != "jacobi":
+        return None
+    diag = None
+    if hasattr(J, "diagonal") and not isinstance(J, StatefulJacobianOperator):
+        diag = J.diagonal() if callable(getattr(J, "diagonal")) else None
+    if diag is None and isinstance(J, jnp.ndarray):
+        diag = jnp.diagonal(J)
+    if diag is None:
+        return None
+    safe = jnp.where(diag == 0, jnp.ones_like(diag), diag)
+    return lambda x: x / safe
+
+
+def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
+                  krylov_rtol=None):
+    from ..ops.krylov import solve_krylov
+    from ..ops.operators import as_matvec
+    from ..ops.sparse import CSR, DIA, ELL
+
+    is_operator = isinstance(J, StatefulJacobianOperator)
+    if cfg.linsolve.is_krylov or is_operator:
+        method = cfg.linsolve.method if cfg.linsolve.is_krylov else "gmres"
+        if ctx.is_least_squares and not ctx.square:
+            # Normal-form Krylov NLLS: JᵀJ δu = Jᵀfu via lazy vjp∘jvp
+            # (StatefulJacobianNormalFormOperator role).
+            matvec = lambda v: rmv(J, mv(J, v))
+            b = rmv(J, fu)
+        else:
+            matvec = as_matvec(J) if not is_operator else J
+            b = fu
+        import numpy as np
+        rtol = (krylov_rtol if krylov_rtol is not None
+                else float(np.sqrt(np.finfo(np.dtype(fu.dtype)).eps)))
+        res = solve_krylov(
+            method, matvec, b, restart=cfg.linsolve.restart,
+            maxiter=cfg.linsolve.krylov_maxiter, rtol=rtol,
+            M=_jacobi_precond(cfg.linsolve, J))
+        return -res.x, jnp.all(jnp.isfinite(res.x))
+
+    if isinstance(J, (CSR, DIA, ELL)):
+        # Round-1 sparse-direct path: densify + LU (banded/sparse LU lands
+        # with the Pallas factorization kernels).  Cheap at bench config 3
+        # scale; Krylov is the intended large-N path.
+        J = J.todense()
     if ctx.square:
         x, ok = solve_dense(J, fu, cfg.linsolve)
     else:
@@ -224,18 +271,21 @@ def _damped_solve(cfg: DampedNewtonDescent, mode: str, J, fu, D):
 
 
 def descent_solve(cfg, state, ctx: DescentCtx, J, fu, u, trust_region=None,
-                  recompute_damping: bool = True):
+                  recompute_damping: bool = True, krylov_rtol=None):
     """Compute δu.  Returns (DescentResult, new_state)."""
     if isinstance(cfg, NewtonDescent):
-        du, ok = _newton_solve(cfg, ctx, J, fu)
+        du, ok = _newton_solve(cfg, ctx, J, fu, krylov_rtol)
         return DescentResult(du=du, success=ok, linsolve_success=ok,
                              duJtJdu=jnp.asarray(jnp.nan, du.dtype)), state
 
     if isinstance(cfg, SteepestDescent):
-        du = -(J.T @ fu)
+        du = -rmv(J, fu)
         return _ok_result(du, nsolve=0, nfactors=0), state
 
     if isinstance(cfg, DampedNewtonDescent):
+        from ..ops.sparse import CSR, DIA, ELL
+        if isinstance(J, (CSR, DIA, ELL)):
+            J = J.todense()
         D, state, mode = _damped_system(cfg, state, ctx, J, fu,
                                         recompute_damping)
         du, ok, duJtJdu = _damped_solve(cfg, mode, J, fu, D)
@@ -260,9 +310,9 @@ def _dogleg_solve(cfg: Dogleg, state, ctx: DescentCtx, J, fu, u, trust_region):
     nan = jnp.asarray(jnp.nan, du_newton.dtype)
 
     # Cauchy (steepest-descent) point
-    du_cauchy = -(J.T @ fu)
+    du_cauchy = -rmv(J, fu)
     l_grad = l2_norm(du_cauchy)
-    J_dc = J @ du_cauchy
+    J_dc = mv(J, du_cauchy)
     duJtJdu = jnp.dot(J_dc, J_dc)
     d_cauchy = (l_grad ** 3) / duJtJdu
 
@@ -303,7 +353,7 @@ def _geodesic_solve(cfg: GeodesicAcceleration, state, ctx: DescentCtx, J, fu,
                                  recompute_damping=True)
     v = res_v.du
     fu2 = ctx.f_flat(u + h * v)
-    Jv = J @ v
+    Jv = mv(J, v)
     rhs = (2.0 / h) * ((fu2 - fu) / h - Jv)
     # Second solve reuses the same damped system (reference passes
     # reuse_A_if_factorization and a shared-cache idx).

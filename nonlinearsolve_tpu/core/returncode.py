@@ -29,6 +29,8 @@ class ReturnCode(enum.IntEnum):
     InitialFailure = 12
     ConvergenceFailure = 13
     FloatingPointLimit = 14
+    ExactSolutionLeft = 15
+    ExactSolutionRight = 16
 
     @staticmethod
     def successful(code):
@@ -42,6 +44,8 @@ class ReturnCode(enum.IntEnum):
             (code == ReturnCode.Success)
             | (code == ReturnCode.StalledSuccess)
             | (code == ReturnCode.FloatingPointLimit)
+            | (code == ReturnCode.ExactSolutionLeft)
+            | (code == ReturnCode.ExactSolutionRight)
         )
 
 

@@ -74,11 +74,48 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
     reltol_v = jnp.asarray(get_tolerance(reltol, dtype), dtype)
     is_lsq = prob.is_least_squares
     if termination_condition is None:
-        termination_condition = default_termination_mode(is_lsq)
+        callee = getattr(alg, "default_termination_callee", "regular")
+        termination_condition = default_termination_mode(is_lsq, callee)
 
-    plan = (prob.f, alg, termination_condition, is_lsq)
+    sparse_plan = _maybe_sparse_plan(prob, alg)
+    plan = (prob.f, alg, termination_condition, is_lsq, sparse_plan)
     return _jitted_solve(plan, prob.u0, prob.p, abstol_v, reltol_v,
                          jnp.int32(maxiters))
+
+
+_SPARSE_PLANS: dict = {}
+
+
+def _maybe_sparse_plan(prob, alg):
+    """Build (and cache) the host-side sparse jacobian plan when the
+    algorithm will take the colored sparse-AD path.  Runs OUTSIDE jit so the
+    probe detector sees concrete parameter values; cached per problem
+    function + shape so the jit cache stays warm across repeated solves."""
+    from .jacobian import JacobianSpec, wants_sparse
+    from ..ops.sparse_jac import plan_sparse_jacobian
+
+    f = prob.f
+    spec_probe = JacobianSpec(sparsity=f.sparsity if f.sparsity is not None
+                              else f.jac_prototype)
+    if not wants_sparse(alg, spec_probe):
+        return None
+    u0_flat, unravel_u = ravel_pytree(prob.u0)
+    key = (f, u0_flat.shape, u0_flat.dtype.name)
+    if key in _SPARSE_PLANS:
+        return _SPARSE_PLANS[key]
+    pcap = prob.p
+
+    def f_flat_host(u_vec):
+        out, _ = ravel_pytree(f(unravel_u(u_vec), pcap))
+        return out
+
+    n_out = int(ravel_pytree(f(prob.u0, pcap))[0].size)
+    plan = plan_sparse_jacobian(
+        f_flat_host, int(u0_flat.size), n_out,
+        sparsity=spec_probe.sparsity, colorvec=f.colorvec,
+        dtype=u0_flat.dtype)
+    _SPARSE_PLANS[key] = plan
+    return plan
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -87,7 +124,7 @@ def _jitted_solve(plan, u0, p, abstol, reltol, maxiters):
 
 
 def _solve_impl(plan, u0, p, abstol, reltol, maxiters) -> NonlinearSolution:
-    f, alg, term_cfg, is_lsq = plan
+    f, alg, term_cfg, is_lsq, sparse_plan = plan
     u0_flat, unravel_u = ravel_pytree(u0)
     fu0_tree = f(u0, p)
     fu0_flat, unravel_fu = ravel_pytree(fu0_tree)
@@ -101,14 +138,29 @@ def _solve_impl(plan, u0, p, abstol, reltol, maxiters) -> NonlinearSolution:
         is_least_squares=bool(is_lsq),
     )
 
+    from .jacobian import JacobianSpec
     analytic = None
     if f.jac is not None:
         def analytic(u_vec):
             J = f.jac(unravel_u(u_vec), p)
             return jnp.asarray(J).reshape(ctx.n_out, ctx.n_in)
+    analytic_jvp = None
+    if f.jvp is not None:
+        def analytic_jvp(v, u_vec):
+            out, _ = ravel_pytree(f.jvp(unravel_u(v), unravel_u(u_vec), p))
+            return out
+    analytic_vjp = None
+    if f.vjp is not None:
+        def analytic_vjp(v, u_vec):
+            out, _ = ravel_pytree(f.vjp(unravel_fu(v), unravel_u(u_vec), p))
+            return out
+    sparsity = f.sparsity if f.sparsity is not None else f.jac_prototype
+    spec = JacobianSpec(analytic=analytic, analytic_jvp=analytic_jvp,
+                        analytic_vjp=analytic_vjp, sparsity=sparsity,
+                        colorvec=f.colorvec, sparse_plan=sparse_plan)
 
     from ..solvers.dispatch import run_algorithm
-    carry = run_algorithm(alg, ctx, term_cfg, analytic, u0_flat, abstol,
+    carry = run_algorithm(alg, ctx, term_cfg, spec, u0_flat, abstol,
                           reltol, maxiters)
 
     return NonlinearSolution(

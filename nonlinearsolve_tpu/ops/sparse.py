@@ -1,0 +1,257 @@
+"""Sparse matrix containers and SpMV — the TPU-native sparse core.
+
+The reference delegates sparse compute to SuiteSparse (KLU/UMFPACK, C) via
+LinearSolve.jl (SURVEY.md §2.9).  A TPU has no scalar-gather-friendly sparse
+engine; the performant layouts are structure-aware:
+
+* ``CSR`` — general container (host-built pattern, device data); SpMV via
+  XLA ``segment_sum`` (correctness path, CPU-friendly).
+* ``ELL`` — padded rows (n_rows × max_nnz), the gather-based TPU layout;
+  SpMV via ``take`` + masked reduction, or the Pallas kernel in
+  ``pallas_spmv.py``.
+* ``DIA`` — banded/diagonal storage: SpMV is a sum of shifted elementwise
+  products — zero gathers, pure VPU, bandwidth-bound at speed-of-light.
+  The PDE stencil matrices of the benchmark set (Bratu, Brusselator,
+  reaction-diffusion) are banded, so this is the hot path.
+
+All containers are pytrees (data dynamic, structure static) so they pass
+through jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CSR:
+    """Compressed sparse row.  ``indices``/``indptr`` are static host arrays
+    (the symbolic pattern is fixed at trace time, like the reference's
+    ``jac_prototype``); ``data`` is a traced device array."""
+
+    def __init__(self, data, indices, indptr, shape):
+        self.data = data
+        self.indices = np.asarray(indices, np.int32)
+        self.indptr = np.asarray(indptr, np.int32)
+        self.shape = tuple(shape)
+
+    @property
+    def nnz(self):
+        return int(self.indices.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @staticmethod
+    def from_dense(A):
+        A = np.asarray(A)
+        mask = A != 0
+        indptr = np.concatenate([[0], np.cumsum(mask.sum(axis=1))])
+        indices = np.concatenate([np.nonzero(mask[i])[0]
+                                  for i in range(A.shape[0])]) \
+            if mask.any() else np.zeros((0,), np.int32)
+        data = jnp.asarray(A[mask])
+        return CSR(data, indices, indptr, A.shape)
+
+    @staticmethod
+    def from_pattern(rows, cols, shape, data=None):
+        """Build from COO-style pattern (host); rows must be sorted."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        order = np.lexsort((cols, rows))
+        rows, cols = rows[order], cols[order]
+        counts = np.bincount(rows, minlength=shape[0])
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        if data is None:
+            data = jnp.zeros((rows.shape[0],), jnp.float64
+                             if jax.config.jax_enable_x64 else jnp.float32)
+        else:
+            data = jnp.asarray(data)[order]
+        return CSR(data, cols, indptr, shape)
+
+    def with_data(self, data):
+        return CSR(data, self.indices, self.indptr, self.shape)
+
+    @property
+    def row_ids(self):
+        """nnz-length row index per entry (host, static)."""
+        return np.repeat(np.arange(self.shape[0], dtype=np.int32),
+                         np.diff(self.indptr))
+
+    def todense(self):
+        out = jnp.zeros(self.shape, self.data.dtype)
+        return out.at[self.row_ids, self.indices].set(self.data)
+
+    def matvec(self, x):
+        """SpMV via segment_sum (XLA path)."""
+        prod = self.data * jnp.take(x, jnp.asarray(self.indices), axis=0)
+        return jax.ops.segment_sum(prod, jnp.asarray(self.row_ids),
+                                   num_segments=self.shape[0])
+
+    def rmatvec(self, y):
+        """Transpose SpMV: Aᵀ y."""
+        prod = self.data * jnp.take(y, jnp.asarray(self.row_ids), axis=0)
+        return jax.ops.segment_sum(prod, jnp.asarray(self.indices),
+                                   num_segments=self.shape[1])
+
+    def diagonal(self):
+        """Extract the main diagonal (for Jacobi preconditioning)."""
+        row_ids = self.row_ids
+        is_diag = self.indices == row_ids
+        out = jnp.zeros((self.shape[0],), self.data.dtype)
+        return out.at[row_ids[is_diag]].add(self.data[np.nonzero(is_diag)[0]])
+
+    def to_ell(self):
+        counts = np.diff(self.indptr)
+        width = int(counts.max()) if counts.size else 0
+        n = self.shape[0]
+        cols = np.zeros((n, width), np.int32)
+        valid = np.zeros((n, width), bool)
+        perm = np.zeros((n, width), np.int64)
+        for i in range(n):
+            k = counts[i]
+            cols[i, :k] = self.indices[self.indptr[i]:self.indptr[i + 1]]
+            valid[i, :k] = True
+            perm[i, :k] = np.arange(self.indptr[i], self.indptr[i + 1])
+        data = jnp.where(jnp.asarray(valid),
+                         self.data[jnp.asarray(perm.reshape(-1))].reshape(
+                             n, width),
+                         0.0)
+        return ELL(data, cols, valid, self.shape)
+
+    def __repr__(self):
+        return f"CSR(shape={self.shape}, nnz={self.nnz})"
+
+
+jax.tree_util.register_pytree_node(
+    CSR,
+    lambda m: ((m.data,), (m.indices, m.indptr, m.shape)),
+    lambda aux, children: CSR(children[0], aux[0], aux[1], aux[2]),
+)
+
+
+class ELL:
+    """Padded-row (ELLPACK) layout: ``data``/``cols`` are (n_rows, width)."""
+
+    def __init__(self, data, cols, valid, shape):
+        self.data = data
+        self.cols = np.asarray(cols, np.int32)
+        self.valid = np.asarray(valid, bool)
+        self.shape = tuple(shape)
+
+    @property
+    def width(self):
+        return self.cols.shape[1]
+
+    def with_data(self, data):
+        return ELL(data, self.cols, self.valid, self.shape)
+
+    def matvec(self, x):
+        gathered = jnp.take(x, jnp.asarray(self.cols), axis=0)
+        return jnp.sum(self.data * gathered, axis=1)
+
+    def todense(self):
+        out = jnp.zeros(self.shape, self.data.dtype)
+        rows = np.repeat(np.arange(self.shape[0]), self.width)
+        return out.at[rows, self.cols.reshape(-1)].add(
+            jnp.where(jnp.asarray(self.valid), self.data, 0.0).reshape(-1))
+
+    def __repr__(self):
+        return f"ELL(shape={self.shape}, width={self.width})"
+
+
+jax.tree_util.register_pytree_node(
+    ELL,
+    lambda m: ((m.data,), (m.cols, m.valid, m.shape)),
+    lambda aux, children: ELL(children[0], aux[0], aux[1], aux[2]),
+)
+
+
+class DIA:
+    """Banded (diagonal) storage: ``offsets`` static, ``data`` is
+    (n_diags, n) with entry ``data[d, i] = A[i, i + offsets[d]]``.
+
+    SpMV = Σ_d data[d] * shift(x, offsets[d]) — no gathers, pure VPU.
+    """
+
+    def __init__(self, data, offsets, shape):
+        self.data = data
+        self.offsets = tuple(int(o) for o in offsets)
+        self.shape = tuple(shape)
+
+    @staticmethod
+    def from_csr(csr: CSR):
+        n, m = csr.shape
+        row_ids = csr.row_ids
+        offs = csr.indices.astype(np.int64) - row_ids
+        uniq = np.unique(offs)
+        data = jnp.zeros((len(uniq), n), csr.data.dtype)
+        for d, off in enumerate(uniq):
+            sel = np.nonzero(offs == off)[0]
+            rows = row_ids[offs == off]
+            data = data.at[d, rows].set(csr.data[sel])
+        return DIA(data, uniq, csr.shape)
+
+    @property
+    def nnz(self):
+        n = self.shape[0]
+        return sum(n - abs(o) for o in self.offsets)
+
+    def with_data(self, data):
+        return DIA(data, self.offsets, self.shape)
+
+    def matvec(self, x):
+        n = self.shape[0]
+        out = jnp.zeros_like(x, shape=(n,))
+        for d, off in enumerate(self.offsets):
+            if off == 0:
+                out = out + self.data[d] * x
+            elif off > 0:
+                seg = self.data[d, :n - off] * x[off:]
+                out = out.at[:n - off].add(seg)
+            else:
+                k = -off
+                seg = self.data[d, k:] * x[:n - k]
+                out = out.at[k:].add(seg)
+        return out
+
+    def diagonal(self):
+        try:
+            d = self.offsets.index(0)
+        except ValueError:
+            return jnp.zeros((self.shape[0],), self.data.dtype)
+        return self.data[d]
+
+    def todense(self):
+        n, m = self.shape
+        out = jnp.zeros((n, m), self.data.dtype)
+        for d, off in enumerate(self.offsets):
+            if off >= 0:
+                idx = jnp.arange(0, n - off)
+                out = out.at[idx, idx + off].set(self.data[d, :n - off])
+            else:
+                k = -off
+                idx = jnp.arange(k, n)
+                out = out.at[idx, idx - k].set(self.data[d, k:])
+        return out
+
+    def __repr__(self):
+        return f"DIA(shape={self.shape}, n_diags={len(self.offsets)})"
+
+
+jax.tree_util.register_pytree_node(
+    DIA,
+    lambda m: ((m.data,), (m.offsets, m.shape)),
+    lambda aux, children: DIA(children[0], aux[0], aux[1]),
+)
+
+
+def spmv(A, x):
+    """Polymorphic SpMV."""
+    if isinstance(A, (CSR, ELL, DIA)):
+        return A.matvec(x)
+    return A @ x

@@ -1,0 +1,67 @@
+"""Colored sparse-AD Jacobian assembly.
+
+The single biggest net-new numerical component relative to plain JAX
+(SURVEY.md §7): compute a sparse Jacobian in ``n_colors`` JVP passes instead
+of ``n`` — the TPU equivalent of the reference's
+``AutoSparse(ad; sparsity_detector, coloring_algorithm)`` path
+(jacobian.jl:286-360).
+
+Pipeline (pattern + coloring static, computed once at trace time):
+  seeds[c] = Σ_{color(j)=c} e_j                      (n_colors, n)
+  compressed = vmap(jvp(f, u, seed))                 (n_colors, m)
+  data[k]   = compressed[color(col(k)), row(k)]      (nnz,) gather
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coloring import detect_sparsity, greedy_column_coloring, pattern_from
+from .sparse import CSR
+
+
+class ColoredJacobian:
+    """Precomputed plan for sparse Jacobian assembly into CSR."""
+
+    def __init__(self, pattern: CSR, colors: np.ndarray):
+        self.pattern = pattern
+        self.colors = np.asarray(colors, np.int32)
+        self.n_colors = int(colors.max()) + 1 if colors.size else 0
+        n_out, n_in = pattern.shape
+        # Seed matrix (n_colors, n_in)
+        seeds = np.zeros((self.n_colors, n_in))
+        seeds[self.colors, np.arange(n_in)] = 1.0
+        self._seeds = seeds
+        # Gather plan: nnz entry k at (row r, col c) reads compressed
+        # [color[c], r]  → flat index color[c] * n_out + r.
+        row_ids = pattern.row_ids
+        self._gather = (self.colors[pattern.indices].astype(np.int64) * n_out
+                        + row_ids.astype(np.int64))
+
+    def __call__(self, f_flat: Callable, u) -> CSR:
+        seeds = jnp.asarray(self._seeds, u.dtype)
+
+        def one_color(seed):
+            return jax.jvp(f_flat, (u,), (seed,))[1]
+
+        compressed = jax.vmap(one_color)(seeds)      # (n_colors, n_out)
+        data = compressed.reshape(-1)[jnp.asarray(self._gather)]
+        return self.pattern.with_data(data)
+
+
+def plan_sparse_jacobian(f_flat: Callable, n_in: int, n_out: int, *,
+                         sparsity=None, colorvec=None,
+                         dtype=np.float64) -> ColoredJacobian:
+    """Build the (pattern, coloring) plan.  ``sparsity`` may be a CSR
+    pattern, dense mask, or None (probe-detected)."""
+    if sparsity is None:
+        pattern = detect_sparsity(f_flat, n_in, dtype=dtype)
+    else:
+        pattern = pattern_from(sparsity, n_out, n_in)
+    colors = (np.asarray(colorvec, np.int32) if colorvec is not None
+              else greedy_column_coloring(pattern))
+    return ColoredJacobian(pattern, colors)

@@ -5,3 +5,7 @@ from .polyalg import (FastShortcutNLLSPolyalg, FastShortcutNonlinearPolyalg,
                       NonlinearSolvePolyAlgorithm, RobustMultiNewton)
 from .quasi_newton import Broyden, Klement, QuasiNewtonAlgorithm
 from .spectral import DFSane, GeneralizedDFSane
+from .simple import (SimpleBroyden, SimpleDFSane, SimpleGaussNewton,
+                     SimpleHalley, SimpleKlement,
+                     SimpleLimitedMemoryBroyden, SimpleNewtonRaphson,
+                     SimpleTrustRegion)

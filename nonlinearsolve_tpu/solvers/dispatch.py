@@ -6,21 +6,18 @@ from __future__ import annotations
 
 from typing import Any
 
-from ..core.autodiff import construct_dense_jacobian_fn
-
-
-def run_algorithm(alg, ctx, term_cfg, analytic_jac, u0_flat, abstol, reltol,
+def run_algorithm(alg, ctx, term_cfg, jac_spec, u0_flat, abstol, reltol,
                   maxiters):
     """Run ``alg`` to completion on the flat problem; returns the final engine
-    carry (fields: u, fu, retcode, stats)."""
+    carry (fields: u, fu, retcode, stats).  ``jac_spec`` is a
+    core.jacobian.JacobianSpec (or None)."""
     from .first_order import GeneralizedFirstOrderAlgorithm, run_first_order
     from .quasi_newton import QuasiNewtonAlgorithm, run_quasi_newton
     from .spectral import GeneralizedDFSane, run_dfsane
 
+    analytic_jac = jac_spec.analytic if jac_spec is not None else None
     if isinstance(alg, GeneralizedFirstOrderAlgorithm):
-        jac_fn = construct_dense_jacobian_fn(ctx.f_flat, alg.jacobian,
-                                             ctx.n_in, ctx.n_out, analytic_jac)
-        return run_first_order(alg, ctx, term_cfg, jac_fn, u0_flat, abstol,
+        return run_first_order(alg, ctx, term_cfg, jac_spec, u0_flat, abstol,
                                reltol, maxiters)
     if isinstance(alg, QuasiNewtonAlgorithm):
         return run_quasi_newton(alg, ctx, term_cfg, analytic_jac, u0_flat,
@@ -30,6 +27,10 @@ def run_algorithm(alg, ctx, term_cfg, analytic_jac, u0_flat, abstol, reltol,
                           maxiters)
     from .polyalg import NonlinearSolvePolyAlgorithm, run_polyalg
     if isinstance(alg, NonlinearSolvePolyAlgorithm):
-        return run_polyalg(alg, ctx, term_cfg, analytic_jac, u0_flat, abstol,
+        return run_polyalg(alg, ctx, term_cfg, jac_spec, u0_flat, abstol,
                            reltol, maxiters)
+    from .simple import is_simple_alg, run_simple
+    if is_simple_alg(alg):
+        return run_simple(alg, ctx, term_cfg, analytic_jac, u0_flat, abstol,
+                          reltol, maxiters)
     raise ValueError(f"cannot dispatch algorithm {alg!r}")

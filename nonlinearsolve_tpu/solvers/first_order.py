@@ -23,11 +23,37 @@ from ..core import descent as dsc
 from ..core import linesearch as lsr
 from ..core import termination as trm
 from ..core import trust_region as trg
-from ..core.autodiff import JacobianPolicy, construct_dense_jacobian_fn
+from ..core.autodiff import JacobianPolicy
+from ..core.jacobian import construct_jacobian
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats
 from ..utils import tree_where
 from ..utils.pytree import pytree_dataclass, static_config
+
+
+@static_config
+class EisenstatWalkerForcing:
+    """Inexact-Newton forcing, Eisenstat–Walker (1996) algorithm 2 / formula
+    (2.6): ηₖ = γ(‖rₖ‖/‖rₖ₋₁‖)^α with the over-solving safeguard
+    (/root/reference/lib/NonlinearSolveFirstOrder/src/eisenstat_walker.jl)."""
+
+    eta_0: float = 0.5
+    eta_max: float = 0.9
+    gamma: float = 0.9
+    alpha: float = 2.0
+    safeguard: bool = True
+    safeguard_threshold: float = 0.1
+
+
+# Backwards-compatible alias matching the reference's exported name.
+EisenstatWalkerForcing2 = EisenstatWalkerForcing
+
+
+@pytree_dataclass
+class ForcingState:
+    eta: Any
+    rnorm: Any
+    rnorm_prev: Any
 
 
 @static_config
@@ -36,8 +62,18 @@ class GeneralizedFirstOrderAlgorithm:
     linesearch: Any = None
     trustregion: Any = None
     jacobian: JacobianPolicy = JacobianPolicy()
+    forcing: Any = None
+    concrete_jac: Any = None
     max_shrink_times: int = 32
     name: str = "GeneralizedFirstOrder"
+
+    def get_linsolve(self):
+        d = self.descent
+        while isinstance(d, (dsc.GeodesicAcceleration,)):
+            d = d.descent
+        if isinstance(d, dsc.Dogleg):
+            d = d.newton
+        return getattr(d, "linsolve", None)
 
     def __post_init__(self):
         if self.linesearch is not None and self.trustregion is not None:
@@ -57,7 +93,8 @@ class GeneralizedFirstOrderAlgorithm:
 # Concrete algorithm constructors (reference: just constructors, SURVEY §1)
 # ---------------------------------------------------------------------------
 
-def NewtonRaphson(*, linsolve=None, linesearch=None, autodiff=None):
+def NewtonRaphson(*, linsolve=None, linesearch=None, autodiff=None,
+                  forcing=None, concrete_jac=None):
     """raphson.jl:30-43."""
     from ..ops.linear_solve import LinearSolver
     ls = linsolve if linsolve is not None else LinearSolver()
@@ -65,6 +102,7 @@ def NewtonRaphson(*, linsolve=None, linesearch=None, autodiff=None):
         descent=dsc.NewtonDescent(linsolve=ls),
         linesearch=linesearch,
         jacobian=autodiff or JacobianPolicy(),
+        forcing=forcing, concrete_jac=concrete_jac,
         name="NewtonRaphson",
     )
 
@@ -133,6 +171,7 @@ def LevenbergMarquardt(*, damping_initial: float = 1.0,
         descent=descent,
         trustregion=trg.LevenbergMarquardtTrustRegion(b_uphill=b_uphill),
         jacobian=autodiff or JacobianPolicy(),
+        concrete_jac=True,
         name="LevenbergMarquardt",
     )
 
@@ -171,6 +210,7 @@ class FOCarry:
     descent_state: Any
     tr_state: Any
     ls_state: Any
+    forcing_state: Any
 
 
 def init_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
@@ -184,13 +224,21 @@ def init_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
                 if alg.trustregion is not None else None)
     ls_state = (lsr.ls_init(alg.linesearch, ctx, fu0, u0_flat)
                 if alg.linesearch is not None else None)
+    if alg.forcing is not None:
+        from ..utils.norms import l2_norm
+        rn = l2_norm(fu0)
+        forcing_state = ForcingState(
+            eta=jnp.asarray(alg.forcing.eta_0, u0_flat.dtype),
+            rnorm=rn, rnorm_prev=rn)
+    else:
+        forcing_state = None
     return FOCarry(
         u=u0_flat, u_prev=u0_flat, fu=fu0, du=jnp.zeros_like(u0_flat),
         nsteps=jnp.int32(0), force_stop=jnp.bool_(False),
         retcode=jnp.int32(ReturnCode.Default),
         stats=NLStats.zeros().incr(nf=1),
         term=term, descent_state=descent_state, tr_state=tr_state,
-        ls_state=ls_state,
+        ls_state=ls_state, forcing_state=forcing_state,
     )
 
 
@@ -202,11 +250,31 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
     J = jac_fn(u)
     stats = carry.stats.incr(njacs=1, nsteps=1)
 
+    # Eisenstat–Walker pre-step (eisenstat_walker.jl:44-85): adapt the
+    # Krylov relative tolerance from the residual contraction rate.
+    krylov_rtol = None
+    forcing_state = carry.forcing_state
+    if alg.forcing is not None:
+        fcfg = alg.forcing
+        eta_prev = forcing_state.eta
+        eta_new = fcfg.gamma * (forcing_state.rnorm
+                                / forcing_state.rnorm_prev) ** fcfg.alpha
+        if fcfg.safeguard:
+            eta_sg = fcfg.gamma * eta_prev ** fcfg.alpha
+            eta_new = jnp.where(
+                (eta_sg > fcfg.safeguard_threshold) & (eta_sg > eta_new),
+                eta_sg, eta_new)
+        eta_new = jnp.clip(eta_new, 0.0, fcfg.eta_max)
+        eta = jnp.where(carry.nsteps == 0,
+                        jnp.asarray(fcfg.eta_0, u.dtype), eta_new)
+        forcing_state = forcing_state.replace(eta=eta)
+        krylov_rtol = eta
+
     tr_radius = (carry.tr_state.trust_region
                  if isinstance(carry.tr_state, trg.TRState) else None)
     result, descent_state = dsc.descent_solve(
         alg.descent, carry.descent_state, ctx, J, fu, u,
-        trust_region=tr_radius)
+        trust_region=tr_radius, krylov_rtol=krylov_rtol)
     stats = stats.incr(nf=result.nf, nsolve=result.nsolve,
                        nfactors=result.nfactors)
     du = result.du
@@ -275,19 +343,27 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
                         retcode)
     force_stop = (stop | ls_failed | shrink_exceeded | ~linsolve_ok)
 
+    if alg.forcing is not None:
+        from ..utils.norms import l2_norm
+        forcing_state = ForcingState(
+            eta=forcing_state.eta, rnorm=l2_norm(fu_new),
+            rnorm_prev=forcing_state.rnorm)
+
     return FOCarry(
         u=u_new, u_prev=u, fu=fu_new, du=du, nsteps=carry.nsteps + 1,
         force_stop=carry.force_stop | force_stop,
         retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
         stats=stats, term=term, descent_state=descent_state,
-        tr_state=tr_state, ls_state=ls_state,
+        tr_state=tr_state, ls_state=ls_state, forcing_state=forcing_state,
     )
 
 
 def run_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
-                    term_cfg: trm.TerminationCondition, jac_fn, u0_flat,
+                    term_cfg: trm.TerminationCondition, jac_spec, u0_flat,
                     abstol, reltol, maxiters):
     """init + while_loop to completion.  Returns the final carry."""
+    jac_fn, _kind = construct_jacobian(alg.jacobian, alg.get_linsolve(), ctx,
+                                       jac_spec, alg.concrete_jac)
     carry0 = init_first_order(alg, ctx, term_cfg, u0_flat, reltol)
 
     def cond(carry):

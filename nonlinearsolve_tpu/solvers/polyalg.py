@@ -116,7 +116,7 @@ class PolyCarry:
     best_retcode: Any
 
 
-def run_polyalg(alg: NonlinearSolvePolyAlgorithm, ctx, term_cfg, analytic_jac,
+def run_polyalg(alg: NonlinearSolvePolyAlgorithm, ctx, term_cfg, jac_spec,
                 u0_flat, abstol, reltol, maxiters):
     from .dispatch import run_algorithm
 
@@ -132,7 +132,7 @@ def run_polyalg(alg: NonlinearSolvePolyAlgorithm, ctx, term_cfg, analytic_jac,
     rungs = alg.algs[alg.start_index - 1:]
     for sub in rungs:
         def run_rung(carry, sub=sub):
-            final = run_algorithm(sub, ctx, term_cfg, analytic_jac, u0_flat,
+            final = run_algorithm(sub, ctx, term_cfg, jac_spec, u0_flat,
                                   abstol, reltol, maxiters)
             success = ReturnCode.successful(final.retcode)
             resid = l2_norm(final.fu)

@@ -129,13 +129,16 @@ class QNCarry:
 
 
 def _alpha_scaling(alpha, u, fu):
-    """initial_jacobian_scaling_alpha: α = max(‖u‖₂, 1) / (2‖fu‖₂) when
-    unspecified (Broyden docstring, broyden.jl:19-21)."""
+    """initial_jacobian_scaling_alpha (NonlinearSolveBase utils.jl:307-314):
+    α = 2‖fu‖₂ / max(‖u‖₂, 1) when unspecified, falling back to 1 for tiny
+    residuals.  (The Broyden docstring states the reciprocal; the code is
+    authoritative — J = αI so J⁻¹ = I/α = max(‖u‖,1)/(2‖fu‖)·I, matching the
+    SimpleBroyden initialization.)"""
     if alpha is not None:
         return jnp.asarray(alpha, u.dtype)
-    denom = 2.0 * l2_norm(fu)
-    return jnp.maximum(l2_norm(u), 1.0) / jnp.where(denom == 0,
-                                                    jnp.ones_like(denom), denom)
+    fu_norm = l2_norm(fu)
+    return jnp.where(fu_norm < 1e-5, jnp.ones((), u.dtype),
+                     2.0 * fu_norm / jnp.maximum(l2_norm(u), 1.0))
 
 
 def _init_J(alg: QuasiNewtonAlgorithm, jac_fn, u, fu):

