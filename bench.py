@@ -1,0 +1,93 @@
+"""Driver benchmark — one JSON line on stdout.
+
+North-star metric (BASELINE.json): SpMV nnz/s/chip inside GMRES on the 2D
+Brusselator N=512² Jacobian.  The Jacobian is applied matrix-free (jax.jvp of
+the periodic stencil residual — the fused-stencil "SpMV" with 12 nnz per grid
+point); we time a long scan of matvecs (pure SpMV throughput) and a full
+Newton–GMRES+FFT-preconditioned solve for the secondary time-to-solve anchor.
+
+Runs on whatever the default JAX backend is (the real TPU chip under the
+driver; CPU elsewhere).  float32 (TPU-native dtype).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from jax.flatten_util import ravel_pytree
+
+    import nonlinearsolve_tpu as nls
+    from nonlinearsolve_tpu.models import brusselator
+    from nonlinearsolve_tpu.ops.preconditioners import (
+        fft_poisson_preconditioner)
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+
+    N = 512
+    dtype = jnp.float32
+    u0 = brusselator.init_u0(N, dtype)
+    p = brusselator.default_p(N, dtype)
+    u0_flat, unravel = ravel_pytree(u0)
+
+    def f_flat(uv):
+        return ravel_pytree(brusselator.brusselator_2d(unravel(uv), p))[0]
+
+    nnz = 12 * N * N  # 5-point stencil + u<->v coupling per grid point
+
+    # --- SpMV (jvp matvec) throughput --------------------------------------
+    _, lin = jax.linearize(f_flat, u0_flat)
+    n_iters = 200
+
+    @jax.jit
+    def spmv_scan(v):
+        def body(carry, _):
+            w = lin(carry)
+            # cheap normalization keeps values finite without leaving the VPU
+            return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
+
+        out, _ = jax.lax.scan(body, v, None, length=n_iters)
+        return out
+
+    v0 = jnp.ones_like(u0_flat)
+    spmv_scan(v0).block_until_ready()          # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = spmv_scan(v0)
+    out.block_until_ready()
+    spmv_time = (time.perf_counter() - t0) / reps
+    nnz_per_s = n_iters * nnz / spmv_time
+
+    # --- Newton-GMRES time-to-solve ----------------------------------------
+    prob = nls.NonlinearProblem(brusselator.brusselator_2d, u0, p)
+    pm = fft_poisson_preconditioner((N, N), alpha=10.0, h=1.0 / (N - 1),
+                                    shift=3.0, n_components=2)
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=20,
+                                  krylov_maxiter=100, precond_fn=pm),
+        forcing=EisenstatWalkerForcing(eta_0=1e-3, eta_max=1e-2))
+    # f32 + alpha/h^2 ~ 2.6e6 → initial |f| ~ 1e6; abstol=5.0 is ~2e-6
+    # relative, near the f32 floor for this scaling.
+    sol = nls.solve(prob, alg, abstol=5.0, maxiters=30)   # compile+solve
+    jax.block_until_ready(sol.u)
+    t0 = time.perf_counter()
+    sol = nls.solve(prob, alg, abstol=5.0, maxiters=30)
+    jax.block_until_ready(sol.u)
+    solve_time = time.perf_counter() - t0
+    resid = float(jnp.max(jnp.abs(sol.resid)))
+
+    print(json.dumps({
+        "metric": "brusselator512_spmv_nnz_per_s",
+        "value": nnz_per_s,
+        "unit": f"nnz/s/chip (secondary: newton_gmres_fft solve "
+                f"{solve_time:.3f}s, |resid|_inf={resid:.2e}, "
+                f"retcode={int(sol.retcode)})",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

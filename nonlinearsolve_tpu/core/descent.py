@@ -178,7 +178,7 @@ def _jacobi_precond(cfg: LinearSolver, J):
 
 
 def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
-                  krylov_rtol=None):
+                  krylov_rtol=None, u=None):
     from ..ops.krylov import solve_krylov
     from ..ops.operators import as_matvec
     from ..ops.sparse import CSR, DIA, ELL
@@ -197,10 +197,17 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         import numpy as np
         rtol = (krylov_rtol if krylov_rtol is not None
                 else float(np.sqrt(np.finfo(np.dtype(fu.dtype)).eps)))
+        if cfg.linsolve.precond_fn is not None:
+            # Contract: precond_fn(u) -> (v -> M⁻¹v); a plain v -> M⁻¹v
+            # callable (u-independent preconditioner) is also accepted.
+            M = cfg.linsolve.precond_fn(u)
+            if not callable(M):
+                M = cfg.linsolve.precond_fn
+        else:
+            M = _jacobi_precond(cfg.linsolve, J)
         res = solve_krylov(
             method, matvec, b, restart=cfg.linsolve.restart,
-            maxiter=cfg.linsolve.krylov_maxiter, rtol=rtol,
-            M=_jacobi_precond(cfg.linsolve, J))
+            maxiter=cfg.linsolve.krylov_maxiter, rtol=rtol, M=M)
         return -res.x, jnp.all(jnp.isfinite(res.x))
 
     if isinstance(J, (CSR, DIA, ELL)):
@@ -274,7 +281,7 @@ def descent_solve(cfg, state, ctx: DescentCtx, J, fu, u, trust_region=None,
                   recompute_damping: bool = True, krylov_rtol=None):
     """Compute δu.  Returns (DescentResult, new_state)."""
     if isinstance(cfg, NewtonDescent):
-        du, ok = _newton_solve(cfg, ctx, J, fu, krylov_rtol)
+        du, ok = _newton_solve(cfg, ctx, J, fu, krylov_rtol, u)
         return DescentResult(du=du, success=ok, linsolve_success=ok,
                              duJtJdu=jnp.asarray(jnp.nan, du.dtype)), state
 

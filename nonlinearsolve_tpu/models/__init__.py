@@ -1,0 +1,1 @@
+from . import bratu, brusselator, problems23, reaction_diffusion

@@ -36,6 +36,9 @@ class LinearSolver:
     restart: int = 20
     krylov_maxiter: Optional[int] = None
     precond: str = "none"  # 'none' | 'jacobi'
+    # User preconditioner factory: ``precond_fn(u) -> (v -> M⁻¹v)``, rebuilt
+    # at each Newton linearization point (reference `precs` analogue).
+    precond_fn: Any = None
 
     @property
     def is_krylov(self) -> bool:

@@ -1,0 +1,94 @@
+"""Preconditioners for the Krylov layer.
+
+The reference reaches ILU/AMG through LinearSolve.jl `precs`
+(/root/reference/docs/src/tutorials/large_systems.md:246-318).  ILU is a
+sequential triangular sweep — hostile to TPUs — so the TPU-native toolkit
+here is:
+
+* ``jacobi_preconditioner`` — diagonal scaling from any materialized matrix.
+* ``fft_poisson_preconditioner`` — exact inverse of the periodic
+  constant-coefficient Laplacian part of a stencil operator via XLA FFT.
+  For Laplacian-dominated Jacobians (Brusselator/reaction–diffusion class)
+  this collapses the Krylov iteration count to O(10), and every FLOP is a
+  batched FFT — MXU/VPU-friendly, no sequential dependencies.
+* ``block_jacobi_preconditioner`` — small dense diagonal blocks inverted in
+  a batch (MXU-friendly) for interleaved multi-component systems.
+
+All return ``v -> M⁻¹ v`` callables fed to ``ops.krylov`` via
+``LinearSolver(precond_fn=...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def jacobi_preconditioner(diag):
+    safe = jnp.where(diag == 0, jnp.ones_like(diag), diag)
+    return lambda v: v / safe
+
+
+def fft_poisson_symbol(shape: Sequence[int], alpha, h, shift=1.0,
+                       dtype=jnp.float64):
+    """Eigenvalues of ``alpha·Δ_h - shift`` on a periodic grid: the 2d-point
+    stencil symbol ``(α/h²)·Σ_d (2cos(2πk_d/N_d) - 2) - shift``."""
+    sym = None
+    for d, Nd in enumerate(shape):
+        k = jnp.arange(Nd, dtype=dtype)
+        lam = 2.0 * jnp.cos(2.0 * jnp.pi * k / Nd) - 2.0
+        expand = [None] * len(shape)
+        expand[d] = slice(None)
+        lam = lam[tuple(expand)]
+        sym = lam if sym is None else sym + lam
+    return (alpha / (h * h)) * sym - shift
+
+
+def fft_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
+                               shift=1.0, n_components: int = 1,
+                               component_axis: int = -1):
+    """Return ``M(v)`` approximating ``(α Δ_h - shift·I)⁻¹ v`` on a flat
+    vector laid out as a periodic grid (+ optional trailing component axis).
+
+    This inverts exactly the stiff part of a reaction–diffusion Jacobian
+    ``αΔ + diag(...)`` — the textbook spectral preconditioner, and the
+    TPU-native replacement for the reference's ILU/AMG recommendation.
+    """
+    grid_shape = tuple(int(s) for s in grid_shape)
+
+    def apply(v):
+        dtype = v.dtype
+        if n_components > 1:
+            full = grid_shape + (n_components,)
+            w = v.reshape(full)
+            w = jnp.moveaxis(w, -1, 0)          # (C, *grid)
+        else:
+            w = v.reshape(grid_shape)[None]
+        sym = fft_poisson_symbol(grid_shape, alpha, h, shift, jnp.float64
+                                 if dtype == jnp.float64 else jnp.float32)
+        axes = tuple(range(1, 1 + len(grid_shape)))
+        what = jnp.fft.fftn(w, axes=axes)
+        what = what / sym[None]
+        out = jnp.real(jnp.fft.ifftn(what, axes=axes)).astype(dtype)
+        if n_components > 1:
+            out = jnp.moveaxis(out, 0, -1)
+        return out.reshape(v.shape)
+
+    return apply
+
+
+def block_jacobi_preconditioner(blocks):
+    """``blocks``: (n_blocks, b, b) dense diagonal blocks; inverts them in a
+    single batched solve (MXU path) and applies blockwise."""
+    n_blocks, b, _ = blocks.shape
+    inv = jnp.linalg.inv(blocks)
+
+    def apply(v):
+        vb = v.reshape(n_blocks, b)
+        out = jnp.einsum("nij,nj->ni", inv, vb)
+        return out.reshape(v.shape)
+
+    return apply
