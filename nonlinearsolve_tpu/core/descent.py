@@ -41,10 +41,18 @@ class DescentCtx:
     n_in: int
     n_out: int
     is_least_squares: bool
+    # Iterate corrector H(u_proposed, u_prev) -> u, applied at every commit
+    # point (the reference's `postcondition` option, conditioning.jl:46-66).
+    postcondition: Callable = None
 
     @property
     def square(self) -> bool:
         return self.n_in == self.n_out
+
+    def apply_postcondition(self, u_new, u_prev):
+        if self.postcondition is None:
+            return u_new, False
+        return self.postcondition(u_new, u_prev), True
 
 
 @pytree_dataclass

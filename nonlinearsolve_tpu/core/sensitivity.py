@@ -1,0 +1,107 @@
+"""Implicit-function-theorem sensitivities.
+
+TPU-native replacement for the reference's dual-number forward sensitivity
+(nonlinearsolve_forwarddiff_solve,
+/root/reference/lib/NonlinearSolveBase/ext/NonlinearSolveBaseForwardDiffExt.jl:193-340)
+and the ChainRules reverse rules (_solve_adjoint, solve.jl:896-929):
+
+Every solve is wrapped in a ``jax.custom_jvp`` whose rule is the IFT linear
+solve ``J_u u̇ = -(∂f/∂p) ṗ`` at the converged root.  The rule is linear in
+the tangents, so JAX's transpose machinery derives the reverse-mode adjoint
+``p̄ = -(∂f/∂p)ᵀ J_u⁻ᵀ ū`` automatically — one wrapper covers
+``jax.jvp``, ``jax.jacfwd``, ``jax.grad`` and ``jax.jacrev`` through
+``solve(...)``, and it also makes the reverse mode *possible* at all (a bare
+``lax.while_loop`` is not reverse-differentiable).
+
+The IFT jacobian is dense ``jacfwd`` for small systems and a
+``lax.custom_linear_solve`` over the jvp operator (GMRES, with the
+transpose solve on the vjp operator) for large ones.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+_DENSE_IFT_LIMIT = 2048
+
+
+def _zero_tangent(x):
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return jax.dtypes.float0 and jnp.zeros(jnp.shape(x),
+                                           dtype=jax.dtypes.float0)
+
+
+def _ift_linear_solve(f_flat_fixed_p: Callable, u_star, b):
+    """Solve ``J_u x = b`` at the root.  Transposable."""
+    n = u_star.shape[0]
+    if n <= _DENSE_IFT_LIMIT:
+        J = jax.jacfwd(f_flat_fixed_p)(u_star)
+        return jnp.linalg.solve(J, b)
+
+    from ..ops.krylov import gmres
+
+    def matvec(v):
+        return jax.jvp(f_flat_fixed_p, (u_star,), (v,))[1]
+
+    def solve(mv, rhs):
+        return gmres(mv, rhs, restart=min(50, n),
+                     maxiter=500, rtol=1e-8).x
+
+    def transpose_solve(vecmat, rhs):
+        return gmres(vecmat, rhs, restart=min(50, n),
+                     maxiter=500, rtol=1e-8).x
+
+    return jax.lax.custom_linear_solve(
+        matvec, b, solve=solve, transpose_solve=transpose_solve)
+
+
+def differentiable_root(make_f_flat: Callable, run_solver: Callable):
+    """Build ``root(u0_flat, p, aux) -> SolveCarry`` with the IFT
+    custom-jvp rule.
+
+    ``make_f_flat(p, aux) -> f_flat`` rebuilds the flat residual for a
+    (traced) parameter pytree; ``run_solver(f_flat, u0_flat, aux) -> carry``
+    runs the configured algorithm to completion.  ``aux`` carries every other
+    traced input (tolerances, maxiters, bound arrays) so the custom_jvp
+    closure stays tracer-free; tangents through ``u0`` and ``aux`` are
+    symbolically zero (the converged root depends only on ``p`` locally —
+    derivatives w.r.t. the bounds themselves are not propagated).
+    """
+
+    def zeros_like_leaf(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    @jax.custom_jvp
+    def root(u0_flat, p, aux):
+        return run_solver(make_f_flat(p, aux), u0_flat, aux)
+
+    @root.defjvp
+    def root_jvp(primals, tangents):
+        u0_flat, p, aux = primals
+        _u0_dot, p_dot, _aux_dot = tangents
+        carry = root(u0_flat, p, aux)
+        u_star = carry.u
+
+        # b = (∂f/∂p)·ṗ at the root (linear in ṗ; float0 tangents for
+        # integer/None leaves are handled by jvp natively).
+        def f_of_p(pp):
+            return make_f_flat(pp, aux)(u_star)
+
+        _, b = jax.jvp(f_of_p, (p,), (p_dot,))
+
+        f_fixed = make_f_flat(p, aux)
+        u_dot = -_ift_linear_solve(f_fixed, u_star, b)
+
+        # fu tangent at the root: J u̇ + (∂f/∂p)ṗ = -b + b = 0.
+        carry_dot = jax.tree_util.tree_map(zeros_like_leaf, carry)
+        carry_dot = carry_dot.replace(u=u_dot)
+        return carry, carry_dot
+
+    return root

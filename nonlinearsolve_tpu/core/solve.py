@@ -34,6 +34,19 @@ from .solution import NLStats, NonlinearSolution
 from .termination import TerminationCondition, default_termination_mode
 
 
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class SolveCarry:
+    """Reduced solver result crossing the differentiable-root boundary."""
+
+    u: Any
+    fu: Any
+    retcode: Any
+    stats: Any
+
+
 def _default_algorithm(prob):
     from ..solvers.polyalg import FastShortcutNonlinearPolyalg, FastShortcutNLLSPolyalg
     if isinstance(prob, NonlinearLeastSquaresProblem):
@@ -67,7 +80,8 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
 
 
 def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
-                    termination_condition=None, **_ignored) -> NonlinearSolution:
+                    termination_condition=None, precondition=None,
+                    postcondition=None, **_ignored) -> NonlinearSolution:
     u0_flat, _ = ravel_pytree(prob.u0)
     dtype = u0_flat.dtype
     abstol_v = jnp.asarray(get_tolerance(abstol, dtype), dtype)
@@ -77,9 +91,28 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
         callee = getattr(alg, "default_termination_callee", "regular")
         termination_condition = default_termination_mode(is_lsq, callee)
 
+    has_bounds = prob.lb is not None or prob.ub is not None
     sparse_plan = _maybe_sparse_plan(prob, alg)
-    plan = (prob.f, alg, termination_condition, is_lsq, sparse_plan)
-    return _jitted_solve(plan, prob.u0, prob.p, abstol_v, reltol_v,
+
+    # The residual enters the jit plan as a *static* value, so traced values
+    # captured in its closure (e.g. a lambda inside an outer jax.grad) would
+    # leak into the lowering as tracer constants.  jax.closure_convert hoists
+    # them into explicit arguments; they ride alongside ``p`` and are
+    # differentiated through the IFT rule like any other parameter.
+    f = prob.f
+    converted, consts = jax.closure_convert(
+        lambda u_, p_: f.f(u_, p_), prob.u0, prob.p)
+    if consts:
+        import dataclasses as _dc
+        f = _dc.replace(f, f=lambda u_, pc: converted(u_, pc[0], *pc[1]))
+        p_eff = (prob.p, tuple(consts))
+    else:
+        p_eff = prob.p
+
+    plan = (f, alg, termination_condition, is_lsq, sparse_plan,
+            precondition, postcondition, has_bounds)
+    lb, ub = (prob.lb, prob.ub) if has_bounds else (None, None)
+    return _jitted_solve(plan, prob.u0, p_eff, lb, ub, abstol_v, reltol_v,
                          jnp.int32(maxiters))
 
 
@@ -119,23 +152,89 @@ def _maybe_sparse_plan(prob, alg):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _jitted_solve(plan, u0, p, abstol, reltol, maxiters):
-    return _solve_impl(plan, u0, p, abstol, reltol, maxiters)
+def _jitted_solve(plan, u0, p, lb, ub, abstol, reltol, maxiters):
+    return _solve_impl(plan, u0, p, lb, ub, abstol, reltol, maxiters)
 
 
-def _solve_impl(plan, u0, p, abstol, reltol, maxiters) -> NonlinearSolution:
-    f, alg, term_cfg, is_lsq, sparse_plan = plan
-    u0_flat, unravel_u = ravel_pytree(u0)
+def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
+                maxiters) -> NonlinearSolution:
+    f, alg, term_cfg, is_lsq, sparse_plan, precondition, postcondition, \
+        has_bounds = plan
+    u0_flat_raw, unravel_u = ravel_pytree(u0)
     fu0_tree = f(u0, p)
     fu0_flat, unravel_fu = ravel_pytree(fu0_tree)
 
-    def f_flat(u_vec):
-        out, _ = ravel_pytree(f(unravel_u(u_vec), p))
-        return out
+    # Left nonlinear preconditioning: compose G before anything else sees the
+    # residual (conditioning.jl:12-26; applied pre-cache in solve_call,
+    # solve.jl:185-189).
+    if precondition is not None:
+        f_base = f
+
+        def f_eff(u_tree, p_):
+            return precondition(f_base(u_tree, p_), u_tree, p_)
+    else:
+        f_eff = f
+
+    # Bounds transform (bounds_transform.jl; hooks solve.jl:324-348): solve
+    # in the unconstrained variable t with u = from_unbounded(t).
+    if has_bounds:
+        from .bounds import (clamp_to_bounds, from_unbounded,
+                             normalize_bounds, to_unbounded)
+        lbf, ubf = normalize_bounds(lb, ub, u0_flat_raw)
+        u0_flat = to_unbounded(clamp_to_bounds(u0_flat_raw, lbf, ubf), lbf,
+                               ubf)
+
+        def make_f_flat(p_, aux_):
+            lbf_, ubf_ = aux_["bounds"]
+
+            def f_flat(t_vec):
+                u_vec = from_unbounded(t_vec, lbf_, ubf_)
+                out, _ = ravel_pytree(f_eff(unravel_u(u_vec), p_))
+                return out
+            return f_flat
+
+        back_transform = lambda t_vec: from_unbounded(t_vec, lbf, ubf)
+        aux_bounds = (lbf, ubf)
+    else:
+        u0_flat = u0_flat_raw
+
+        def make_f_flat(p_, aux_):
+            def f_flat(u_vec):
+                out, _ = ravel_pytree(f_eff(unravel_u(u_vec), p_))
+                return out
+            return f_flat
+
+        back_transform = None
+        aux_bounds = None
+    aux = {"bounds": aux_bounds, "abstol": abstol, "reltol": reltol,
+           "maxiters": maxiters}
+    f_flat = make_f_flat(p, aux)
+
+    # Iterate corrector H at commit points (conditioning.jl:46-66).  With
+    # bounds, the default Original space maps the iterate back, corrects,
+    # clamps into the interior, and maps forward again.
+    post_flat = None
+    if postcondition is not None:
+        space = getattr(postcondition, "space", "original")
+        corrector = getattr(postcondition, "corrector", postcondition)
+
+        def _correct(u_vec, u_prev_vec):
+            out, _ = ravel_pytree(
+                corrector(unravel_u(u_vec), unravel_u(u_prev_vec), p))
+            return out
+
+        if has_bounds and space == "original":
+            def post_flat(t_vec, t_prev_vec):
+                u_vec = from_unbounded(t_vec, lbf, ubf)
+                u_prev = from_unbounded(t_prev_vec, lbf, ubf)
+                corrected = clamp_to_bounds(_correct(u_vec, u_prev), lbf, ubf)
+                return to_unbounded(corrected, lbf, ubf)
+        else:
+            post_flat = _correct
 
     ctx = DescentCtx(
         f_flat=f_flat, n_in=int(u0_flat.size), n_out=int(fu0_flat.size),
-        is_least_squares=bool(is_lsq),
+        is_least_squares=bool(is_lsq), postcondition=post_flat,
     )
 
     from .jacobian import JacobianSpec
@@ -160,10 +259,23 @@ def _solve_impl(plan, u0, p, abstol, reltol, maxiters) -> NonlinearSolution:
                         colorvec=f.colorvec, sparse_plan=sparse_plan)
 
     from ..solvers.dispatch import run_algorithm
-    carry = run_algorithm(alg, ctx, term_cfg, spec, u0_flat, abstol,
-                          reltol, maxiters)
+    from .sensitivity import differentiable_root
+    import dataclasses as _dc
 
+    def run_solver(f_flat_, u0_flat_, aux_):
+        ctx_ = _dc.replace(ctx, f_flat=f_flat_)
+        carry = run_algorithm(alg, ctx_, term_cfg, spec, u0_flat_,
+                              aux_["abstol"], aux_["reltol"],
+                              aux_["maxiters"])
+        return SolveCarry(u=carry.u, fu=carry.fu, retcode=carry.retcode,
+                          stats=carry.stats)
+
+    root = differentiable_root(make_f_flat, run_solver)
+    carry = root(u0_flat, p, aux)
+
+    u_final_flat = back_transform(carry.u) if back_transform is not None \
+        else carry.u
     return NonlinearSolution(
-        u=unravel_u(carry.u), resid=unravel_fu(carry.fu),
+        u=unravel_u(u_final_flat), resid=unravel_fu(carry.fu),
         retcode=carry.retcode, stats=carry.stats,
     )

@@ -310,6 +310,16 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
         fu_new = ctx.f_flat(u_new)
         stats = stats.incr(nf=1)
 
+    # Postcondition at the commit point (conditioning.jl; FirstOrder
+    # solve.jl:369-407): skipped when a trust region rejected the step.
+    if ctx.postcondition is not None:
+        committed = accepted if glob == "trustregion" else jnp.bool_(True)
+        u_pc = ctx.postcondition(u_new, u)
+        fu_pc = ctx.f_flat(u_pc)
+        u_new = jnp.where(committed, u_pc, u_new)
+        fu_new = jnp.where(committed, fu_pc, fu_new)
+        stats = stats.incr(nf=1)
+
     # Keep the old iterate when the descent itself was rejected
     # (geodesic-acceleration reject: solve.jl:416-419).
     u_new = jnp.where(descent_ok, u_new, u)

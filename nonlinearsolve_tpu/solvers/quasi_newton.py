@@ -325,6 +325,10 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         fu_new = ctx.f_flat(u_new)
         stats = stats.incr(nf=1)
 
+    if ctx.postcondition is not None:
+        u_new = ctx.postcondition(u_new, u)
+        fu_new = ctx.f_flat(u_new)
+        stats = stats.incr(nf=1)
     u_new = jnp.where(linsolve_ok, u_new, u)
     fu_new = jnp.where(linsolve_ok, fu_new, fu)
     # Linear solve failed right after a reset → hard failure; otherwise

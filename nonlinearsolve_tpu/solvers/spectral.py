@@ -104,6 +104,10 @@ def run_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat, abstol, reltol,
         u_new = u + ls_res.alpha * du
         fu_new = ctx.f_flat(u_new)
         stats = carry.stats.incr(nf=ls_res.nf + 1, nsteps=1)
+        if ctx.postcondition is not None:
+            u_new = ctx.postcondition(u_new, u)
+            fu_new = ctx.f_flat(u_new)
+            stats = stats.incr(nf=1)
         ls_state = lsr.ls_post_step(alg.linesearch, ls_res.state, fu_new)
 
         stop, term = trm.check_termination(
