@@ -33,3 +33,13 @@ from .solvers.simple import (SimpleBroyden, SimpleDFSane, SimpleGaussNewton,
                              SimpleLimitedMemoryBroyden, SimpleNewtonRaphson,
                              SimpleTrustRegion)
 from .ops.linear_solve import LinearSolver
+from .solvers.bracketing import (Alefeld, Bisection, Brent, Falsi, ITP,
+                                 ModAB, Muller, Ridder)
+from .solvers.homotopy import (ArcLengthContinuation,
+                               FastShortcutHomotopyPolyalg,
+                               HomotopyPolyAlgorithm, HomotopySweep,
+                               KantorovichHomotopy, SimpleHomotopySweep)
+from .solvers.scc import LinearSCCBlock
+from .solvers.first_order import EisenstatWalkerForcing
+from .core.conditioning import PostconditionSpecifier
+from .core.autodiff import JacobianPolicy

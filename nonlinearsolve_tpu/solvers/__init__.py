@@ -9,3 +9,9 @@ from .simple import (SimpleBroyden, SimpleDFSane, SimpleGaussNewton,
                      SimpleHalley, SimpleKlement,
                      SimpleLimitedMemoryBroyden, SimpleNewtonRaphson,
                      SimpleTrustRegion)
+from .bracketing import (Alefeld, Bisection, Brent, Falsi, ITP, ModAB,
+                         Muller, Ridder)
+from .homotopy import (ArcLengthContinuation, FastShortcutHomotopyPolyalg,
+                       HomotopyPolyAlgorithm, HomotopySweep,
+                       KantorovichHomotopy, SimpleHomotopySweep)
+from .scc import LinearSCCBlock, solve_scc

@@ -1,0 +1,83 @@
+"""SCC (strongly-connected-component) driver.
+
+Port of /root/reference/lib/SCCNonlinearSolve/src/SCCNonlinearSolve.jl:24-207:
+solve an ordered sequence of subproblems (nonlinear or linear blocks), where
+each block's parameters may be computed from the already-solved blocks via
+``explicitfuns`` (the reference's ``explicitfuns!`` parameter injectors);
+concatenate u/resid; overall retcode = Success iff every block succeeded,
+else the first failing block's code.
+
+Blocks are statically unrolled (the reference's @generated tuple path) — each
+block's solve is independently jit-cached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problems import NonlinearProblem, SCCNonlinearProblem
+from ..core.returncode import ReturnCode
+from ..core.solution import NLStats, NonlinearSolution
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSCCBlock:
+    """A linear block ``A(p) u = b(p)`` in an SCC sequence (the reference
+    supports LinearProblem blocks alongside nonlinear ones)."""
+
+    A: Callable       # p_block -> (n, n) matrix
+    b: Callable       # p_block -> (n,) rhs
+
+
+def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
+              ) -> NonlinearSolution:
+    from ..core.solve import solve_nonlinear, _default_algorithm
+    from ..ops.linear_solve import solve_dense
+
+    sols = []
+    us = []
+    resids = []
+    retcode = jnp.int32(ReturnCode.Success)
+    stats = NLStats.zeros()
+
+    for i, block in enumerate(prob.probs):
+        if prob.explicitfuns is not None and prob.explicitfuns[i] is not None:
+            p_block = prob.explicitfuns[i](prob.p, tuple(sols))
+        else:
+            p_block = getattr(block, "p", prob.p)
+
+        if isinstance(block, LinearSCCBlock):
+            A = jnp.asarray(block.A(p_block))
+            b = jnp.asarray(block.b(p_block))
+            x, ok = solve_dense(A, b)
+            sol = NonlinearSolution(
+                u=x, resid=A @ x - b,
+                retcode=jnp.where(ok, jnp.int32(ReturnCode.Success),
+                                  jnp.int32(
+                                      ReturnCode.InternalLinearSolveFailed)),
+                stats=NLStats.zeros().incr(nsolve=1, nfactors=1))
+        else:
+            block_prob = block.remake(p=p_block) \
+                if p_block is not getattr(block, "p", None) else block
+            block_alg = alg if alg is not None \
+                else _default_algorithm(block_prob)
+            sol = solve_nonlinear(block_prob, block_alg, **kwargs)
+
+        sols.append(sol)
+        us.append(jnp.ravel(jnp.asarray(sol.u)))
+        resids.append(jnp.ravel(jnp.asarray(sol.resid)))
+        block_failed = ~ReturnCode.successful(sol.retcode)
+        retcode = jnp.where(
+            block_failed & (retcode == ReturnCode.Success),
+            sol.retcode, retcode)
+        s = sol.stats
+        stats = stats.incr(nf=s.nf, njacs=s.njacs, nfactors=s.nfactors,
+                           nsolve=s.nsolve, nsteps=s.nsteps)
+
+    return NonlinearSolution(
+        u=jnp.concatenate(us), resid=jnp.concatenate(resids),
+        retcode=retcode, stats=stats, original=tuple(sols))

@@ -1,0 +1,113 @@
+"""Homotopy continuation + SCC driver tests (reference: ~40
+homotopy/arclength behavior tests in test/Core + SCCNonlinearSolve tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinearsolve_tpu as nls
+
+
+def H_cubic(u, p, lam):
+    return lam * (u ** 3 + 2.0 * u - p) + (1 - lam) * (u - 0.5)
+
+
+ALGS = [nls.HomotopySweep(), nls.KantorovichHomotopy(),
+        nls.ArcLengthContinuation(), nls.HomotopyPolyAlgorithm(), None]
+IDS = ["sweep", "kantorovich", "arclength", "polyalg", "default"]
+
+
+@pytest.mark.parametrize("alg", ALGS, ids=IDS)
+def test_homotopy_cubic(alg):
+    prob = nls.HomotopyProblem(H_cubic, jnp.array([0.0]), jnp.array(3.0),
+                               lambdaspan=(0.0, 1.0))
+    sol = nls.solve(prob, alg)
+    assert bool(sol.success), int(sol.retcode)
+    np.testing.assert_allclose(float(sol.u[0]), 1.0, atol=1e-8)
+
+
+def test_homotopy_multidim():
+    def H(u, p, lam):
+        target = jnp.array([u[0] ** 2 + u[1] ** 2 - 2.0,
+                            jnp.exp(u[0] - 1.0) + u[1] ** 3 - 2.0])
+        simple = u - jnp.array([0.8, 0.8])
+        return lam * target + (1 - lam) * simple
+
+    prob = nls.HomotopyProblem(H, jnp.array([0.0, 0.0]), None)
+    sol = nls.solve(prob)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), [1.0, 1.0], atol=1e-6)
+
+
+def test_homotopy_zero_width_span():
+    prob = nls.HomotopyProblem(H_cubic, jnp.array([0.4]), jnp.array(3.0),
+                               lambdaspan=(1.0, 1.0))
+    sol = nls.solve(prob, nls.HomotopySweep())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), 1.0, atol=1e-8)
+
+
+def test_homotopy_anchor_failure():
+    def H(u, p, lam):
+        # λ=0 system has no root: u² + 1 = 0
+        return lam * (u - 1.0) + (1 - lam) * (u ** 2 + 1.0)
+
+    prob = nls.HomotopyProblem(H, jnp.array([0.0]), None)
+    sol = nls.solve(prob, nls.HomotopySweep())
+    assert not bool(sol.success)
+
+
+def test_homotopy_fold_polyalg_recovers():
+    """Cubic S-curve whose natural-parameter branch folds; the staged
+    polyalgorithm still lands a valid root at λ=1."""
+
+    def Hf(u, p, lam):
+        return u ** 3 - u - 2.0 * lam + 0.3
+
+    prob = nls.HomotopyProblem(Hf, jnp.array([0.3]), None)
+    sol = nls.solve(prob)
+    assert bool(sol.success)
+    assert abs(float(Hf(sol.u, None, 1.0)[0])) < 1e-8
+
+
+def test_simple_homotopy_sweep():
+    prob = nls.HomotopyProblem(H_cubic, jnp.array([0.0]), jnp.array(3.0))
+    sol = nls.solve(prob, nls.SimpleHomotopySweep())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), 1.0, atol=1e-6)
+
+
+def test_scc_sequential_blocks():
+    """Two nonlinear blocks + one linear block, later blocks consuming
+    earlier solutions via explicitfuns (SCCNonlinearSolve.jl:24-207)."""
+    b1 = nls.NonlinearProblem(lambda u, p: u * u - p, jnp.array([1.0]), 4.0)
+    # block 2's parameter = solution of block 1
+    b2 = nls.NonlinearProblem(lambda u, p: u ** 3 - p, jnp.array([1.0]))
+    # linear block: 2x = u1 + u2
+    lin = nls.LinearSCCBlock(
+        A=lambda p: jnp.array([[2.0]]),
+        b=lambda p: jnp.array([p]))
+
+    def ef2(p, sols):
+        return sols[0].u[0]          # p2 = u1 = 2
+
+    def ef3(p, sols):
+        return sols[0].u[0] + sols[1].u[0]
+
+    prob = nls.SCCNonlinearProblem([b1, b2, lin],
+                                   explicitfuns=[None, ef2, ef3])
+    sol = nls.solve(prob)
+    assert bool(sol.success)
+    u = np.asarray(sol.u)
+    np.testing.assert_allclose(u[0], 2.0, rtol=1e-8)
+    np.testing.assert_allclose(u[1], 2.0 ** (1 / 3), rtol=1e-8)
+    np.testing.assert_allclose(u[2], (2.0 + 2.0 ** (1 / 3)) / 2.0, rtol=1e-8)
+
+
+def test_scc_failure_propagates():
+    b1 = nls.NonlinearProblem(lambda u, p: u * u + 1.0, jnp.array([1.0]))
+    b2 = nls.NonlinearProblem(lambda u, p: u - 1.0, jnp.array([0.0]))
+    prob = nls.SCCNonlinearProblem([b1, b2])
+    sol = nls.solve(prob, nls.NewtonRaphson(), maxiters=50)
+    assert not bool(sol.success)
