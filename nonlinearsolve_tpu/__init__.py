@@ -43,3 +43,8 @@ from .solvers.scc import LinearSCCBlock
 from .solvers.first_order import EisenstatWalkerForcing
 from .core.conditioning import PostconditionSpecifier
 from .core.autodiff import JacobianPolicy
+from .core.cache import NonlinearSolveCache, init
+from .core.tracing import (TraceAll, TraceConfig, TraceMinimal,
+                           TraceWithJacobianConditionNumber)
+from .solvers.wrappers import (CMINPACK, KINSOL, PETScSNES, SciPyLeastSquares,
+                               SciPyRoot, SciPyRootScalar)

@@ -1,0 +1,216 @@
+"""Iterator interface — init / step / solve / reinit.
+
+Port of the reference's cache/iterator protocol
+(/root/reference/lib/NonlinearSolveBase/src/solve.jl:229-311, 783-822 and
+``InternalAPI.reinit!`` via @internal_caches, abstract_types.jl:690-729):
+
+    cache = init(prob, alg)
+    cache.step()              # one iteration (CommonSolve.step!)
+    sol = cache.solve()       # run to completion from the current state
+    cache.reinit(u0=..., p=...)   # warm-reset for the next solve
+
+This is how ODE integrators and the continuation drivers consume nonlinear
+solvers.  The TPU design keeps TWO jitted executables per (prob.f, alg):
+one single-step and one run-to-completion, both operating on the same carry
+pytree, so stepping and solving share compilation and the carry round-trips
+without host copies.  In-memory resumability is first-class (SURVEY §5.4):
+the carry is a pytree → checkpointable with orbax as-is.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..utils.norms import get_tolerance
+from .descent import DescentCtx
+from .jacobian import JacobianSpec
+from .returncode import ReturnCode
+from .solution import NonlinearSolution
+from .termination import default_termination_mode
+
+
+def _build_ctx_and_engine(plan, u0, p):
+    """Shared trace-time setup: returns (engine_fns, ctx, unravels)."""
+    f, alg, term_cfg = plan
+    u0_flat, unravel_u = ravel_pytree(u0)
+    fu0_flat, unravel_fu = ravel_pytree(f(u0, p))
+
+    def f_flat(u_vec):
+        out, _ = ravel_pytree(f(unravel_u(u_vec), p))
+        return out
+
+    ctx = DescentCtx(f_flat=f_flat, n_in=int(u0_flat.size),
+                     n_out=int(fu0_flat.size), is_least_squares=False)
+    return ctx, u0_flat, unravel_u, unravel_fu
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_init(plan, u0, p, reltol):
+    from ..solvers.first_order import (GeneralizedFirstOrderAlgorithm,
+                                       init_first_order)
+    from ..solvers.quasi_newton import QuasiNewtonAlgorithm, init_quasi_newton
+    from ..core.jacobian import construct_jacobian
+    f, alg, term_cfg = plan
+    ctx, u0_flat, _, _ = _build_ctx_and_engine(plan, u0, p)
+    if isinstance(alg, GeneralizedFirstOrderAlgorithm):
+        return init_first_order(alg, ctx, term_cfg, u0_flat, reltol)
+    if isinstance(alg, QuasiNewtonAlgorithm):
+        jac_fn, _ = construct_jacobian(alg.jacobian, None, ctx, None)
+        return init_quasi_newton(alg, ctx, term_cfg, jac_fn, u0_flat, reltol)
+    raise ValueError(
+        f"iterator interface supports first-order and quasi-Newton "
+        f"algorithms, got {alg!r}")
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_step(plan, carry, p, u0_proto, abstol, reltol):
+    from ..solvers.first_order import (GeneralizedFirstOrderAlgorithm,
+                                       step_first_order)
+    from ..solvers.quasi_newton import QuasiNewtonAlgorithm, step_quasi_newton
+    from ..core.jacobian import construct_jacobian
+    f, alg, term_cfg = plan
+    ctx, _, _, _ = _build_ctx_and_engine(plan, u0_proto, p)
+    if isinstance(alg, GeneralizedFirstOrderAlgorithm):
+        jac_fn, _ = construct_jacobian(alg.jacobian, alg.get_linsolve(), ctx,
+                                       None, alg.concrete_jac)
+        return step_first_order(alg, ctx, term_cfg, jac_fn, carry, abstol,
+                                reltol)
+    jac_fn, _ = construct_jacobian(alg.jacobian, None, ctx, None)
+    return step_quasi_newton(alg, ctx, term_cfg, jac_fn, carry, abstol,
+                             reltol)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_solve_from(plan, carry, p, u0_proto, abstol, reltol, maxiters):
+    """Run to completion from an existing carry (CommonSolve.solve!)."""
+    from ..core import termination as trm
+    f, alg, term_cfg = plan
+
+    def cond(c):
+        return (~c.force_stop) & (c.nsteps < maxiters)
+
+    def body(c):
+        return _step_body(plan, c, p, u0_proto, abstol, reltol)
+
+    final = jax.lax.while_loop(cond, body, carry)
+    retcode = jnp.where(
+        final.retcode == ReturnCode.Default,
+        jnp.where(final.nsteps >= maxiters, jnp.int32(ReturnCode.MaxIters),
+                  jnp.int32(ReturnCode.Success)),
+        final.retcode)
+    ctx, _, _, _ = _build_ctx_and_engine(plan, u0_proto, p)
+    u_final = trm.termination_result(term_cfg, final.term, final.u)
+    fu_final = ctx.f_flat(u_final) if term_cfg.keeps_best else final.fu
+    return final.replace(u=u_final, fu=fu_final, retcode=retcode)
+
+
+def _step_body(plan, carry, p, u0_proto, abstol, reltol):
+    from ..solvers.first_order import (GeneralizedFirstOrderAlgorithm,
+                                       step_first_order)
+    from ..solvers.quasi_newton import step_quasi_newton
+    from ..core.jacobian import construct_jacobian
+    f, alg, term_cfg = plan
+    ctx, _, _, _ = _build_ctx_and_engine(plan, u0_proto, p)
+    if isinstance(alg, GeneralizedFirstOrderAlgorithm):
+        jac_fn, _ = construct_jacobian(alg.jacobian, alg.get_linsolve(), ctx,
+                                       None, alg.concrete_jac)
+        return step_first_order(alg, ctx, term_cfg, jac_fn, carry, abstol,
+                                reltol)
+    jac_fn, _ = construct_jacobian(alg.jacobian, None, ctx, None)
+    return step_quasi_newton(alg, ctx, term_cfg, jac_fn, carry, abstol,
+                             reltol)
+
+
+class NonlinearSolveCache:
+    """Stateful handle over the functional carry (the reference's
+    AbstractNonlinearSolveCache role)."""
+
+    def __init__(self, prob, alg, *, abstol=None, reltol=None, maxiters=1000,
+                 termination_condition=None):
+        from .problems import NonlinearProblem
+        self.prob = prob
+        self.alg = alg
+        u0_flat, unravel_u = ravel_pytree(prob.u0)
+        self._unravel_u = unravel_u
+        self._dtype = u0_flat.dtype
+        self.abstol = jnp.asarray(get_tolerance(abstol, self._dtype),
+                                  self._dtype)
+        self.reltol = jnp.asarray(get_tolerance(reltol, self._dtype),
+                                  self._dtype)
+        self.maxiters = jnp.int32(maxiters)
+        if termination_condition is None:
+            termination_condition = default_termination_mode(
+                prob.is_least_squares)
+        self._plan = (prob.f, alg, termination_condition)
+        self.p = prob.p
+        self.carry = _jit_init(self._plan, prob.u0, prob.p, self.reltol)
+
+    # -- accessors (get_u / get_fu / get_nsteps, abstract_types.jl:366-463)
+    @property
+    def u(self):
+        return self._unravel_u(self.carry.u)
+
+    @property
+    def fu(self):
+        return self.carry.fu
+
+    @property
+    def nsteps(self) -> int:
+        return int(self.carry.nsteps)
+
+    @property
+    def retcode(self):
+        return self.carry.retcode
+
+    @property
+    def stats(self):
+        return self.carry.stats
+
+    def step(self, n: int = 1):
+        """Advance ``n`` iterations (CommonSolve.step!, solve.jl:799-822)."""
+        for _ in range(n):
+            self.carry = _jit_step(self._plan, self.carry, self.p,
+                                   self.prob.u0, self.abstol, self.reltol)
+        return self
+
+    def solve(self) -> NonlinearSolution:
+        """Run to completion from the current state (CommonSolve.solve!)."""
+        self.carry = _jit_solve_from(self._plan, self.carry, self.p,
+                                     self.prob.u0, self.abstol, self.reltol,
+                                     self.maxiters)
+        _, unravel_fu = ravel_pytree(self.prob.f(self.prob.u0, self.p))
+        return NonlinearSolution(
+            u=self._unravel_u(self.carry.u), resid=unravel_fu(self.carry.fu),
+            retcode=self.carry.retcode, stats=self.carry.stats)
+
+    def reinit(self, u0=None, *, p=None, abstol=None, reltol=None,
+               maxiters=None):
+        """Warm-reset for the next solve (SciMLBase.reinit! /
+        InternalAPI.reinit!): rebuilds the carry at the new (u0, p), keeping
+        the compiled executables."""
+        if u0 is not None:
+            self.prob = self.prob.remake(u0=u0)
+        if p is not None:
+            self.p = p
+            self.prob = self.prob.remake(p=p)
+        if abstol is not None:
+            self.abstol = jnp.asarray(abstol, self._dtype)
+        if reltol is not None:
+            self.reltol = jnp.asarray(reltol, self._dtype)
+        if maxiters is not None:
+            self.maxiters = jnp.int32(maxiters)
+        self.carry = _jit_init(self._plan, self.prob.u0, self.p, self.reltol)
+        return self
+
+
+def init(prob, alg=None, **kwargs) -> NonlinearSolveCache:
+    """Build an iterable solver cache (CommonSolve.init)."""
+    if alg is None:
+        from ..solvers.first_order import NewtonRaphson
+        alg = NewtonRaphson()
+    return NonlinearSolveCache(prob, alg, **kwargs)

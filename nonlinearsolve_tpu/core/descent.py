@@ -44,6 +44,8 @@ class DescentCtx:
     # Iterate corrector H(u_proposed, u_prev) -> u, applied at every commit
     # point (the reference's `postcondition` option, conditioning.jl:46-66).
     postcondition: Callable = None
+    # Iteration tracing config (core.tracing.TraceConfig) or None.
+    trace: Any = None
 
     @property
     def square(self) -> bool:

@@ -45,6 +45,7 @@ class SolveCarry:
     fu: Any
     retcode: Any
     stats: Any
+    trace_state: Any = None
 
 
 def _default_algorithm(prob):
@@ -65,6 +66,9 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
     merged = {**prob.kwargs, **kwargs}
 
     if isinstance(prob, IntervalNonlinearProblem):
+        from ..solvers.wrappers import SciPyRootScalar, solve_wrapper
+        if isinstance(alg, SciPyRootScalar):
+            return solve_wrapper(prob, alg, **merged)
         from ..solvers.bracketing import solve_bracketing
         return solve_bracketing(prob, alg, **merged)
     if isinstance(prob, HomotopyProblem):
@@ -74,6 +78,10 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
         from ..solvers.scc import solve_scc
         return solve_scc(prob, alg, **merged)
 
+    from ..solvers.wrappers import is_wrapper_alg, solve_wrapper
+    if is_wrapper_alg(alg):
+        return solve_wrapper(prob, alg, **merged)
+
     if alg is None:
         alg = _default_algorithm(prob)
     return solve_nonlinear(prob, alg, **merged)
@@ -81,7 +89,8 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
 
 def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
                     termination_condition=None, precondition=None,
-                    postcondition=None, **_ignored) -> NonlinearSolution:
+                    postcondition=None, show_trace=False, store_trace=False,
+                    trace_level=None, **_ignored) -> NonlinearSolution:
     u0_flat, _ = ravel_pytree(prob.u0)
     dtype = u0_flat.dtype
     abstol_v = jnp.asarray(get_tolerance(abstol, dtype), dtype)
@@ -109,8 +118,16 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
     else:
         p_eff = prob.p
 
+    trace_cfg = None
+    if show_trace or store_trace or trace_level is not None:
+        from .tracing import TraceConfig
+        trace_cfg = (trace_level if isinstance(trace_level, TraceConfig)
+                     else TraceConfig(level=trace_level or "minimal"))
+        trace_cfg = trace_cfg.replace(show=bool(show_trace),
+                                      store=bool(store_trace))
+
     plan = (f, alg, termination_condition, is_lsq, sparse_plan,
-            precondition, postcondition, has_bounds)
+            precondition, postcondition, has_bounds, trace_cfg)
     lb, ub = (prob.lb, prob.ub) if has_bounds else (None, None)
     return _jitted_solve(plan, prob.u0, p_eff, lb, ub, abstol_v, reltol_v,
                          jnp.int32(maxiters))
@@ -159,7 +176,7 @@ def _jitted_solve(plan, u0, p, lb, ub, abstol, reltol, maxiters):
 def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
                 maxiters) -> NonlinearSolution:
     f, alg, term_cfg, is_lsq, sparse_plan, precondition, postcondition, \
-        has_bounds = plan
+        has_bounds, trace_cfg = plan
     u0_flat_raw, unravel_u = ravel_pytree(u0)
     fu0_tree = f(u0, p)
     fu0_flat, unravel_fu = ravel_pytree(fu0_tree)
@@ -235,6 +252,7 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
     ctx = DescentCtx(
         f_flat=f_flat, n_in=int(u0_flat.size), n_out=int(fu0_flat.size),
         is_least_squares=bool(is_lsq), postcondition=post_flat,
+        trace=trace_cfg,
     )
 
     from .jacobian import JacobianSpec
@@ -268,14 +286,17 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
                               aux_["abstol"], aux_["reltol"],
                               aux_["maxiters"])
         return SolveCarry(u=carry.u, fu=carry.fu, retcode=carry.retcode,
-                          stats=carry.stats)
+                          stats=carry.stats,
+                          trace_state=getattr(carry, "trace_state", None))
 
     root = differentiable_root(make_f_flat, run_solver)
     carry = root(u0_flat, p, aux)
 
     u_final_flat = back_transform(carry.u) if back_transform is not None \
         else carry.u
+    from .tracing import finalize_trace
     return NonlinearSolution(
         u=unravel_u(u_final_flat), resid=unravel_fu(carry.fu),
         retcode=carry.retcode, stats=carry.stats,
+        trace=finalize_trace(trace_cfg, carry.trace_state),
     )

@@ -211,6 +211,7 @@ class FOCarry:
     tr_state: Any
     ls_state: Any
     forcing_state: Any
+    trace_state: Any = None
 
 
 def init_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
@@ -232,6 +233,8 @@ def init_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
             rnorm=rn, rnorm_prev=rn)
     else:
         forcing_state = None
+    from ..core.tracing import init_trace
+    trace_state = init_trace(ctx.trace, u0_flat, u0_flat.dtype)
     return FOCarry(
         u=u0_flat, u_prev=u0_flat, fu=fu0, du=jnp.zeros_like(u0_flat),
         nsteps=jnp.int32(0), force_stop=jnp.bool_(False),
@@ -239,6 +242,7 @@ def init_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
         stats=NLStats.zeros().incr(nf=1),
         term=term, descent_state=descent_state, tr_state=tr_state,
         ls_state=ls_state, forcing_state=forcing_state,
+        trace_state=trace_state,
     )
 
 
@@ -359,12 +363,17 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
             eta=forcing_state.eta, rnorm=l2_norm(fu_new),
             rnorm_prev=forcing_state.rnorm)
 
+    from ..core.tracing import record_trace
+    trace_state = record_trace(ctx.trace, carry.trace_state,
+                               carry.nsteps + 1, fu_new, du, J, u_new)
+
     return FOCarry(
         u=u_new, u_prev=u, fu=fu_new, du=du, nsteps=carry.nsteps + 1,
         force_stop=carry.force_stop | force_stop,
         retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
         stats=stats, term=term, descent_state=descent_state,
         tr_state=tr_state, ls_state=ls_state, forcing_state=forcing_state,
+        trace_state=trace_state,
     )
 
 

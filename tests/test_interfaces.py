@@ -1,0 +1,117 @@
+"""Iterator interface, tracing, verbosity, wrapper conformance tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinearsolve_tpu as nls
+
+
+def quadratic(u, p):
+    return u * u - p
+
+
+def test_iterator_step_solve():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    cache = nls.init(prob, nls.NewtonRaphson())
+    cache.step()
+    assert cache.nsteps == 1
+    np.testing.assert_allclose(np.asarray(cache.u), 1.5)
+    sol = cache.solve()
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-10)
+
+
+def test_iterator_warm_restart_sweep():
+    """nlprob_iterator_interface analogue
+    (common/common_rootfind_testing.jl:46-57)."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0]), 2.0)
+    cache = nls.init(prob, nls.NewtonRaphson())
+    roots = []
+    for pval in [1.0, 2.0, 3.0, 4.0]:
+        cache.reinit(p=jnp.asarray(pval))
+        roots.append(float(cache.solve().u[0]))
+    np.testing.assert_allclose(roots, np.sqrt([1.0, 2.0, 3.0, 4.0]),
+                               rtol=1e-10)
+
+
+def test_iterator_quasi_newton():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    cache = nls.init(prob, nls.Broyden())
+    sol = cache.solve()
+    assert bool(sol.success)
+
+
+def test_store_trace():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(), store_trace=True)
+    assert sol.trace is not None
+    n = int(sol.trace.n)
+    assert n == int(sol.stats.nsteps)
+    fnorms = np.asarray(sol.trace.fnorm[:n])
+    assert np.all(np.diff(fnorms) < 0)      # Newton: strictly decreasing
+
+
+def test_trace_condition_level():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 2.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(), store_trace=True,
+                    trace_level="condition")
+    n = int(sol.trace.n)
+    assert sol.trace.condJ is not None
+    assert np.all(np.asarray(sol.trace.condJ[:n]) >= 1.0)
+
+
+def test_trace_all_level_stores_iterates():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(), store_trace=True,
+                    trace_level="all")
+    n = int(sol.trace.n)
+    np.testing.assert_allclose(np.asarray(sol.trace.u_history[n - 1]),
+                               np.sqrt(2.0), rtol=1e-6)
+
+
+def test_verbosity_toggles():
+    from nonlinearsolve_tpu.core.verbosity import NonlinearVerbosity
+    v = NonlinearVerbosity("standard")
+    assert v.enabled("non_enclosing_interval")
+    assert not v.enabled("forcing")
+    v2 = NonlinearVerbosity("none", forcing=True)
+    assert v2.enabled("forcing")
+    assert not v2.enabled("termination_condition")
+    with pytest.raises(ValueError):
+        NonlinearVerbosity("bogus")
+
+
+@pytest.mark.parametrize("alg", [nls.SciPyRoot(method="hybr"),
+                                 nls.SciPyRoot(method="lm"),
+                                 nls.SciPyRoot(method="df-sane")],
+                         ids=["hybr", "lm", "df-sane"])
+def test_scipy_root_conformance(alg):
+    """Wrapper conformance: identical roots through the extension wrapper
+    (test/Wrappers analogue)."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, alg)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-6)
+
+
+def test_scipy_least_squares():
+    ts = jnp.linspace(0, 1, 8)
+    data = 2.0 * jnp.exp(-1.5 * ts)
+    prob = nls.NonlinearLeastSquaresProblem(
+        lambda u, p: u[0] * jnp.exp(u[1] * ts) - data, jnp.array([1.0, -1.0]))
+    sol = nls.solve(prob, nls.SciPyLeastSquares())
+    np.testing.assert_allclose(np.asarray(sol.u), [2.0, -1.5], rtol=1e-6)
+
+
+def test_scipy_root_scalar():
+    prob = nls.IntervalNonlinearProblem(lambda u, p: u * u - 2.0, (1.0, 2.0))
+    sol = nls.solve(prob, nls.SciPyRootScalar())
+    np.testing.assert_allclose(float(sol.u), np.sqrt(2.0), rtol=1e-10)
+
+
+def test_unavailable_wrappers_raise():
+    for ctor in [nls.PETScSNES, nls.KINSOL, nls.CMINPACK]:
+        with pytest.raises(NotImplementedError, match="Native TPU"):
+            ctor()
