@@ -1,0 +1,165 @@
+"""Loader for the native sparsetools library (csrc/sparsetools.cpp).
+
+Compiles the C++ toolkit on first use into a cached shared object and binds
+it via ctypes (no pybind11 in-image — see csrc/ for why these passes are
+native).  Falls back to pure-Python implementations when the toolchain is
+unavailable, so the package never hard-fails.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "csrc", "sparsetools.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "csrc", "build")
+_SO_PATH = os.path.join(_BUILD_DIR, "libsparsetools.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _compile() -> Optional[str]:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if (os.path.exists(_SO_PATH)
+            and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC)):
+        return _SO_PATH
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO_PATH
+    except Exception as e:  # noqa: BLE001
+        print(f"[nonlinearsolve_tpu] native sparsetools build failed "
+              f"({e}); using Python fallbacks", file=sys.stderr)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _compile()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.greedy_column_coloring.restype = ctypes.c_int32
+        lib.greedy_column_coloring.argtypes = [
+            i32p, i32p, ctypes.c_int32, ctypes.c_int32, i32p]
+        lib.rcm_ordering.restype = ctypes.c_int32
+        lib.rcm_ordering.argtypes = [i32p, i32p, ctypes.c_int32, i32p]
+        lib.ell_plan.restype = ctypes.c_int32
+        lib.ell_plan.argtypes = [i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+                                 i32p, i64p, i8p]
+        lib.band_offsets.restype = ctypes.c_int32
+        lib.band_offsets.argtypes = [i32p, i32p, ctypes.c_int32, i32p,
+                                     ctypes.c_int32]
+        lib.bandwidths.restype = ctypes.c_int32
+        lib.bandwidths.argtypes = [i32p, i32p, ctypes.c_int32]
+        _lib = lib
+        return _lib
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, np.int32)
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def greedy_column_coloring(indptr, indices, n_rows, n_cols
+                           ) -> Optional[np.ndarray]:
+    """Native distance-2 coloring; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    colors = np.empty(n_cols, np.int32)
+    n = lib.greedy_column_coloring(
+        _ptr(indptr, ctypes.c_int32), _ptr(indices, ctypes.c_int32),
+        np.int32(n_rows), np.int32(n_cols), _ptr(colors, ctypes.c_int32))
+    if n < 0:
+        return None
+    return colors
+
+
+def rcm_ordering(indptr, indices, n) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    perm = np.empty(n, np.int32)
+    rc = lib.rcm_ordering(_ptr(indptr, ctypes.c_int32),
+                          _ptr(indices, ctypes.c_int32), np.int32(n),
+                          _ptr(perm, ctypes.c_int32))
+    return perm if rc == 0 else None
+
+
+def ell_plan(indptr, indices, n_rows):
+    """Returns (width, cols, perm, valid) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    null_i32 = ctypes.POINTER(ctypes.c_int32)()
+    null_i64 = ctypes.POINTER(ctypes.c_int64)()
+    null_i8 = ctypes.POINTER(ctypes.c_int8)()
+    width = lib.ell_plan(_ptr(indptr, ctypes.c_int32),
+                         _ptr(indices, ctypes.c_int32), np.int32(n_rows),
+                         np.int32(0), null_i32, null_i64, null_i8)
+    if width < 0:
+        return None
+    cols = np.zeros((n_rows, width), np.int32)
+    perm = np.zeros((n_rows, width), np.int64)
+    valid = np.zeros((n_rows, width), np.int8)
+    rc = lib.ell_plan(_ptr(indptr, ctypes.c_int32),
+                      _ptr(indices, ctypes.c_int32), np.int32(n_rows),
+                      np.int32(width), _ptr(cols, ctypes.c_int32),
+                      _ptr(perm, ctypes.c_int64), _ptr(valid, ctypes.c_int8))
+    if rc < 0:
+        return None
+    return width, cols, perm, valid.astype(bool)
+
+
+def band_offsets(indptr, indices, n, cap=4096) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    out = np.empty(cap, np.int32)
+    count = lib.band_offsets(_ptr(indptr, ctypes.c_int32),
+                             _ptr(indices, ctypes.c_int32), np.int32(n),
+                             _ptr(out, ctypes.c_int32), np.int32(cap))
+    if count < 0:
+        return None
+    return out[:count].copy()
+
+
+def bandwidths(indptr, indices, n):
+    """(kl, ku) of a square pattern, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    packed = lib.bandwidths(_ptr(indptr, ctypes.c_int32),
+                            _ptr(indices, ctypes.c_int32), np.int32(n))
+    return packed >> 16, packed & 0xFFFF

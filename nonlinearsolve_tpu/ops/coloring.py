@@ -55,8 +55,16 @@ def pattern_from(obj, n_out: int, n_in: int) -> CSR:
 
 def greedy_column_coloring(pattern: CSR) -> np.ndarray:
     """Greedy distance-2 column coloring: columns j, k conflict iff some row
-    contains both.  Returns an int array color[j] ∈ [0, n_colors)."""
+    contains both.  Returns an int array color[j] ∈ [0, n_colors).
+
+    Uses the native sparsetools library (csrc/sparsetools.cpp) when
+    available — the pure-Python path below is the fallback and the
+    executable specification."""
     n_rows, n_cols = pattern.shape
+    from ..native import greedy_column_coloring as native_coloring
+    native = native_coloring(pattern.indptr, pattern.indices, n_rows, n_cols)
+    if native is not None:
+        return native
     indptr, indices = pattern.indptr, pattern.indices
     # column -> rows adjacency
     rows_of_col = [[] for _ in range(n_cols)]

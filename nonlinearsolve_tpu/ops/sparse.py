@@ -106,6 +106,15 @@ class CSR:
         return out.at[row_ids[is_diag]].add(self.data[np.nonzero(is_diag)[0]])
 
     def to_ell(self):
+        from ..native import ell_plan
+        plan = ell_plan(self.indptr, self.indices, self.shape[0])
+        if plan is not None:
+            width, cols, perm, valid = plan
+            import jax.numpy as _jnp
+            data = _jnp.where(_jnp.asarray(valid),
+                              self.data[_jnp.asarray(perm.reshape(-1))]
+                              .reshape(self.shape[0], width), 0.0)
+            return ELL(data, cols, valid, self.shape)
         counts = np.diff(self.indptr)
         width = int(counts.max()) if counts.size else 0
         n = self.shape[0]
