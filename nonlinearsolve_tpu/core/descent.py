@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.linear_solve import LinearSolver, solve_dense, solve_spd
 from ..ops.operators import StatefulJacobianOperator, mv, rmv
-from ..utils.norms import l2_norm
+from ..utils.norms import l2_norm, tree_dot
 from ..utils.pytree import pytree_dataclass, static_config
 from . import damping as dmp
 
@@ -225,12 +225,15 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         # with the Pallas factorization kernels).  Cheap at bench config 3
         # scale; Krylov is the intended large-N path.
         J = J.todense()
+    fu_flat = jnp.ravel(fu)
     if ctx.square:
-        x, ok = solve_dense(J, fu, cfg.linsolve)
+        x, ok = solve_dense(J, fu_flat, cfg.linsolve)
     else:
-        x, _, _, _ = jnp.linalg.lstsq(J, fu, rcond=None)
+        x, _, _, _ = jnp.linalg.lstsq(J, fu_flat, rcond=None)
         ok = jnp.all(jnp.isfinite(x))
     du = -x
+    if u is not None and jnp.ndim(u) != 1:
+        du = du.reshape(jnp.shape(u))
     return du, ok
 
 
@@ -303,9 +306,13 @@ def descent_solve(cfg, state, ctx: DescentCtx, J, fu, u, trust_region=None,
         from ..ops.sparse import CSR, DIA, ELL
         if isinstance(J, (CSR, DIA, ELL)):
             J = J.todense()
-        D, state, mode = _damped_system(cfg, state, ctx, J, fu,
+        shaped = jnp.ndim(u) != 1
+        fu_l, u_l = (jnp.ravel(fu), jnp.ravel(u)) if shaped else (fu, u)
+        D, state, mode = _damped_system(cfg, state, ctx, J, fu_l,
                                         recompute_damping)
-        du, ok, duJtJdu = _damped_solve(cfg, mode, J, fu, D)
+        du, ok, duJtJdu = _damped_solve(cfg, mode, J, fu_l, D)
+        if shaped:
+            du = du.reshape(jnp.shape(u))
         return DescentResult(du=du, success=ok, linsolve_success=ok,
                              duJtJdu=(jnp.asarray(jnp.nan, du.dtype)
                                       if duJtJdu is None else duJtJdu)), state
@@ -330,7 +337,7 @@ def _dogleg_solve(cfg: Dogleg, state, ctx: DescentCtx, J, fu, u, trust_region):
     du_cauchy = -rmv(J, fu)
     l_grad = l2_norm(du_cauchy)
     J_dc = mv(J, du_cauchy)
-    duJtJdu = jnp.dot(J_dc, J_dc)
+    duJtJdu = tree_dot(J_dc, J_dc)
     d_cauchy = (l_grad ** 3) / duJtJdu
 
     # Branch 1: Newton inside the trust region.
@@ -343,8 +350,8 @@ def _dogleg_solve(cfg: Dogleg, state, ctx: DescentCtx, J, fu, u, trust_region):
     # Branch 3: dogleg interpolation between Cauchy point and Newton step.
     du1 = (d_cauchy / l_grad) * du_cauchy
     du2 = du_newton - du1
-    a = jnp.dot(du2, du2)
-    b = 2.0 * jnp.dot(du1, du2)
+    a = tree_dot(du2, du2)
+    b = 2.0 * tree_dot(du1, du2)
     c = d_cauchy ** 2 - trust_region ** 2
     aux = jnp.maximum(0.0, b * b - 4.0 * a * c)
     tau = (-b + jnp.sqrt(aux)) / (2.0 * a)

@@ -89,4 +89,13 @@ def construct_jacobian(policy: JacobianPolicy, linsolve, ctx,
 
     jac_fn = construct_dense_jacobian_fn(ctx.f_flat, policy, ctx.n_in,
                                          ctx.n_out, spec.analytic)
-    return jac_fn, "dense"
+
+    # Shaped mode: jacfwd of a multi-dim residual yields an
+    # (out_shape + in_shape) tensor; the linear-algebra layer wants 2D.
+    def jac_2d(u):
+        J = jac_fn(u)
+        if J.ndim != 2:
+            return J.reshape(ctx.n_out, ctx.n_in)
+        return J
+
+    return jac_2d, "dense"

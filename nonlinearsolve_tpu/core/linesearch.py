@@ -27,7 +27,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.norms import l2_norm
+from ..utils.norms import l2_norm, tree_dot
 from ..utils.pytree import pytree_dataclass, static_config
 from .descent import DescentCtx
 
@@ -88,7 +88,7 @@ def ls_init(cfg, ctx: DescentCtx, fu, u):
 
 
 def _merit(fu):
-    return 0.5 * jnp.dot(fu, fu)
+    return 0.5 * tree_dot(fu, fu)
 
 
 def ls_solve(cfg, state, ctx: DescentCtx, u, du, fu, J, nsteps) -> LSResult:
@@ -102,12 +102,13 @@ def ls_solve(cfg, state, ctx: DescentCtx, u, du, fu, J, nsteps) -> LSResult:
 
 
 def _backtracking(cfg: BackTracking, ctx: DescentCtx, u, du, fu, J) -> LSResult:
+    from ..ops.operators import mv
     phi0 = _merit(fu)
     if J is not None:
-        slope = jnp.dot(fu, J @ du)
+        slope = tree_dot(fu, mv(J, du))
     else:
         _, jvp_val = jax.jvp(ctx.f_flat, (u,), (du,))
-        slope = jnp.dot(fu, jvp_val)
+        slope = tree_dot(fu, jvp_val)
     dtype = u.dtype
     alpha0 = jnp.asarray(cfg.initial_alpha, dtype)
 
@@ -146,7 +147,7 @@ def _li_fukushima(cfg: LiFukushimaLineSearch, state, ctx: DescentCtx, u, du,
                   fu) -> LSResult:
     dtype = u.dtype
     fu_norm = l2_norm(fu)
-    d_norm2 = jnp.dot(du, du)
+    d_norm2 = tree_dot(du, du)
 
     # NaN guard: shrink λ until f(u + λ d) is finite (nan_maxiters rounds).
     def nan_cond(carry):

@@ -36,11 +36,13 @@ def _zero_tangent(x):
 
 
 def _ift_linear_solve(f_flat_fixed_p: Callable, u_star, b):
-    """Solve ``J_u x = b`` at the root.  Transposable."""
-    n = u_star.shape[0]
+    """Solve ``J_u x = b`` at the root.  Transposable; shape-agnostic
+    (the iterate may be a multi-dimensional array in shaped mode)."""
+    n = int(u_star.size)
     if n <= _DENSE_IFT_LIMIT:
         J = jax.jacfwd(f_flat_fixed_p)(u_star)
-        return jnp.linalg.solve(J, b)
+        x = jnp.linalg.solve(J.reshape(n, n), jnp.ravel(b))
+        return x.reshape(u_star.shape)
 
     from ..ops.krylov import gmres
 

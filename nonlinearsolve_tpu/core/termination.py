@@ -19,7 +19,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.norms import apply_norm, get_norm, l2_norm
+from ..utils.norms import apply_norm, get_norm, l2_norm, tree_size
 from ..utils.pytree import pytree_dataclass, static_config
 from .returncode import ReturnCode
 
@@ -124,18 +124,11 @@ class TermState:
     step_norm_trace: Any         # (max_stalled_steps,) ring (None if disabled)
 
 
-def _flat(u):
-    leaves = jax.tree_util.tree_leaves(u)
-    if len(leaves) == 1 and jnp.ndim(leaves[0]) <= 1:
-        return jnp.ravel(jnp.asarray(leaves[0]))
-    return jnp.concatenate([jnp.ravel(jnp.asarray(l)) for l in leaves])
-
-
 def _objective(cfg: TerminationCondition, fu, u, reltol):
-    nrm = apply_norm(cfg.norm, _flat(fu))
+    nrm = apply_norm(cfg.norm, fu)
     if cfg.mode in REL_NORM_MODES:
         eps = jnp.asarray(jnp.finfo(jnp.asarray(reltol).dtype).eps, nrm.dtype)
-        return nrm / (apply_norm(cfg.norm, _flat(fu), _flat(u)) + eps)
+        return nrm / (apply_norm(cfg.norm, fu, u) + eps)
     return nrm
 
 
@@ -149,7 +142,7 @@ def init_termination(cfg: TerminationCondition, fu, u, reltol) -> TermState:
         best = initial_objective
         objectives_trace = jnp.zeros((cfg.patience_steps,), dtype)
         if cfg.mode in REL_NORM_MODES and cfg.max_stalled_steps is not None:
-            u0_norm = l2_norm(_flat(u))
+            u0_norm = l2_norm(u)
         else:
             u0_norm = None
         if cfg.max_stalled_steps is not None:
@@ -171,20 +164,31 @@ def init_termination(cfg: TerminationCondition, fu, u, reltol) -> TermState:
     )
 
 
+def _tree_all(pred_tree):
+    flags = [jnp.all(l) for l in jax.tree_util.tree_leaves(pred_tree)]
+    out = flags[0]
+    for fl in flags[1:]:
+        out = out & fl
+    return out
+
+
 def _check_convergence_plain(cfg, fu, u, abstol, reltol):
     """check_convergence for the non-safe modes
-    (termination_conditions.jl:292-325)."""
-    fuf, uf = _flat(fu), _flat(u)
+    (termination_conditions.jl:292-325); pytree-native, no flattening."""
     if cfg.mode == "rel":
-        return jnp.all(jnp.abs(fuf) <= reltol * jnp.abs(uf + fuf))
+        return _tree_all(jax.tree_util.tree_map(
+            lambda fuf, uf: jnp.abs(fuf) <= reltol * jnp.abs(uf + fuf),
+            fu, u))
     if cfg.mode == "abs":
-        return jnp.all(jnp.abs(fuf) <= abstol)
+        return _tree_all(jax.tree_util.tree_map(
+            lambda fuf: jnp.abs(fuf) <= abstol, fu))
     nrm = get_norm(cfg.norm)
-    fu_norm = nrm(fuf)
+    fu_norm = nrm(fu)
+    fu_plus_u = jax.tree_util.tree_map(lambda a, b: a + b, fu, u)
     if cfg.mode == "norm":
-        return (fu_norm <= abstol) | (fu_norm <= reltol * nrm(fuf + uf))
+        return (fu_norm <= abstol) | (fu_norm <= reltol * nrm(fu_plus_u))
     if cfg.mode == "rel_norm":
-        return fu_norm <= reltol * nrm(fuf + uf)
+        return fu_norm <= reltol * nrm(fu_plus_u)
     if cfg.mode == "abs_norm":
         return fu_norm <= abstol
     raise AssertionError(cfg.mode)
@@ -221,7 +225,7 @@ def check_termination(cfg: TerminationCondition, state: TermState, fu, u, uprev,
 
     # 2. Divergence guard (off by default).
     if cfg.protective_threshold is not None:
-        n = _flat(fu).shape[0]
+        n = tree_size(fu)
         diverged = objective > (state.initial_objective
                                 * cfg.protective_threshold * n)
         diverged = diverged & ~stop
@@ -271,7 +275,8 @@ def check_termination(cfg: TerminationCondition, state: TermState, fu, u, uprev,
     # 6. Step-norm stall detection.
     if state.step_norm_trace is not None:
         live2 = live & ~patience_hit
-        du_norm = l2_norm(_flat(u) - _flat(uprev))
+        du_norm = l2_norm(jax.tree_util.tree_map(
+            lambda a, b: a - b, u, uprev))
         sslot = jnp.mod(nsteps - 1, cfg.max_stalled_steps)
         step_norm_trace = jnp.where(
             live,

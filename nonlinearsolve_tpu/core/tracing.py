@@ -90,7 +90,7 @@ def init_trace(cfg: Optional[TraceConfig], u0_flat, dtype):
         dunorm=jnp.zeros((b,), dtype),
         condJ=(jnp.zeros((b,), dtype) if cfg.level in ("condition", "all")
                else None),
-        u_history=(jnp.zeros((b, u0_flat.shape[0]), dtype)
+        u_history=(jnp.zeros((b, int(u0_flat.size)), dtype)
                    if cfg.level == "all" else None),
     )
 
@@ -118,7 +118,8 @@ def record_trace(cfg: Optional[TraceConfig], state, nsteps, fu, du, J, u):
                                  sv[-1])
         new = new.replace(condJ=state.condJ.at[slot].set(cond))
     if state.u_history is not None:
-        new = new.replace(u_history=state.u_history.at[slot].set(u))
+        new = new.replace(
+            u_history=state.u_history.at[slot].set(jnp.ravel(u)))
     return new
 
 

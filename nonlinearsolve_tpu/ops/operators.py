@@ -113,12 +113,21 @@ def as_matvec(A) -> Callable:
 
 
 def mv(A, v):
-    """``A @ v`` for dense / sparse / operator J."""
+    """``A @ v`` for dense / sparse / operator J.
+
+    Dense/sparse A with a non-1D ``v`` (shape-native iterate) flattens
+    locally and restores the shape — the shaped fast path only avoids
+    relayouts for operator (jvp) J; matrix J pays them at this boundary.
+    """
     from .sparse import CSR, DIA, ELL
     if isinstance(A, (CSR, DIA, ELL)):
+        if jnp.ndim(v) != 1:
+            return A.matvec(jnp.ravel(v)).reshape(jnp.shape(v))
         return A.matvec(v)
     if isinstance(A, StatefulJacobianOperator):
         return A(v)
+    if jnp.ndim(v) != 1:
+        return (A @ jnp.ravel(v)).reshape(jnp.shape(v))
     return A @ v
 
 
@@ -126,6 +135,8 @@ def rmv(A, v):
     """``Aᵀ @ v`` for dense / sparse / operator J."""
     from .sparse import CSR, ELL, DIA
     if isinstance(A, CSR):
+        if jnp.ndim(v) != 1:
+            return A.rmatvec(jnp.ravel(v)).reshape(jnp.shape(v))
         return A.rmatvec(v)
     if isinstance(A, (ELL, DIA)):
         # ELL/DIA transpose matvec via dense fallback is wasteful; DIA has
@@ -146,6 +157,8 @@ def rmv(A, v):
         return A.todense().T @ v
     if isinstance(A, StatefulJacobianOperator):
         return A.rmatvec(v)
+    if jnp.ndim(v) != 1:
+        return (A.T @ jnp.ravel(v)).reshape(jnp.shape(v))
     return A.T @ v
 
 

@@ -44,9 +44,11 @@ class ColoredJacobian:
 
     def __call__(self, f_flat: Callable, u) -> CSR:
         seeds = jnp.asarray(self._seeds, u.dtype)
+        if jnp.ndim(u) != 1:
+            seeds = seeds.reshape((seeds.shape[0],) + jnp.shape(u))
 
         def one_color(seed):
-            return jax.jvp(f_flat, (u,), (seed,))[1]
+            return jnp.ravel(jax.jvp(f_flat, (u,), (seed,))[1])
 
         compressed = jax.vmap(one_color)(seeds)      # (n_colors, n_out)
         data = compressed.reshape(-1)[jnp.asarray(self._gather)]

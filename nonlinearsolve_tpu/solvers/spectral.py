@@ -19,7 +19,7 @@ from ..core import linesearch as lsr
 from ..core import termination as trm
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats
-from ..utils.norms import l2_norm
+from ..utils.norms import l2_norm, tree_dot
 from ..utils.pytree import pytree_dataclass, static_config
 
 
@@ -69,8 +69,9 @@ def _initial_sigma(alg: GeneralizedDFSane, u, fu):
     clamp(1/‖fu‖, 1, 1e5) outside [σ_min, σ_max]."""
     if alg.sigma_1 is not None:
         return jnp.asarray(alg.sigma_1, u.dtype)
-    denom = jnp.dot(u, fu)
-    sigma = jnp.dot(u, u) / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+    denom = tree_dot(u, fu)
+    sigma = tree_dot(u, u) / jnp.where(denom == 0, jnp.ones_like(denom),
+                                       denom)
     fallback = jnp.clip(1.0 / l2_norm(fu), 1.0, 1e5)
     in_bounds = ((alg.sigma_min <= jnp.abs(sigma))
                  & (jnp.abs(sigma) <= alg.sigma_max)
@@ -117,9 +118,9 @@ def run_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat, abstol, reltol,
         # Spectral parameter update (solve.jl:269-287).
         s = u_new - u
         y = fu_new - fu
-        denom = jnp.dot(s, y)
-        sigma = jnp.dot(s, s) / jnp.where(denom == 0, jnp.ones_like(denom),
-                                          denom)
+        denom = tree_dot(s, y)
+        sigma = tree_dot(s, s) / jnp.where(denom == 0, jnp.ones_like(denom),
+                                           denom)
         fallback = jnp.clip(1.0 / l2_norm(fu_new), 1.0, 1e5)
         in_bounds = ((alg.sigma_min <= jnp.abs(sigma))
                      & (jnp.abs(sigma) <= alg.sigma_max)

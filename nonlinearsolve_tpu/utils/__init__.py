@@ -1,5 +1,5 @@
 from .norms import (apply_norm, default_tolerance, get_norm, get_tolerance,
-                    l2_norm, linf_norm, nan_check)
+                    l2_norm, linf_norm, nan_check, tree_dot, tree_size)
 from .pytree import pytree_dataclass, static_config, tree_add, tree_scale
 
 
