@@ -42,6 +42,7 @@ from .solvers.homotopy import (ArcLengthContinuation,
 from .solvers.scc import LinearSCCBlock
 from .solvers.first_order import EisenstatWalkerForcing
 from .core.conditioning import PostconditionSpecifier
+from .solvers.poly_homotopy import PolynomialHomotopy, solve_polynomial
 from .core.autodiff import JacobianPolicy
 from .core.cache import NonlinearSolveCache, init
 from .core.tracing import (TraceAll, TraceConfig, TraceMinimal,

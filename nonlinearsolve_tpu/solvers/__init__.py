@@ -15,3 +15,4 @@ from .homotopy import (ArcLengthContinuation, FastShortcutHomotopyPolyalg,
                        HomotopyPolyAlgorithm, HomotopySweep,
                        KantorovichHomotopy, SimpleHomotopySweep)
 from .scc import LinearSCCBlock, solve_scc
+from .poly_homotopy import PolynomialHomotopy, solve_polynomial

@@ -1,0 +1,87 @@
+"""QA tests — the analogue of the reference's Aqua hygiene suite
+(test/qa/qa.jl): public API surface, jit-cache stability (the
+no-recompile/AutoSpecialize analogue), dtype preservation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinearsolve_tpu as nls
+
+PUBLIC_API = [
+    # problems / results
+    "NonlinearProblem", "NonlinearLeastSquaresProblem",
+    "IntervalNonlinearProblem", "SteadyStateProblem", "HomotopyProblem",
+    "SCCNonlinearProblem", "NonlinearFunction", "NonlinearSolution",
+    "NLStats", "ReturnCode", "solve", "init", "NonlinearSolveCache",
+    # solvers
+    "NewtonRaphson", "GaussNewton", "TrustRegion", "LevenbergMarquardt",
+    "PseudoTransient", "Broyden", "Klement", "DFSane",
+    "SimpleNewtonRaphson", "SimpleBroyden", "SimpleKlement", "SimpleDFSane",
+    "SimpleHalley", "SimpleTrustRegion", "SimpleLimitedMemoryBroyden",
+    "Bisection", "Falsi", "Ridder", "Brent", "ITP", "Alefeld", "Muller",
+    "ModAB",
+    "HomotopySweep", "KantorovichHomotopy", "ArcLengthContinuation",
+    "HomotopyPolyAlgorithm", "FastShortcutHomotopyPolyalg",
+    "SimpleHomotopySweep", "LinearSCCBlock",
+    "NonlinearSolvePolyAlgorithm", "FastShortcutNonlinearPolyalg",
+    "FastShortcutNLLSPolyalg", "RobustMultiNewton",
+    # policies / options
+    "LinearSolver", "JacobianPolicy", "BackTracking",
+    "LiFukushimaLineSearch", "RobustNonMonotoneLineSearch",
+    "EisenstatWalkerForcing", "PostconditionSpecifier",
+    "TraceMinimal", "TraceWithJacobianConditionNumber", "TraceAll",
+    # termination modes
+    "RelTerminationMode", "AbsTerminationMode", "NormTerminationMode",
+    "RelNormTerminationMode", "AbsNormTerminationMode",
+    "RelNormSafeTerminationMode", "AbsNormSafeTerminationMode",
+    "RelNormSafeBestTerminationMode", "AbsNormSafeBestTerminationMode",
+    # bridges
+    "SciPyRoot", "SciPyRootScalar", "SciPyLeastSquares",
+]
+
+
+def test_public_api_complete():
+    missing = [name for name in PUBLIC_API if not hasattr(nls, name)]
+    assert not missing, f"missing public API: {missing}"
+
+
+def test_jit_cache_stability():
+    """Repeated solves with new data must reuse the compiled executable
+    (the AutoSpecialize/no-recompile analogue, SURVEY §2.1)."""
+
+    def f(u, p):
+        return u * u - p
+
+    alg = nls.NewtonRaphson()
+    nls.solve(nls.NonlinearProblem(f, jnp.array([1.0]), 2.0), alg)
+    from nonlinearsolve_tpu.core.solve import _jitted_solve
+    misses_before = _jitted_solve._cache_size()
+    for pv in [3.0, 4.0, 5.0]:
+        nls.solve(nls.NonlinearProblem(f, jnp.array([1.0]), pv), alg)
+    assert _jitted_solve._cache_size() == misses_before
+
+
+def test_float32_not_promoted():
+    """Float32 non-promotion (reference Core test class)."""
+    prob = nls.NonlinearProblem(lambda u, p: u ** 3 - p,
+                                jnp.array([1.0], jnp.float32),
+                                jnp.float32(8.0))
+    for alg in [nls.NewtonRaphson(), nls.Broyden(), nls.DFSane()]:
+        sol = nls.solve(prob, alg)
+        assert sol.u.dtype == jnp.float32
+        assert sol.resid.dtype == jnp.float32
+
+
+def test_solution_repr_and_success():
+    prob = nls.NonlinearProblem(lambda u, p: u - 1.0, jnp.array([0.0]))
+    sol = nls.solve(prob, nls.NewtonRaphson())
+    assert "Success" in repr(sol)
+    assert bool(sol.success)
+
+
+def test_retcode_names():
+    from nonlinearsolve_tpu.core.returncode import retcode_name
+    assert retcode_name(1) == "Success"
+    assert retcode_name(3) == "MaxIters"
