@@ -71,12 +71,24 @@ def lm_damping_post_step(cfg: LevenbergMarquardtDamping, state: LMDampingState,
 
 @static_config
 class SwitchedEvolutionRelaxation:
-    """SER damping: λₙ = ‖fuₙ‖/‖fuₙ₋₁‖ · λₙ₋₁ → damping (1/αₙ) added to
-    diag(J) (pseudo_transient.jl: res_norm ratio update)."""
+    """SER damping: α⁻¹ₙ₊₁ = α⁻¹ₙ·‖fuₙ‖/‖fuₙ₋₁‖, damping α⁻¹ added to
+    diag(J) (pseudo_transient.jl).  ``mass_matrix`` generalizes the damped
+    step to ``(J + α⁻¹ M) δu = -F`` for DAE steady states
+    (pseudo_transient.jl:55-64); pass a dense (n, n) array or a diagonal
+    vector; None recovers the identity-damped classic method exactly."""
+
+    mass_matrix: Any = None
 
     requires_normal_form_jacobian = False
     requires_normal_form_rhs = False
     returns_norm_form_damping = False
+
+    def __hash__(self):
+        return hash(id(self.mass_matrix))
+
+    def __eq__(self, other):
+        return (isinstance(other, SwitchedEvolutionRelaxation)
+                and self.mass_matrix is other.mass_matrix)
 
 
 @pytree_dataclass

@@ -264,7 +264,13 @@ def _damped_solve(cfg: DampedNewtonDescent, mode: str, J, fu, D):
     """Solve the damped system for δu (sign already negated). Returns
     (δu, ok, δuJᵀJδu-or-None)."""
     if mode == "simple":
-        A = J + D * jnp.eye(J.shape[0], J.shape[1], dtype=J.dtype)
+        M = getattr(cfg.damping, "mass_matrix", None)
+        if M is None:
+            A = J + D * jnp.eye(J.shape[0], J.shape[1], dtype=J.dtype)
+        else:
+            M = jnp.asarray(M, J.dtype)
+            # diagonal vector or full matrix mass term: (J + D·M) δu = -F
+            A = J + D * (jnp.diag(M) if M.ndim == 1 else M)
         x, ok = solve_dense(A, fu, cfg.linsolve)
         return -x, ok, None
     if mode == "least_squares":

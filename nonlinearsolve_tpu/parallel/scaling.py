@@ -1,0 +1,66 @@
+"""Weak-scaling measurement harness.
+
+North-star metric (BASELINE.json): ≥80% SpMV nnz/s weak-scaling efficiency
+from 1 chip to a multi-host slice.  This harness measures nnz/s of the 3D
+reaction–diffusion Jacobian operator with a per-device-constant grid slab,
+sharded over a growing device mesh (GSPMD halo exchange on the sharded
+axis).  On the single-real-chip environment it runs on the virtual CPU mesh
+— a topology/compilation validation, not a hardware number; on a real slice
+the same code produces the hardware curve.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.reaction_diffusion import reaction_diffusion_3d, forcing
+from .mesh import create_mesh
+
+
+def weak_scaling_report(device_counts: Sequence[int], base_n: int = 32,
+                        n_matvecs: int = 50, dtype=jnp.float32,
+                        devices=None):
+    """Per-device slab of base_n × base_n² grid points; returns
+    [(k, nnz_per_s, efficiency_vs_1)]."""
+    results = []
+    base_rate = None
+    all_devices = list(devices if devices is not None else jax.devices())
+    for k in device_counts:
+        if k > len(all_devices):
+            break
+        mesh = create_mesh((k,), ("x",), devices=all_devices[:k])
+        N0 = base_n * k          # leading axis grows with devices
+        u = jnp.full((N0, base_n, base_n), 0.1, dtype)
+        p = (jnp.asarray(0.01, dtype),
+             jnp.zeros((N0, base_n, base_n), dtype))
+        sharding = NamedSharding(mesh, P("x", None, None))
+        u = jax.device_put(u, sharding)
+        p = (jax.device_put(p[0], NamedSharding(mesh, P())),
+             jax.device_put(p[1], sharding))
+
+        _, lin = jax.linearize(lambda x: reaction_diffusion_3d(x, p), u)
+
+        @jax.jit
+        def chain(v):
+            def body(c, _):
+                return lin(c) * 1e-3, None
+            return jax.lax.scan(body, v, None, length=n_matvecs)[0]
+
+        v0 = jnp.ones_like(u)
+        chain(v0).block_until_ready()
+        t0 = time.perf_counter()
+        out = chain(v0)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        nnz = 7 * N0 * base_n * base_n      # 7-point stencil
+        rate = n_matvecs * nnz / dt
+        if base_rate is None:
+            base_rate = rate / k if k > 0 else rate
+        eff = rate / (base_rate * k)
+        results.append((k, rate, eff))
+    return results

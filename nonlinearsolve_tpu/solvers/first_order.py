@@ -177,15 +177,16 @@ def LevenbergMarquardt(*, damping_initial: float = 1.0,
 
 
 def PseudoTransient(*, alpha_initial: float = 1e-3, autodiff=None,
-                    linsolve=None):
-    """pseudo_transient.jl:36-55 — DampedNewton(SER damping)."""
+                    linsolve=None, mass_matrix=None):
+    """pseudo_transient.jl:36-55 — DampedNewton(SER damping); optional mass
+    matrix generalizes to ``(J + (1/α)M) δu = -F``."""
     from ..core.damping import SwitchedEvolutionRelaxation
     from ..ops.linear_solve import LinearSolver
     ls = linsolve if linsolve is not None else LinearSolver()
     return GeneralizedFirstOrderAlgorithm(
         descent=dsc.DampedNewtonDescent(
             initial_damping=alpha_initial,
-            damping=SwitchedEvolutionRelaxation(),
+            damping=SwitchedEvolutionRelaxation(mass_matrix=mass_matrix),
             linsolve=ls),
         jacobian=autodiff or JacobianPolicy(),
         name="PseudoTransient",
@@ -251,7 +252,11 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
                      abstol, reltol) -> FOCarry:
     """One iteration (solve.jl:298-426)."""
     u, fu = carry.u, carry.fu
-    J = jac_fn(u)
+    # Phase annotations (the reference's @static_timeit regions,
+    # timer_outputs.jl) — visible in jax.profiler traces at zero runtime
+    # cost.
+    with jax.named_scope("nls.jacobian"):
+        J = jac_fn(u)
     stats = carry.stats.incr(njacs=1, nsteps=1)
 
     # Eisenstat–Walker pre-step (eisenstat_walker.jl:44-85): adapt the
@@ -276,9 +281,10 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
 
     tr_radius = (carry.tr_state.trust_region
                  if isinstance(carry.tr_state, trg.TRState) else None)
-    result, descent_state = dsc.descent_solve(
-        alg.descent, carry.descent_state, ctx, J, fu, u,
-        trust_region=tr_radius, krylov_rtol=krylov_rtol)
+    with jax.named_scope("nls.descent"):
+        result, descent_state = dsc.descent_solve(
+            alg.descent, carry.descent_state, ctx, J, fu, u,
+            trust_region=tr_radius, krylov_rtol=krylov_rtol)
     stats = stats.incr(nf=result.nf, nsolve=result.nsolve,
                        nfactors=result.nfactors)
     du = result.du

@@ -474,11 +474,34 @@ def _run_arclength(alg: ArcLengthContinuation, run_inner_fixed, run_corrector,
         attempts = c.attempts + 1
         hit_cap = attempts > alg.maxsteps
 
-        # secant direction once history exists; bootstrap keeps tau0
-        sec = c.x - c.x_prev
-        sec_norm = tnorm(sec)
-        tau = jnp.where(c.have_hist & (sec_norm > 0),
-                        sec / jnp.where(sec_norm == 0, 1.0, sec_norm), c.tau)
+        # Predictor direction: secant through the last two accepted points,
+        # or the true path tangent from the bordered solve
+        # ``[∂H/∂u | ∂H/∂λ ; τ_prevᵀ·W] t = e_{n+1}`` (arclength.jl
+        # :tangent — well-defined at folds where dλ/ds = 0).
+        if alg.predictor == "tangent":
+            def path_resid(xv):
+                return f_of(xv[n])(xv[:n])
+
+            P = jax.jacfwd(path_resid)(c.x)            # (n, n+1)
+            wrow = jnp.concatenate([jnp.full((n,), wu) * c.tau[:n],
+                                    (wl * c.tau[n])[None]])
+            B = jnp.concatenate([P, wrow[None, :]], axis=0)
+            e = jnp.zeros((n + 1,), dtype).at[n].set(1.0)
+            t_raw = jnp.linalg.solve(B, e)
+            t_norm = tnorm(t_raw)
+            t_ok = jnp.all(jnp.isfinite(t_raw)) & (t_norm > 0)
+            t_unit = t_raw / jnp.where(t_norm == 0, 1.0, t_norm)
+            # orient along the previous direction
+            t_unit = t_unit * jnp.sign(
+                jnp.where(tdot(t_unit, c.tau) == 0, 1.0,
+                          tdot(t_unit, c.tau)))
+            tau = jnp.where(t_ok, t_unit, c.tau)
+        else:
+            sec = c.x - c.x_prev
+            sec_norm = tnorm(sec)
+            tau = jnp.where(c.have_hist & (sec_norm > 0),
+                            sec / jnp.where(sec_norm == 0, 1.0, sec_norm),
+                            c.tau)
 
         guess = c.x + c.ds * tau
         corr = run_corrector(tau, c.x, c.ds, guess, track_budget, abstol)
