@@ -1,0 +1,46 @@
+"""Ensemble solves — batch parallelism over whole solves.
+
+The reference's ``EnsembleProblem`` of nonlinear solves (SURVEY §2.10;
+test/PolyAlgorithms "Ensemble Nonlinear Problems") maps to ``jax.vmap`` over
+the entire solver: every trajectory runs the full while_loop in lockstep on
+the VPU/MXU lanes.  ``solve_ensemble`` batches over ``u0`` and/or ``p``
+leaves with a leading trajectory axis; under ``shard_map``/sharded inputs the
+batch axis distributes across devices (ensemble = data parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .problems import NonlinearProblem
+from .solution import NonlinearSolution
+
+
+def solve_ensemble(prob, alg=None, *, u0s=None, ps=None,
+                   **kwargs) -> NonlinearSolution:
+    """Solve one problem family over a batch of initial conditions and/or
+    parameters.
+
+    ``u0s``: pytree like ``prob.u0`` with a leading batch axis (optional).
+    ``ps``: pytree like ``prob.p`` with a leading batch axis (optional).
+    Returns a NonlinearSolution whose fields carry the batch axis.
+    """
+    from .solve import solve_nonlinear, _default_algorithm
+
+    if u0s is None and ps is None:
+        raise ValueError("solve_ensemble needs u0s and/or ps batches")
+    if alg is None:
+        alg = _default_algorithm(prob)
+
+    def solve_one(u0, p):
+        prob_i = prob.remake(u0=u0, p=p)
+        return solve_nonlinear(prob_i, alg, **kwargs)
+
+    if u0s is not None and ps is not None:
+        return jax.vmap(solve_one)(u0s, ps)
+    if u0s is not None:
+        return jax.vmap(lambda u0: solve_one(u0, prob.p))(u0s)
+    return jax.vmap(lambda p: solve_one(prob.u0, p))(ps)

@@ -1,0 +1,64 @@
+"""Ensemble batch solves (EnsembleProblem analogue) + checkpoint/resume of
+the iterator carry (SURVEY §5.4: solver state is a pytree → orbax-ready)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinearsolve_tpu as nls
+
+
+def quadratic(u, p):
+    return u * u - p
+
+
+def test_solve_ensemble_over_ps():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0]), 2.0)
+    ps = jnp.array([1.0, 2.0, 3.0, 4.0])
+    sols = nls.solve_ensemble(prob, nls.NewtonRaphson(), ps=ps)
+    np.testing.assert_allclose(np.asarray(sols.u).ravel(),
+                               np.sqrt(np.asarray(ps)), rtol=1e-10)
+    assert np.all(np.asarray(sols.retcode) == 1)
+
+
+def test_solve_ensemble_over_u0s_and_ps():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0]), 2.0)
+    u0s = jnp.array([[0.5], [1.0], [2.0]])
+    ps = jnp.array([4.0, 9.0, 16.0])
+    sols = nls.solve_ensemble(prob, nls.NewtonRaphson(), u0s=u0s, ps=ps)
+    np.testing.assert_allclose(np.asarray(sols.u).ravel(), [2.0, 3.0, 4.0],
+                               rtol=1e-10)
+
+
+def test_ensemble_with_polyalg():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0]), 2.0)
+    sols = nls.solve_ensemble(prob, ps=jnp.array([2.0, 5.0]))
+    assert np.all(np.asarray(sols.retcode) == 1)
+
+
+def test_checkpoint_resume_iterator(tmp_path):
+    """Stop a solve mid-iteration, checkpoint the carry pytree with orbax,
+    restore into a fresh cache, and finish — byte-identical trajectory."""
+    import orbax.checkpoint as ocp
+
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    cache = nls.init(prob, nls.NewtonRaphson())
+    cache.step(2)
+    u_mid = np.asarray(cache.u)
+
+    path = ocp.test_utils.erase_and_create_empty(str(tmp_path / "ckpt"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "carry", cache.carry)
+    ckptr.wait_until_finished()
+
+    # fresh cache, restore state, resume
+    cache2 = nls.init(prob, nls.NewtonRaphson())
+    restored = ckptr.restore(path / "carry", cache2.carry)
+    cache2.carry = restored
+    np.testing.assert_allclose(np.asarray(cache2.u), u_mid)
+    sol = cache2.solve()
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-10)
+    # resumed iteration count continues from the checkpoint
+    assert int(sol.stats.nsteps) >= 2

@@ -1,0 +1,57 @@
+"""Fake-cluster test: 2 processes x 2 CPU devices running the SAME
+distributed Newton-Krylov solve via jax.distributed + Gloo collectives —
+the multi-host simulation the reference lacks (SURVEY §4: 'The TPU build
+must do better')."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(300)
+def test_two_process_distributed_solve_matches_single():
+    worker = os.path.join(os.path.dirname(__file__), "multihost", "worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, worker, str(i), "2",
+                               str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    results = []
+    for out in outs:
+        m = re.search(r"RESULT (\d+) retcode=(\d+) resid=([\d.e+-]+) "
+                      r"fingerprint=([\d.e+-]+)", out)
+        assert m, f"worker output missing RESULT line:\n{out[-2000:]}"
+        results.append((int(m.group(2)), float(m.group(3)),
+                        float(m.group(4))))
+    # both processes converged and agree bitwise on the global solution
+    assert all(r[0] == 1 for r in results), results
+    assert results[0][2] == results[1][2]
+
+    # single-process reference solve
+    from nonlinearsolve_tpu.models import reaction_diffusion
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+    import nonlinearsolve_tpu as nls
+    prob = reaction_diffusion.make_problem(16, dtype=jnp.float32)
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=20),
+        forcing=EisenstatWalkerForcing()), abstol=1e-4)
+    fp_single = float(jnp.sum(sol.u * sol.u))
+    np.testing.assert_allclose(results[0][2], fp_single, rtol=1e-4)
