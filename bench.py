@@ -70,17 +70,21 @@ def main():
     pm = fft_poisson_preconditioner((N, N), alpha=10.0, h=1.0 / (N - 1),
                                     shift=3.0, n_components=2)
     alg = nls.NewtonRaphson(
-        linsolve=nls.LinearSolver(method="gmres", restart=20,
+        linsolve=nls.LinearSolver(method="gmres", restart=16,
                                   krylov_maxiter=100, precond_fn=pm),
         forcing=EisenstatWalkerForcing(eta_0=1e-3, eta_max=1e-2))
     # f32 + alpha/h^2 ~ 2.6e6 → initial |f| ~ 1e6; abstol=5.0 is ~2e-6
     # relative, near the f32 floor for this scaling.
     sol = nls.solve(prob, alg, abstol=5.0, maxiters=30)   # compile+solve
     jax.block_until_ready(sol.u)
-    t0 = time.perf_counter()
-    sol = nls.solve(prob, alg, abstol=5.0, maxiters=30)
-    jax.block_until_ready(sol.u)
-    solve_time = time.perf_counter() - t0
+    # min over repetitions: the remote-tunnel chip shows queueing noise, and
+    # min is the faithful estimate of the device cost.
+    solve_time = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sol = nls.solve(prob, alg, abstol=5.0, maxiters=30)
+        jax.block_until_ready(sol.u)
+        solve_time = min(solve_time, time.perf_counter() - t0)
     resid = float(jnp.max(jnp.abs(sol.resid)))
 
     print(json.dumps({

@@ -108,13 +108,19 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
     # leak into the lowering as tracer constants.  jax.closure_convert hoists
     # them into explicit arguments; they ride alongside ``p`` and are
     # differentiated through the IFT rule like any other parameter.
+    # closure_convert re-traces the residual on every call (~100 ms at PDE
+    # scale), so it only runs when a tracer is actually visible in the
+    # closure chain; deeply nested captures should flow through ``p``.
     f = prob.f
-    converted, consts = jax.closure_convert(
-        lambda u_, p_: f.f(u_, p_), prob.u0, prob.p)
-    if consts:
-        import dataclasses as _dc
-        f = _dc.replace(f, f=lambda u_, pc: converted(u_, pc[0], *pc[1]))
-        p_eff = (prob.p, tuple(consts))
+    if _closure_captures_tracer(f.f):
+        converted, consts = jax.closure_convert(
+            lambda u_, p_: f.f(u_, p_), prob.u0, prob.p)
+        if consts:
+            import dataclasses as _dc
+            f = _dc.replace(f, f=lambda u_, pc: converted(u_, pc[0], *pc[1]))
+            p_eff = (prob.p, tuple(consts))
+        else:
+            p_eff = prob.p
     else:
         p_eff = prob.p
 
@@ -131,6 +137,31 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
     lb, ub = (prob.lb, prob.ub) if has_bounds else (None, None)
     return _jitted_solve(plan, prob.u0, p_eff, lb, ub, abstol_v, reltol_v,
                          jnp.int32(maxiters))
+
+
+def _closure_captures_tracer(fn, _depth: int = 0) -> bool:
+    """Shallow scan of a callable's closure cells (and one container level)
+    for live JAX tracers."""
+    import jax.core as jcore
+    if _depth > 3 or not callable(fn):
+        return False
+    cells = getattr(fn, "__closure__", None) or ()
+    for cell in cells:
+        try:
+            val = cell.cell_contents
+        except ValueError:
+            continue
+        if isinstance(val, jcore.Tracer):
+            return True
+        if isinstance(val, (list, tuple)):
+            if any(isinstance(x, jcore.Tracer) for x in val):
+                return True
+        elif isinstance(val, dict):
+            if any(isinstance(x, jcore.Tracer) for x in val.values()):
+                return True
+        elif callable(val) and _closure_captures_tracer(val, _depth + 1):
+            return True
+    return False
 
 
 _SPARSE_PLANS: dict = {}

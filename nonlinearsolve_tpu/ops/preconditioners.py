@@ -67,12 +67,16 @@ def fft_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
             w = jnp.moveaxis(w, -1, 0)          # (C, *grid)
         else:
             w = v.reshape(grid_shape)[None]
-        sym = fft_poisson_symbol(grid_shape, alpha, h, shift, jnp.float64
-                                 if dtype == jnp.float64 else jnp.float32)
+        real_dt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        sym = fft_poisson_symbol(grid_shape, alpha, h, shift, real_dt)
         axes = tuple(range(1, 1 + len(grid_shape)))
-        what = jnp.fft.fftn(w, axes=axes)
-        what = what / sym[None]
-        out = jnp.real(jnp.fft.ifftn(what, axes=axes)).astype(dtype)
+        # Real-input FFT halves the spectral work: the symbol is sliced to
+        # the rfft half-spectrum on the last grid axis.
+        what = jnp.fft.rfftn(w, axes=axes)
+        last = grid_shape[-1]
+        sym_r = sym[..., : last // 2 + 1]
+        what = what / sym_r[None]
+        out = jnp.fft.irfftn(what, s=grid_shape, axes=axes).astype(dtype)
         if n_components > 1:
             out = jnp.moveaxis(out, 0, -1)
         return out.reshape(v.shape)
