@@ -21,6 +21,7 @@ from .core.termination import (AbsNormSafeBestTerminationMode,
                                RelNormTerminationMode, RelTerminationMode,
                                TerminationCondition)
 from .solvers import (Broyden, DFSane, FastShortcutNLLSPolyalg,
+                      LimitedMemoryBroyden,
                       FastShortcutNonlinearPolyalg, GaussNewton,
                       GeneralizedDFSane, GeneralizedFirstOrderAlgorithm,
                       Klement, LevenbergMarquardt, NewtonRaphson,

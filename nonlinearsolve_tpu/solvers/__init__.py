@@ -3,7 +3,8 @@ from .first_order import (GaussNewton, GeneralizedFirstOrderAlgorithm,
                           TrustRegion)
 from .polyalg import (FastShortcutNLLSPolyalg, FastShortcutNonlinearPolyalg,
                       NonlinearSolvePolyAlgorithm, RobustMultiNewton)
-from .quasi_newton import Broyden, Klement, QuasiNewtonAlgorithm
+from .quasi_newton import (Broyden, Klement, LimitedMemoryBroyden,
+                           QuasiNewtonAlgorithm)
 from .spectral import DFSane, GeneralizedDFSane
 from .simple import (SimpleBroyden, SimpleDFSane, SimpleGaussNewton,
                      SimpleHalley, SimpleKlement,

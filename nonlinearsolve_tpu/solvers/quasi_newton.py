@@ -50,7 +50,8 @@ class IllConditionedJacobianReset:
 @static_config
 class QuasiNewtonAlgorithm:
     update_rule: str = "good_broyden"   # good_broyden|bad_broyden|klement
-    structure: str = "full"             # full | diagonal
+    structure: str = "full"             # full | diagonal | low_rank
+    threshold: int = 27                 # low_rank history depth η
     init_jacobian: str = "identity"     # identity | true_jacobian
     alpha: Optional[float] = None
     linesearch: Any = None
@@ -79,6 +80,20 @@ def Broyden(*, max_resets: int = 100, linesearch=None, reset_tolerance=None,
         reinit_rule=NoChangeInStateReset(reset_tolerance=reset_tolerance),
         max_resets=max_resets, jacobian=autodiff or JacobianPolicy(),
         name="Broyden",
+    )
+
+
+def LimitedMemoryBroyden(*, max_resets: int = 3, threshold: int = 27,
+                         linesearch=None, reset_tolerance=None, alpha=None):
+    """lbroyden.jl:21-36 — limited-memory Broyden: the inverse Jacobian is
+    the low-rank ``-αI + UᵀV`` with an η-deep update ring (the full-tier
+    engine variant of SimpleLimitedMemoryBroyden, with resets/termination)."""
+    return QuasiNewtonAlgorithm(
+        update_rule="good_broyden", structure="low_rank",
+        init_jacobian="identity", alpha=alpha, linesearch=linesearch,
+        reinit_rule=NoChangeInStateReset(reset_tolerance=reset_tolerance),
+        max_resets=max_resets, threshold=threshold,
+        name="LimitedMemoryBroyden",
     )
 
 
@@ -144,6 +159,15 @@ def _alpha_scaling(alpha, u, fu):
 def _init_J(alg: QuasiNewtonAlgorithm, jac_fn, u, fu):
     """Build the stored Jacobian representation at (re)initialization."""
     n = u.shape[0]
+    if alg.structure == "low_rank":
+        # (U, V, count, alpha): J⁻¹ ≈ -αI + Σ_k U[k]⊗V[k] (lbroyden.jl:271-305)
+        eta = min(alg.threshold, n)
+        fx_norm = l2_norm(fu)
+        alpha = jnp.where(fx_norm >= 1e-5,
+                          jnp.maximum(l2_norm(u), 1.0) / (2.0 * fx_norm),
+                          jnp.ones((), u.dtype))
+        return (jnp.zeros((eta, n), u.dtype), jnp.zeros((eta, n), u.dtype),
+                jnp.int32(0), alpha)
     if alg.init_jacobian == "identity":
         alpha = _alpha_scaling(alg.alpha, u, fu)
         scale = 1.0 / alpha if alg.store_inverse else alpha
@@ -161,8 +185,28 @@ def _init_J(alg: QuasiNewtonAlgorithm, jac_fn, u, fu):
     return J
 
 
+def _lr_matvec(J, v):
+    U, V, count, alpha = J
+    eta = U.shape[0]
+    mask = (jnp.arange(eta) < count)[:, None]
+    return (U * mask).T @ ((V * mask) @ v) - alpha * v
+
+
+def _lr_rmatvec(J, v):
+    U, V, count, alpha = J
+    eta = U.shape[0]
+    mask = (jnp.arange(eta) < count)[:, None]
+    return (V * mask).T @ ((U * mask) @ v) - alpha * v
+
+
 def _qn_descent(alg: QuasiNewtonAlgorithm, J, fu):
     """δu = -J⁻¹fu (pre-inverted) or solve Jδu = -fu."""
+    if alg.structure == "low_rank":
+        U, V, count, alpha = J
+        # Empty history: the reference seeds δx₀ = -α·f explicitly
+        # (lbroyden.jl:100-103); -matvec would give +α·f.
+        du = jnp.where(count == 0, -alpha * fu, -_lr_matvec(J, fu))
+        return du, jnp.all(jnp.isfinite(du))
     if alg.structure == "diagonal":
         if alg.store_inverse:
             return -(J * fu), jnp.bool_(True)
@@ -216,6 +260,19 @@ def _update_jacobian(alg: QuasiNewtonAlgorithm, J, fu, fu_prev, u, du):
     """Apply the quasi-Newton update rule (broyden.jl:126-162,
     klement.jl:100-141).  ``J`` is J⁻¹ for Broyden rules."""
     eps_guard = 1e-5
+    if alg.structure == "low_rank":
+        # lbroyden.jl:126-143: vᵀ = J⁻ᵀδx, u = (δx - J⁻¹δf)/⟨vᵀ, δf⟩,
+        # ring-write (u, vᵀ) into the history.
+        U, V, count, alpha = J
+        eta = U.shape[0]
+        dfu = fu - fu_prev
+        vT = _lr_rmatvec(J, du)
+        mvec = _lr_matvec(J, dfu)
+        d = jnp.dot(vT, dfu)
+        d = jnp.where(d == 0, eps_guard, d)
+        u_new = (du - mvec) / d
+        slot = jnp.mod(count, eta)
+        return (U.at[slot].set(u_new), V.at[slot].set(vT), count + 1, alpha)
     if alg.update_rule in ("good_broyden", "bad_broyden"):
         dfu = fu - fu_prev
         if alg.structure == "diagonal":

@@ -181,3 +181,22 @@ def test_float32():
     sol = nls.solve(prob, nls.NewtonRaphson())
     assert sol.u.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-5)
+
+
+def test_limited_memory_broyden():
+    """Full-tier L-Broyden (low-rank -aI + U^T V inverse with reset
+    ladder).  Like the reference's, it is only expected on well-behaved
+    problems (its 23-problem broken list is extensive)."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]),
+                                jnp.array(2.0))
+    sol = nls.solve(prob, nls.LimitedMemoryBroyden())
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-6)
+    # n > threshold exercises the genuine ring-buffer low-rank path
+    def mildly_nonlinear(u, p):
+        return u + 0.1 * jnp.tanh(u) - p
+    prob = nls.NonlinearProblem(mildly_nonlinear, jnp.zeros(40),
+                                0.5 * jnp.ones(40))
+    sol = nls.solve(prob, nls.LimitedMemoryBroyden(threshold=10))
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
