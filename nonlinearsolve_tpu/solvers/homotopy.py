@@ -174,6 +174,7 @@ class SweepCarry:
     retcode: Any
     done: Any
     stats: Any
+    alg_hint: Any      # retained winning polyalg rung (int32; 0 = ladder start)
 
 
 def _effort_growth_factor(nit, budget, expand_factor):
@@ -227,9 +228,14 @@ def _run_sweep(alg, inner, ctx_maker, run_inner, u0_flat, lam0, lam1,
     track_abstol = (jnp.asarray(alg.tracking_abstol, dtype)
                     if alg.tracking_abstol is not None else abstol)
 
-    # --- anchor solve at λ0 (full budget/tolerance; homotopy_sweep.jl:694) --
-    anchor = run_inner(u0_flat, lam0, maxiters, abstol)
+    # --- anchor solve at λ0 (full budget/tolerance; homotopy_sweep.jl:694).
+    # The anchor's full-ladder run discovers the winning subalgorithm,
+    # which warm-started tracking steps then resume from (retaining
+    # reinit!, homotopy_sweep.jl:780-785).
+    anchor = run_inner(u0_flat, lam0, maxiters, abstol, jnp.int32(0))
     anchor_ok = ReturnCode.successful(anchor.retcode)
+    anchor_hint = jnp.maximum(getattr(anchor, "winner", jnp.int32(-1)),
+                              jnp.int32(0))
 
     zero = jnp.zeros((), dtype)
     carry0 = SweepCarry(
@@ -237,7 +243,8 @@ def _run_sweep(alg, inner, ctx_maker, run_inner, u0_flat, lam0, lam1,
         streak=jnp.int32(0), trust=jnp.int32(2), disp_prev=zero,
         attempts=jnp.int32(0), fu=anchor.fu,
         retcode=jnp.int32(ReturnCode.Default),
-        done=(~anchor_ok) | (lam0 == lam1), stats=anchor.stats)
+        done=(~anchor_ok) | (lam0 == lam1), stats=anchor.stats,
+        alg_hint=anchor_hint)
 
     def cond(c):
         return ~c.done
@@ -261,8 +268,11 @@ def _run_sweep(alg, inner, ctx_maker, run_inner, u0_flat, lam0, lam1,
         # gets the full budget + tolerance (exemption, homotopy_sweep.jl).
         budget = jnp.where(landing, maxiters, track_budget)
         tol = jnp.where(landing, abstol, track_abstol)
-        inner_sol = run_inner(guess, next_lam, budget, tol)
+        inner_sol = run_inner(guess, next_lam, budget, tol, c.alg_hint)
         ok = ReturnCode.successful(inner_sol.retcode)
+        alg_hint = jnp.where(
+            ok, jnp.maximum(getattr(inner_sol, "winner", jnp.int32(-1)),
+                            jnp.int32(0)), c.alg_hint)
 
         if kantorovich:
             # Θ from a one-Newton-step probe at the predictor point
@@ -383,7 +393,7 @@ def _run_sweep(alg, inner, ctx_maker, run_inner, u0_flat, lam0, lam1,
             u=u_new, u_prev=u_prev_new, lam=lam_new, lam_prev=lam_prev_new,
             dlam=dlam_new, streak=streak_new, trust=trust_new,
             disp_prev=disp_prev, attempts=attempts, fu=inner_sol.fu,
-            retcode=retcode, done=done, stats=stats)
+            retcode=retcode, done=done, stats=stats, alg_hint=alg_hint)
 
     final = jax.lax.while_loop(cond, body, carry0)
 
@@ -616,10 +626,14 @@ def _jitted_homotopy(plan, u0, p, lam0, lam1, abstol, reltol, maxiters):
     inner = alg.inner if alg.inner is not None else _default_inner()
     term_cfg = default_termination_mode(False)
 
-    def run_inner(guess, lam, budget, tol):
+    def run_inner(guess, lam, budget, tol, hint=None):
         from .dispatch import run_algorithm
+        from .polyalg import NonlinearSolvePolyAlgorithm, run_polyalg
         ctx = DescentCtx(f_flat=make_f_flat(lam), n_in=u0_flat.size,
                          n_out=u0_flat.size, is_least_squares=False)
+        if isinstance(inner, NonlinearSolvePolyAlgorithm):
+            return run_polyalg(inner, ctx, term_cfg, JacobianSpec(), guess,
+                               tol, reltol, budget, start_hint=hint)
         carry = run_algorithm(inner, ctx, term_cfg, JacobianSpec(), guess,
                               tol, reltol, budget)
         return carry

@@ -114,10 +114,17 @@ class PolyCarry:
     best_fu: Any
     best_resid: Any
     best_retcode: Any
+    winner: Any          # int32 index of the successful rung (-1 = none)
 
 
 def run_polyalg(alg: NonlinearSolvePolyAlgorithm, ctx, term_cfg, jac_spec,
-                u0_flat, abstol, reltol, maxiters):
+                u0_flat, abstol, reltol, maxiters, start_hint=None):
+    """Unrolled rung ladder.  ``start_hint`` (dynamic int32, optional) is the
+    best-subalgorithm retention of the reference (polyalg.jl:30-64): rungs
+    before the hint are skipped on the first pass and retried only in the
+    wrap-around escalation pass; ``carry.winner`` reports the rung that
+    succeeded so a warm-restarting driver (continuation, iterator reinit)
+    can resume from it."""
     from .dispatch import run_algorithm
 
     fu0 = ctx.f_flat(u0_flat)
@@ -127,11 +134,13 @@ def run_polyalg(alg: NonlinearSolvePolyAlgorithm, ctx, term_cfg, jac_spec,
         stats=NLStats.zeros(), done=jnp.bool_(False),
         best_u=u0_flat, best_fu=fu0, best_resid=inf,
         best_retcode=jnp.int32(ReturnCode.Failure),
+        winner=jnp.int32(-1),
     )
 
-    rungs = alg.algs[alg.start_index - 1:]
-    for sub in rungs:
-        def run_rung(carry, sub=sub):
+    rungs = list(enumerate(alg.algs))[alg.start_index - 1:]
+
+    def make_run_rung(idx, sub):
+        def run_rung(carry):
             final = run_algorithm(sub, ctx, term_cfg, jac_spec, u0_flat,
                                   abstol, reltol, maxiters)
             success = ReturnCode.successful(final.retcode)
@@ -151,9 +160,27 @@ def run_polyalg(alg: NonlinearSolvePolyAlgorithm, ctx, term_cfg, jac_spec,
                 best_resid=jnp.where(better, resid, carry.best_resid),
                 best_retcode=jnp.where(better, final.retcode,
                                        carry.best_retcode),
+                winner=jnp.where(success, jnp.int32(idx), carry.winner),
             )
 
-        carry = jax.lax.cond(carry.done, lambda c: c, run_rung, carry)
+        return run_rung
+
+    if start_hint is None:
+        for idx, sub in rungs:
+            carry = jax.lax.cond(carry.done, lambda c: c,
+                                 make_run_rung(idx, sub), carry)
+    else:
+        hint = jnp.maximum(start_hint, jnp.int32(alg.start_index - 1))
+        # pass 1: from the retained winner to the end of the ladder
+        for idx, sub in rungs:
+            skip = carry.done | (jnp.int32(idx) < hint)
+            carry = jax.lax.cond(skip, lambda c: c,
+                                 make_run_rung(idx, sub), carry)
+        # pass 2 (wrap-around escalation): the rungs before the hint
+        for idx, sub in rungs:
+            skip = carry.done | (jnp.int32(idx) >= hint)
+            carry = jax.lax.cond(skip, lambda c: c,
+                                 make_run_rung(idx, sub), carry)
 
     # All rungs failed → return the lowest-residual iterate with its retcode.
     u = jnp.where(carry.done, carry.u, carry.best_u)
