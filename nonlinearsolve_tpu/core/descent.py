@@ -221,9 +221,18 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         return -res.x, jnp.all(jnp.isfinite(res.x))
 
     if isinstance(J, (CSR, DIA, ELL)):
-        # Round-1 sparse-direct path: densify + LU (banded/sparse LU lands
-        # with the Pallas factorization kernels).  Cheap at bench config 3
-        # scale; Krylov is the intended large-N path.
+        # Sparse-direct path: log-depth parallel cyclic reduction for
+        # tridiagonal structure (ops/direct_sparse.py — the TPU-native KLU
+        # role); dense LU fallback for general patterns (banded cyclic
+        # reduction is the round-2 extension).  Krylov remains the
+        # intended large-N path.
+        from ..ops.direct_sparse import is_tridiagonal, solve_sparse_direct
+        if ctx.square and not isinstance(J, ELL) and is_tridiagonal(J):
+            x, ok = solve_sparse_direct(J, jnp.ravel(fu))
+            du = -x
+            if u is not None and jnp.ndim(u) != 1:
+                du = du.reshape(jnp.shape(u))
+            return du, ok
         J = J.todense()
     fu_flat = jnp.ravel(fu)
     if ctx.square:
