@@ -71,9 +71,15 @@ def construct_dense_jacobian_fn(
         return analytic_jac_flat
     mode = policy.resolve(n_in, n_out)
     if mode == "forward":
-        return jax.jacfwd(f_flat)
+        def jac_forward(u):
+            holo = jnp.iscomplexobj(u)
+            return jax.jacfwd(f_flat, holomorphic=holo)(u)
+        return jac_forward
     if mode == "reverse":
-        return jax.jacrev(f_flat)
+        def jac_reverse(u):
+            holo = jnp.iscomplexobj(u)
+            return jax.jacrev(f_flat, holomorphic=holo)(u)
+        return jac_reverse
     if mode == "finite":
         return lambda u: _finite_diff_jacobian(f_flat, u, policy.fd_rel_step)
     raise ValueError(f"unknown jacobian mode {mode!r}")

@@ -79,10 +79,15 @@ class RNMLSState:
     nsteps: Any        # outer steps seen (η strategy denominator)
 
 
+def _real_dtype(x):
+    return jnp.zeros((), jnp.asarray(x).dtype).real.dtype
+
+
 def ls_init(cfg, ctx: DescentCtx, fu, u):
     if isinstance(cfg, RobustNonMonotoneLineSearch):
         merit = l2_norm(fu) ** cfg.n_exp
-        history = jnp.full((cfg.M,), merit, fu.dtype)
+        history = jnp.full((cfg.M,), merit,
+                           _real_dtype(jax.tree_util.tree_leaves(fu)[0]))
         return RNMLSState(history=history, f_1=merit, nsteps=jnp.int32(0))
     return None
 
@@ -109,7 +114,7 @@ def _backtracking(cfg: BackTracking, ctx: DescentCtx, u, du, fu, J) -> LSResult:
     else:
         _, jvp_val = jax.jvp(ctx.f_flat, (u,), (du,))
         slope = tree_dot(fu, jvp_val)
-    dtype = u.dtype
+    dtype = _real_dtype(jax.tree_util.tree_leaves(u)[0])
     alpha0 = jnp.asarray(cfg.initial_alpha, dtype)
 
     def phi(alpha):
@@ -145,7 +150,7 @@ def _backtracking(cfg: BackTracking, ctx: DescentCtx, u, du, fu, J) -> LSResult:
 
 def _li_fukushima(cfg: LiFukushimaLineSearch, state, ctx: DescentCtx, u, du,
                   fu) -> LSResult:
-    dtype = u.dtype
+    dtype = _real_dtype(jax.tree_util.tree_leaves(u)[0])
     fu_norm = l2_norm(fu)
     d_norm2 = tree_dot(du, du)
 
@@ -182,7 +187,7 @@ def _li_fukushima(cfg: LiFukushimaLineSearch, state, ctx: DescentCtx, u, du,
 def _robust_nonmonotone(cfg: RobustNonMonotoneLineSearch, state: RNMLSState,
                         ctx: DescentCtx, u, du, fu) -> LSResult:
     """DF-SANE line search (la2006spectral, Alg. 1 step 3)."""
-    dtype = u.dtype
+    dtype = _real_dtype(jax.tree_util.tree_leaves(u)[0])
     f_cur = l2_norm(fu) ** cfg.n_exp
     f_bar = jnp.max(state.history)
     n = state.nsteps + 1

@@ -49,10 +49,13 @@ class SolveCarry:
 
 
 def _default_algorithm(prob):
-    from ..solvers.polyalg import FastShortcutNonlinearPolyalg, FastShortcutNLLSPolyalg
+    from ..solvers.polyalg import (FastShortcutNLLSPolyalg,
+                                   FastShortcutNonlinearPolyalg)
     if isinstance(prob, NonlinearLeastSquaresProblem):
         return FastShortcutNLLSPolyalg()
-    return FastShortcutNonlinearPolyalg()
+    leaves = jax.tree_util.tree_leaves(prob.u0)
+    is_complex = any(jnp.iscomplexobj(l) for l in leaves)
+    return FastShortcutNonlinearPolyalg(complex_eltype=is_complex)
 
 
 def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
@@ -92,7 +95,7 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
                     postcondition=None, show_trace=False, store_trace=False,
                     trace_level=None, **_ignored) -> NonlinearSolution:
     u0_flat, _ = ravel_pytree(prob.u0)
-    dtype = u0_flat.dtype
+    dtype = jnp.zeros((), u0_flat.dtype).real.dtype   # tolerances are real
     abstol_v = jnp.asarray(get_tolerance(abstol, dtype), dtype)
     reltol_v = jnp.asarray(get_tolerance(reltol, dtype), dtype)
     is_lsq = prob.is_least_squares

@@ -136,6 +136,8 @@ def init_termination(cfg: TerminationCondition, fu, u, reltol) -> TermState:
     """termination_conditions.jl:82-134 (CommonSolve.init)."""
     dtype = jnp.result_type(*[jnp.asarray(l).dtype
                               for l in jax.tree_util.tree_leaves(u)])
+    # Objectives/norm rings are always real scalars, also for complex states.
+    dtype = jnp.zeros((), dtype).real.dtype
     zero = jnp.zeros((), dtype)
     if cfg.is_safe:
         initial_objective = _objective(cfg, fu, u, jnp.asarray(reltol, dtype))

@@ -39,11 +39,21 @@ class NonlinearSolvePolyAlgorithm:
 def FastShortcutNonlinearPolyalg(*, autodiff=None, linsolve=None,
                                  must_use_jacobian: bool = False,
                                  prefer_simplenonlinearsolve: bool = False,
-                                 u0_len: Optional[int] = None):
-    """poly_algs.jl:26-92."""
+                                 u0_len: Optional[int] = None,
+                                 complex_eltype: bool = False):
+    """poly_algs.jl:26-92; ``complex_eltype`` selects the reduced Complex
+    ladders (trust-region/LM radius logic assumes real arithmetic)."""
     from .first_order import LevenbergMarquardt, NewtonRaphson, TrustRegion
     from .quasi_newton import Broyden, Klement
     kw = dict(autodiff=autodiff)
+    if complex_eltype:
+        if must_use_jacobian:
+            algs = (NewtonRaphson(**kw),)
+        else:
+            algs = (Broyden(autodiff=autodiff), Klement(autodiff=autodiff),
+                    NewtonRaphson(**kw))
+        return NonlinearSolvePolyAlgorithm(
+            algs=algs, name="FastShortcutNonlinearPolyalg")
     if must_use_jacobian:
         algs = (
             NewtonRaphson(**kw),

@@ -68,7 +68,8 @@ def _initial_sigma(alg: GeneralizedDFSane, u, fu):
     """solve.jl:205-214: σ = ⟨u,u⟩/⟨u,fu⟩, falling back to
     clamp(1/‖fu‖, 1, 1e5) outside [σ_min, σ_max]."""
     if alg.sigma_1 is not None:
-        return jnp.asarray(alg.sigma_1, u.dtype)
+        return jnp.asarray(alg.sigma_1,
+                           jnp.zeros((), u.dtype).real.dtype)
     denom = tree_dot(u, fu)
     sigma = tree_dot(u, u) / jnp.where(denom == 0, jnp.ones_like(denom),
                                        denom)

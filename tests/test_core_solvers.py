@@ -200,3 +200,17 @@ def test_limited_memory_broyden():
     sol = nls.solve(prob, nls.LimitedMemoryBroyden(threshold=10))
     assert bool(sol.success)
     assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
+
+
+def test_complex_eltype():
+    """Complex state support (reference poly_algs.jl Complex branches):
+    holomorphic jacobians, real termination scalars, reduced complex
+    polyalgorithm ladder (Broyden -> Klement -> NR)."""
+    prob = nls.NonlinearProblem(lambda u, p: u ** 3 - p,
+                                jnp.array([-0.8 + 1.5j], jnp.complex128),
+                                8.0 + 0j)
+    expected = 2 * np.exp(2j * np.pi / 3)
+    for alg in [nls.NewtonRaphson(), nls.Broyden(), nls.Klement(), None]:
+        sol = nls.solve(prob, alg)
+        assert bool(sol.success)
+        np.testing.assert_allclose(complex(sol.u[0]), expected, rtol=1e-8)
