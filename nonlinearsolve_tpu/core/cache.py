@@ -67,6 +67,9 @@ def _jit_init(plan, u0, p, reltol):
         f"algorithms, got {alg!r}")
 
 
+_STEP_CHUNK = 16
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _jit_step(plan, carry, p, u0_proto, abstol, reltol):
     from ..solvers.first_order import (GeneralizedFirstOrderAlgorithm,
@@ -86,27 +89,41 @@ def _jit_step(plan, carry, p, u0_proto, abstol, reltol):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _jit_solve_from(plan, carry, p, u0_proto, abstol, reltol, maxiters):
-    """Run to completion from an existing carry (CommonSolve.solve!)."""
-    from ..core import termination as trm
-    f, alg, term_cfg = plan
+def _jit_advance(plan, carry, p, u0_proto, abstol, reltol, upto):
+    """Iterate up to ``nsteps == upto`` WITHOUT finalizing — used both by
+    the run-to-completion path and by maxtime chunking (a chunk boundary
+    must not trigger the MaxIters mapping or best-u retention)."""
 
     def cond(c):
-        return (~c.force_stop) & (c.nsteps < maxiters)
+        return (~c.force_stop) & (c.nsteps < upto)
 
     def body(c):
         return _step_body(plan, c, p, u0_proto, abstol, reltol)
 
-    final = jax.lax.while_loop(cond, body, carry)
+    return jax.lax.while_loop(cond, body, carry)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_finalize(plan, carry, p, u0_proto, maxiters):
+    """Map Default retcode to MaxIters/Success and apply safe-best
+    retention.  Pre-set retcodes (termination failures, MaxTime) stick."""
+    from ..core import termination as trm
+    f, alg, term_cfg = plan
     retcode = jnp.where(
-        final.retcode == ReturnCode.Default,
-        jnp.where(final.nsteps >= maxiters, jnp.int32(ReturnCode.MaxIters),
+        carry.retcode == ReturnCode.Default,
+        jnp.where(carry.nsteps >= maxiters, jnp.int32(ReturnCode.MaxIters),
                   jnp.int32(ReturnCode.Success)),
-        final.retcode)
+        carry.retcode)
     ctx, _, _, _ = _build_ctx_and_engine(plan, u0_proto, p)
-    u_final = trm.termination_result(term_cfg, final.term, final.u)
-    fu_final = ctx.f_flat(u_final) if term_cfg.keeps_best else final.fu
-    return final.replace(u=u_final, fu=fu_final, retcode=retcode)
+    u_final = trm.termination_result(term_cfg, carry.term, carry.u)
+    fu_final = ctx.f_flat(u_final) if term_cfg.keeps_best else carry.fu
+    return carry.replace(u=u_final, fu=fu_final, retcode=retcode)
+
+
+def _jit_solve_from(plan, carry, p, u0_proto, abstol, reltol, maxiters):
+    """Run to completion from an existing carry (CommonSolve.solve!)."""
+    final = _jit_advance(plan, carry, p, u0_proto, abstol, reltol, maxiters)
+    return _jit_finalize(plan, final, p, u0_proto, maxiters)
 
 
 def _step_body(plan, carry, p, u0_proto, abstol, reltol):
@@ -178,11 +195,41 @@ class NonlinearSolveCache:
                                    self.prob.u0, self.abstol, self.reltol)
         return self
 
-    def solve(self) -> NonlinearSolution:
-        """Run to completion from the current state (CommonSolve.solve!)."""
-        self.carry = _jit_solve_from(self._plan, self.carry, self.p,
-                                     self.prob.u0, self.abstol, self.reltol,
-                                     self.maxiters)
+    def solve(self, maxtime: Optional[float] = None) -> NonlinearSolution:
+        """Run to completion from the current state (CommonSolve.solve!).
+
+        ``maxtime`` (seconds, host wall clock) mirrors the reference's
+        MaxTime budget (solve.jl:811-819): the solve proceeds in compiled
+        step chunks and stops with ReturnCode.MaxTime once the budget is
+        exhausted."""
+        # A previous MaxTime stop is a host-level budget, not solver state:
+        # clear it so a later solve()/solve(maxtime=...) resumes iterating.
+        if int(self.carry.retcode) == int(ReturnCode.MaxTime):
+            self.carry = self.carry.replace(
+                retcode=jnp.int32(ReturnCode.Default),
+                force_stop=jnp.bool_(False))
+        if maxtime is None:
+            self.carry = _jit_solve_from(self._plan, self.carry, self.p,
+                                         self.prob.u0, self.abstol,
+                                         self.reltol, self.maxiters)
+        else:
+            import time as _time
+            deadline = _time.monotonic() + maxtime
+            while (not bool(self.carry.force_stop)
+                   and int(self.carry.nsteps) < int(self.maxiters)):
+                if _time.monotonic() >= deadline:
+                    self.carry = self.carry.replace(
+                        retcode=jnp.int32(ReturnCode.MaxTime),
+                        force_stop=jnp.bool_(True))
+                    break
+                chunk = jnp.minimum(
+                    self.maxiters,
+                    jnp.int32(int(self.carry.nsteps) + _STEP_CHUNK))
+                self.carry = _jit_advance(self._plan, self.carry, self.p,
+                                          self.prob.u0, self.abstol,
+                                          self.reltol, chunk)
+            self.carry = _jit_finalize(self._plan, self.carry, self.p,
+                                       self.prob.u0, self.maxiters)
         _, unravel_fu = ravel_pytree(self.prob.f(self.prob.u0, self.p))
         return NonlinearSolution(
             u=self._unravel_u(self.carry.u), resid=unravel_fu(self.carry.fu),

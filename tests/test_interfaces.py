@@ -115,3 +115,48 @@ def test_unavailable_wrappers_raise():
     for ctor in [nls.PETScSNES, nls.KINSOL, nls.CMINPACK]:
         with pytest.raises(NotImplementedError, match="Native TPU"):
             ctor()
+
+
+def test_iterator_maxtime():
+    """MaxTime budget through the iterator interface (solve.jl:811-819)."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    cache = nls.init(prob, nls.NewtonRaphson(), maxiters=100000)
+    sol = cache.solve(maxtime=0.0)
+    assert int(sol.retcode) == int(nls.ReturnCode.MaxTime)
+    cache.reinit()
+    sol = cache.solve(maxtime=30.0)
+    assert bool(sol.success)
+
+
+@pytest.mark.parametrize("method", ["lu", "qr", "svd", "cholesky"])
+def test_linear_solver_methods(method):
+    def spd_newton(u, p):
+        return u + 0.1 * u ** 3 - p
+
+    prob = nls.NonlinearProblem(spd_newton, jnp.array([1.0, 2.0]),
+                                jnp.array([0.5, 1.0]))
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method=method)))
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
+
+
+@pytest.mark.parametrize("mode", ["forward", "reverse", "finite"])
+def test_jacobian_modes(mode):
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        autodiff=nls.JacobianPolicy(mode=mode)))
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-5)
+
+
+def test_iterator_maxtime_chunking():
+    """A solve needing more than one 16-step chunk must not pick up a
+    spurious MaxIters retcode at chunk boundaries."""
+
+    # Newton on u^3 contracts linearly (rate 2/3): ~30 steps from u0=5.
+    prob = nls.NonlinearProblem(lambda u, p: u ** 3, jnp.array([5.0]), 0.0)
+    cache = nls.init(prob, nls.NewtonRaphson(), maxiters=500, abstol=1e-13)
+    sol = cache.solve(maxtime=60.0)
+    assert bool(sol.success), int(sol.retcode)
+    assert cache.nsteps > 16  # actually crossed a chunk boundary
