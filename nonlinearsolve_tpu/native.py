@@ -89,6 +89,11 @@ def greedy_column_coloring(indptr, indices, n_rows, n_cols
         return None
     indptr = _i32(indptr)
     indices = _i32(indices)
+    # Malformed patterns must fail in Python, not scatter OOB in C.
+    if indices.size and (indices.min() < 0 or indices.max() >= n_cols):
+        raise ValueError(
+            f"sparsity pattern column index out of range "
+            f"[0, {n_cols}): min={indices.min()}, max={indices.max()}")
     colors = np.empty(n_cols, np.int32)
     n = lib.greedy_column_coloring(
         _ptr(indptr, ctypes.c_int32), _ptr(indices, ctypes.c_int32),

@@ -43,11 +43,26 @@ def detect_sparsity(f_flat: Callable, n: int, *, n_probes: int = 2,
 
 
 def pattern_from(obj, n_out: int, n_in: int) -> CSR:
-    """Normalize a user-provided sparsity spec (CSR, dense mask/array) to a
-    CSR pattern."""
+    """Normalize a user-provided sparsity spec (CSR, COO (rows, cols)
+    tuple, or dense mask/array) to a CSR pattern."""
     if isinstance(obj, CSR):
         return obj
+    if isinstance(obj, tuple) and len(obj) == 2:
+        rows = np.asarray(obj[0], np.int64)
+        cols = np.asarray(obj[1], np.int64)
+        if rows.ndim == 1 and cols.ndim == 1 and rows.shape == cols.shape:
+            if (rows.size and (rows.min() < 0 or rows.max() >= n_out
+                               or cols.min() < 0 or cols.max() >= n_in)):
+                raise ValueError(
+                    f"COO sparsity indices out of range for a "
+                    f"({n_out}, {n_in}) jacobian")
+            return CSR.from_pattern(rows, cols, (n_out, n_in))
     arr = np.asarray(obj)
+    if arr.shape != (n_out, n_in):
+        raise ValueError(
+            f"sparsity spec shape {arr.shape} does not match the "
+            f"({n_out}, {n_in}) jacobian; pass a dense mask, a CSR "
+            f"pattern, or a (rows, cols) COO tuple")
     mask = arr != 0
     rows, cols = np.nonzero(mask)
     return CSR.from_pattern(rows, cols, (n_out, n_in))

@@ -7,18 +7,22 @@ TPU-native direct methods here are **log-depth, fully vectorized**:
 * ``tridiagonal_solve_pcr`` — parallel cyclic reduction: ⌈log₂ n⌉ vectorized
   elimination sweeps, each a handful of shifted elementwise ops (VPU), no
   gathers, no sequential scan.  The classic GPU/TPU tridiagonal algorithm.
-* ``banded_solve`` — general banded systems: currently routed to PCR for
-  (1,1) bandwidth and dense LU otherwise (block cyclic reduction for wider
-  bands is the round-2 extension; the `csrc` bandwidth/RCM analysis already
-  computes the routing information).
+* ``block_tridiagonal_solve_pcr`` — block cyclic reduction: the same
+  log-depth recurrence at block granularity, with every sweep a batch of
+  (m, b, b) matmuls/solves — MXU work.  General banded systems with
+  bandwidth (kl, ku) are reblocked to block-tridiagonal with
+  ``b = max(kl, ku)`` and solved this way (the role KLU plays for the
+  reference's banded Jacobians).
 
-``solve_sparse_direct`` routes a CSR/DIA system appropriately.
+``solve_sparse_direct`` routes a CSR/DIA system appropriately:
+tridiagonal → scalar PCR; banded (bandwidth ≤ _BCR_MAX_BW) → block PCR;
+otherwise dense LU.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,9 +103,122 @@ def is_tridiagonal(A) -> bool:
     return False
 
 
+def block_tridiagonal_solve_pcr(L, D, U, y):
+    """Solve a block-tridiagonal system via block cyclic reduction.
+
+    ``L, D, U``: (m, b, b) sub/diag/super blocks (L[0] and U[m-1] ignored);
+    ``y``: (m, b) rhs.  ⌈log₂ m⌉ sweeps; each sweep is a batch of b×b
+    solves + matmuls over all m block rows — MXU-shaped work, no
+    sequential elimination.  Requires the reduced diagonal blocks to stay
+    nonsingular (diagonally-dominant Jacobians qualify)."""
+    m, b, _ = D.shape
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=D.dtype), (m, b, b))
+    L = L.at[0].set(0.0)
+    U = U.at[m - 1].set(0.0)
+
+    def shift_down(X, k, fill=None):   # X[i-k]
+        out = jnp.roll(X, k, axis=0)
+        pad = jnp.zeros_like(out[:k]) if fill is None else fill[:k]
+        return out.at[:k].set(pad)
+
+    def shift_up(X, k, fill=None):     # X[i+k]
+        out = jnp.roll(X, -k, axis=0)
+        pad = jnp.zeros_like(out[:k]) if fill is None else fill[:k]
+        return out.at[m - k:].set(pad[: min(k, m)])
+
+    steps = max(1, math.ceil(math.log2(max(m, 2))))
+    k = 1
+    for _ in range(steps):
+        kk = min(k, m)
+        Dd = shift_down(D, kk, eye)
+        Du = shift_up(D, kk, eye)
+        # alpha = -L @ inv(Dd)  computed as  -solve(Ddᵀ, Lᵀ)ᵀ  (batched)
+        alpha = -jnp.swapaxes(
+            jnp.linalg.solve(jnp.swapaxes(Dd, -1, -2),
+                             jnp.swapaxes(L, -1, -2)), -1, -2)
+        gamma = -jnp.swapaxes(
+            jnp.linalg.solve(jnp.swapaxes(Du, -1, -2),
+                             jnp.swapaxes(U, -1, -2)), -1, -2)
+        L_new = jnp.einsum("mij,mjk->mik", alpha, shift_down(L, kk))
+        U_new = jnp.einsum("mij,mjk->mik", gamma, shift_up(U, kk))
+        D_new = (D + jnp.einsum("mij,mjk->mik", alpha, shift_down(U, kk))
+                 + jnp.einsum("mij,mjk->mik", gamma, shift_up(L, kk)))
+        y_new = (y + jnp.einsum("mij,mj->mi", alpha, shift_down(y, kk))
+                 + jnp.einsum("mij,mj->mi", gamma, shift_up(y, kk)))
+        L, U, D, y = L_new, U_new, D_new, y_new
+        k *= 2
+
+    return jnp.linalg.solve(D, y[..., None])[..., 0]
+
+
+def dia_to_block_tridiag(A: DIA, b: int):
+    """Reblock a banded DIA matrix (all |offsets| ≤ b) into (L, D, U, m)
+    block-tridiagonal form with b×b blocks.  Index plumbing is host-side
+    numpy (the pattern is static); only the diagonal data is traced."""
+    n = A.shape[0]
+    m = -(-n // b)
+    npad = m * b
+    T = jnp.zeros((3, m, b, b), A.data.dtype)
+    r = np.arange(n)
+    for d, off in enumerate(A.offsets):
+        if abs(off) > b:
+            raise ValueError(f"offset {off} exceeds block size {b}")
+        c = r + off
+        valid = (c >= 0) & (c < n)
+        rv, cv = r[valid], c[valid]
+        I, q = rv // b, rv % b
+        J, p = cv // b, cv % b
+        delta = (J - I) + 1          # ∈ {0, 1, 2}
+        T = T.at[delta, I, q, p].add(A.data[d][valid])
+    # Identity rows for the zero padding [n, npad) keep D nonsingular.
+    if npad > n:
+        rpad = np.arange(n, npad)
+        T = T.at[1, rpad // b, rpad % b, rpad % b].add(1.0)
+    return T[0], T[1], T[2], m
+
+
+_BCR_MAX_BW = 64
+
+
+def bandwidth_of(A) -> Optional[Tuple[int, int]]:
+    """(kl, ku) of a CSR/DIA matrix, or None if not cheaply available."""
+    if isinstance(A, DIA):
+        return (max((-o for o in A.offsets if o < 0), default=0),
+                max((o for o in A.offsets if o > 0), default=0))
+    if isinstance(A, CSR):
+        from ..native import bandwidths
+        bw = bandwidths(A.indptr, A.indices, A.shape[0])
+        if bw is None:
+            offs = A.indices.astype(np.int64) - A.row_ids
+            if offs.size == 0:
+                return (0, 0)
+            return (int(max(-offs.min(), 0)), int(max(offs.max(), 0)))
+        return (int(bw[0]), int(bw[1]))
+    return None
+
+
+def banded_solve(A, rhs):
+    """Direct banded solve: scalar PCR for tridiagonal, block cyclic
+    reduction otherwise.  ``A`` is DIA (or CSR, converted)."""
+    if isinstance(A, CSR):
+        A = DIA.from_csr(A)
+    if is_tridiagonal(A):
+        dl, d, du = dia_tridiagonal_parts(A)
+        x = tridiagonal_solve_pcr(dl, d, du, rhs)
+        return x, jnp.all(jnp.isfinite(x))
+    kl, ku = bandwidth_of(A)
+    b = max(kl, ku, 1)
+    L, D, U, m = dia_to_block_tridiag(A, b)
+    n = A.shape[0]
+    ypad = jnp.zeros((m * b,), rhs.dtype).at[:n].set(rhs).reshape(m, b)
+    x = block_tridiagonal_solve_pcr(L, D, U, ypad).reshape(-1)[:n]
+    return x, jnp.all(jnp.isfinite(x))
+
+
 def solve_sparse_direct(A, b):
     """Direct solve of a sparse system: PCR for tridiagonal structure,
-    dense LU fallback otherwise.  Returns (x, success)."""
+    block cyclic reduction for banded (bandwidth ≤ 64), dense LU fallback
+    otherwise.  Returns (x, success)."""
     from .linear_solve import solve_dense
 
     if isinstance(A, CSR) and is_tridiagonal(A):
@@ -112,5 +229,9 @@ def solve_sparse_direct(A, b):
         # A[i, i-1] = dl_row[i]; DIA stores data[-1][i] = A[i, i-1] already.
         x = tridiagonal_solve_pcr(dl, d, du, b)
         return x, jnp.all(jnp.isfinite(x))
+    bw = bandwidth_of(A)
+    if bw is not None and 0 < max(bw) <= _BCR_MAX_BW \
+            and A.shape[0] > 4 * max(bw):
+        return banded_solve(A, b)
     dense = A.todense() if isinstance(A, (CSR, DIA)) else A
     return solve_dense(dense, b)

@@ -7,7 +7,7 @@ import pytest
 
 import nonlinearsolve_tpu as nls
 from nonlinearsolve_tpu.core.autodiff import JacobianPolicy
-from nonlinearsolve_tpu.ops.direct_sparse import (is_tridiagonal,
+from nonlinearsolve_tpu.ops.direct_sparse import (banded_solve, is_tridiagonal,
                                                   solve_sparse_direct,
                                                   tridiagonal_solve_pcr)
 from nonlinearsolve_tpu.ops.sparse import CSR, DIA
@@ -59,3 +59,74 @@ def test_newton_with_pcr_path():
     dense_sol = nls.solve(prob, nls.NewtonRaphson())
     np.testing.assert_allclose(np.asarray(sol.u), np.asarray(dense_sol.u),
                                atol=1e-9)
+
+
+class TestBlockCyclicReduction:
+    def _banded(self, n, kl, ku, seed):
+        rng = np.random.default_rng(seed)
+        offs = list(range(-kl, ku + 1))
+        data = np.zeros((len(offs), n))
+        A = np.zeros((n, n))
+        for k, off in enumerate(offs):
+            for i in range(n):
+                j = i + off
+                if 0 <= j < n:
+                    A[i, j] = rng.standard_normal()
+                    data[k, i] = A[i, j]
+        A += np.diag(np.abs(A).sum(1) + 1.0)
+        data[kl] = np.diag(A)
+        return A, DIA(jnp.asarray(data), offs, (n, n))
+
+    @pytest.mark.parametrize("n,kl,ku", [(50, 2, 2), (64, 3, 1), (37, 5, 5),
+                                         (100, 1, 4), (33, 7, 2)])
+    def test_banded_solve(self, n, kl, ku):
+        A, Ad = self._banded(n, kl, ku, seed=n + kl)
+        b = np.random.default_rng(1).standard_normal(n)
+        x, ok = banded_solve(Ad, jnp.asarray(b))
+        assert bool(ok)
+        np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-9)
+
+    def test_router_picks_bcr_for_csr(self):
+        A, _ = self._banded(80, 3, 3, seed=7)
+        b = np.random.default_rng(2).standard_normal(80)
+        x, ok = solve_sparse_direct(CSR.from_dense(A), jnp.asarray(b))
+        assert bool(ok)
+        np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-9)
+
+    def test_jit_compatible(self):
+        A, Ad = self._banded(40, 3, 3, seed=3)
+        b = jnp.asarray(np.random.default_rng(4).standard_normal(40))
+        x, ok = jax.jit(lambda d, v: banded_solve(Ad.with_data(d), v))(
+            Ad.data, b)
+        np.testing.assert_allclose(A @ np.asarray(x), np.asarray(b),
+                                   atol=1e-9)
+
+    def test_sparse_newton_pentadiagonal(self):
+        """Sparse-AD Newton on a bandwidth-2 stencil routes through block
+        cyclic reduction end-to-end (COO sparsity spec)."""
+        import nonlinearsolve_tpu as nls
+        n = 120
+
+        def f2(u, p):
+            up1 = jnp.pad(u[1:], (0, 1)); um1 = jnp.pad(u[:-1], (1, 0))
+            up2 = jnp.pad(u[2:], (0, 2)); um2 = jnp.pad(u[:-2], (2, 0))
+            return (0.01 * (-um2 + 4 * um1 - 6 * u + 4 * up1 - up2)
+                    + u + 0.1 * u ** 3 - p)
+
+        rows = [i for i in range(n) for _ in range(max(0, i - 2),
+                                                   min(n, i + 3))]
+        cols = [j for i in range(n) for j in range(max(0, i - 2),
+                                                   min(n, i + 3))]
+        fn = nls.NonlinearFunction(f=f2, sparsity=(np.array(rows),
+                                                   np.array(cols)))
+        prob = nls.NonlinearProblem(fn, jnp.zeros(n), 0.7 * jnp.ones(n))
+        sol = nls.solve(prob, nls.NewtonRaphson(
+            autodiff=nls.JacobianPolicy(mode="sparse")))
+        assert bool(sol.success)
+        assert float(jnp.max(jnp.abs(sol.resid))) < 1e-10
+
+    def test_bad_coo_spec_raises(self):
+        import nonlinearsolve_tpu as nls
+        from nonlinearsolve_tpu.ops.coloring import pattern_from
+        with pytest.raises(ValueError, match="out of range"):
+            pattern_from((np.array([0, 1]), np.array([0, 999])), 10, 10)
