@@ -45,6 +45,7 @@ from .solvers.first_order import EisenstatWalkerForcing
 from .core.conditioning import PostconditionSpecifier
 from .solvers.poly_homotopy import PolynomialHomotopy, solve_polynomial
 from .core.autodiff import JacobianPolicy
+from .core.initialization import InitializationData
 from .core.cache import NonlinearSolveCache, init
 from .core.ensemble import solve_ensemble
 from .core.tracing import (TraceAll, TraceConfig, TraceMinimal,

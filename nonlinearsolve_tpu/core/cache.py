@@ -150,6 +150,18 @@ class NonlinearSolveCache:
     def __init__(self, prob, alg, *, abstol=None, reltol=None, maxiters=1000,
                  termination_condition=None):
         from .problems import NonlinearProblem
+        # DAE-style initialization hook runs at init time too
+        # (solve.jl:686-697 runs run_initialization! inside __init).
+        init_data = getattr(getattr(prob, "f", None),
+                            "initialization_data", None)
+        if init_data is not None:
+            from .initialization import run_initialization
+            prob, init_sol, ok = run_initialization(prob, init_data)
+            if not ok:
+                raise RuntimeError(
+                    "initialization problem failed to converge "
+                    f"(retcode={int(init_sol.retcode)}); cannot build a "
+                    "solver cache from an inconsistent state")
         self.prob = prob
         self.alg = alg
         u0_flat, unravel_u = ravel_pytree(prob.u0)

@@ -46,13 +46,15 @@ class NonlinearFunction:
     sparsity: Any = None
     colorvec: Any = None
     resid_prototype: Any = None
+    initialization_data: Any = None
 
     def __call__(self, u, p=None):
         return self.f(u, p)
 
     def __hash__(self):
         return hash((self.f, self.jac, self.jvp, self.vjp, id(self.jac_prototype),
-                     id(self.sparsity), id(self.colorvec)))
+                     id(self.sparsity), id(self.colorvec),
+                     id(self.initialization_data)))
 
 
 def _wrap_function(f) -> NonlinearFunction:

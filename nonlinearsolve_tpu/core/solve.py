@@ -68,6 +68,16 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
         prob = prob.to_nonlinear()
     merged = {**prob.kwargs, **kwargs}
 
+    # DAE-style initialization hook (initialization.jl:3-38): solve the
+    # consistent-initialization sub-problem first; abort on failure.
+    init_data = getattr(getattr(prob, "f", None), "initialization_data", None)
+    if init_data is not None:
+        from .initialization import (initial_failure_solution,
+                                     run_initialization)
+        prob, init_sol, ok = run_initialization(prob, init_data)
+        if not ok:
+            return initial_failure_solution(prob, init_sol)
+
     if isinstance(prob, IntervalNonlinearProblem):
         from ..solvers.wrappers import SciPyRootScalar, solve_wrapper
         if isinstance(alg, SciPyRootScalar):

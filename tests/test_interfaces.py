@@ -160,3 +160,47 @@ def test_iterator_maxtime_chunking():
     sol = cache.solve(maxtime=60.0)
     assert bool(sol.success), int(sol.retcode)
     assert cache.nsteps > 16  # actually crossed a chunk boundary
+
+
+class TestInitializationHook:
+    """DAE-style initialization (reference initialization.jl:3-38)."""
+
+    def _main_f(self, u, p):
+        return jnp.array([u[0] + u[1] - p, u[1] ** 2 - u[0]])
+
+    def test_consistent_init_runs_first(self):
+        init_prob = nls.NonlinearProblem(lambda z, q: z ** 2 - q,
+                                         jnp.array([0.5]), 1.0)
+        idata = nls.InitializationData(
+            initializeprob=init_prob,
+            initializeprobmap=lambda sol: jnp.concatenate(
+                [jnp.array([1.0]), sol.u]))
+        fn = nls.NonlinearFunction(f=self._main_f,
+                                   initialization_data=idata)
+        sol = nls.solve(nls.NonlinearProblem(fn, jnp.array([9.0, 9.0]), 2.0),
+                        nls.NewtonRaphson())
+        assert bool(sol.success)
+        np.testing.assert_allclose(np.asarray(sol.u), [1.0, 1.0], atol=1e-9)
+
+    def test_failed_init_aborts_with_initial_failure(self):
+        bad = nls.NonlinearProblem(lambda z, q: z ** 2 + 1.0,
+                                   jnp.array([0.5]), None)
+        fn = nls.NonlinearFunction(
+            f=self._main_f,
+            initialization_data=nls.InitializationData(initializeprob=bad))
+        sol = nls.solve(nls.NonlinearProblem(fn, jnp.array([9.0, 9.0]), 2.0),
+                        nls.NewtonRaphson())
+        assert int(sol.retcode) == int(nls.ReturnCode.InitialFailure)
+        assert sol.original is not None  # init sub-solution provenance
+
+    def test_pmap_updates_parameters(self):
+        init_prob = nls.NonlinearProblem(lambda z, q: z ** 2 - q,
+                                         jnp.array([0.5]), 1.0)
+        idata = nls.InitializationData(
+            initializeprob=init_prob,
+            initializeprobpmap=lambda sol, p: float(sol.u[0]) + 1.0)
+        fn = nls.NonlinearFunction(f=lambda u, p: u - p,
+                                   initialization_data=idata)
+        sol = nls.solve(nls.NonlinearProblem(fn, jnp.array([0.0]), 99.0),
+                        nls.NewtonRaphson())
+        np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-10)
