@@ -215,9 +215,60 @@ def banded_solve(A, rhs):
     return x, jnp.all(jnp.isfinite(x))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _rcm_band_plan(indptr_bytes, indices_bytes, n):
+    """Host-side symbolic pass: RCM-order a general CSR pattern and check
+    whether the permuted pattern is banded enough for block cyclic
+    reduction (the fill-reducing-ordering role AMD plays inside KLU).
+
+    Returns (perm, pinv, offsets, scatter plans) or None.  Cached on the
+    raw pattern bytes — the pattern is static across a jitted solve."""
+    from ..native import rcm_ordering
+    indptr = np.frombuffer(indptr_bytes, np.int32)
+    indices = np.frombuffer(indices_bytes, np.int32)
+    perm = rcm_ordering(indptr, indices, n)
+    if perm is None:
+        return None
+    pinv = np.empty(n, np.int64)
+    pinv[perm] = np.arange(n)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    new_r = pinv[row_ids]
+    new_c = pinv[indices.astype(np.int64)]
+    offs = new_c - new_r
+    kl, ku = int(max(-offs.min(), 0)), int(max(offs.max(), 0))
+    if max(kl, ku) == 0 or max(kl, ku) > _BCR_MAX_BW or n <= 4 * max(kl, ku):
+        return None
+    uniq = np.unique(offs)
+    # per-diagonal scatter plan: (dia index, permuted row, csr data index)
+    plans = []
+    for d, off in enumerate(uniq):
+        sel = np.nonzero(offs == off)[0]
+        plans.append((d, new_r[sel], sel))
+    return perm, pinv, tuple(int(o) for o in uniq), tuple(plans)
+
+
+def _rcm_banded_solve(A: CSR, b):
+    plan = _rcm_band_plan(A.indptr.tobytes(), A.indices.tobytes(),
+                          A.shape[0])
+    if plan is None:
+        return None
+    perm, pinv, offsets, scatters = plan
+    n = A.shape[0]
+    data = jnp.zeros((len(offsets), n), A.data.dtype)
+    for d, rows, sel in scatters:
+        data = data.at[d, rows].set(A.data[sel])
+    B = DIA(data, offsets, (n, n))      # B = P A Pᵀ, banded
+    z, ok = banded_solve(B, b[jnp.asarray(perm)])
+    return z[jnp.asarray(pinv)], ok
+
+
 def solve_sparse_direct(A, b):
     """Direct solve of a sparse system: PCR for tridiagonal structure,
-    block cyclic reduction for banded (bandwidth ≤ 64), dense LU fallback
+    block cyclic reduction for banded (bandwidth ≤ 64) — directly or
+    after an RCM reordering recovers bandedness — dense LU fallback
     otherwise.  Returns (x, success)."""
     from .linear_solve import solve_dense
 
@@ -233,5 +284,9 @@ def solve_sparse_direct(A, b):
     if bw is not None and 0 < max(bw) <= _BCR_MAX_BW \
             and A.shape[0] > 4 * max(bw):
         return banded_solve(A, b)
+    if isinstance(A, CSR) and A.shape[0] > 16:
+        out = _rcm_banded_solve(A, b)
+        if out is not None:
+            return out
     dense = A.todense() if isinstance(A, (CSR, DIA)) else A
     return solve_dense(dense, b)

@@ -130,3 +130,25 @@ class TestBlockCyclicReduction:
         from nonlinearsolve_tpu.ops.coloring import pattern_from
         with pytest.raises(ValueError, match="out of range"):
             pattern_from((np.array([0, 1]), np.array([0, 999])), 10, 10)
+
+    def test_rcm_recovers_scrambled_band(self):
+        """A banded matrix under a random symmetric permutation looks
+        general-sparse; the RCM plan recovers bandedness -> BCR route."""
+        rng = np.random.default_rng(0)
+        n = 120
+        A0, _ = self._banded(n, 3, 3, seed=9)
+        sigma = rng.permutation(n)
+        A = A0[np.ix_(sigma, sigma)]
+        b = rng.standard_normal(n)
+        x, ok = solve_sparse_direct(CSR.from_dense(A), jnp.asarray(b))
+        assert bool(ok)
+        np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-9)
+
+    def test_unstructured_falls_back_dense(self):
+        rng = np.random.default_rng(3)
+        A = np.eye(40) * 5 + ((rng.random((40, 40)) < 0.2)
+                              * rng.standard_normal((40, 40)))
+        b = rng.standard_normal(40)
+        x, ok = solve_sparse_direct(CSR.from_dense(A), jnp.asarray(b))
+        assert bool(ok)
+        np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-9)
