@@ -91,15 +91,32 @@ def differentiable_root(make_f_flat: Callable, run_solver: Callable):
         carry = root(u0_flat, p, aux)
         u_star = carry.u
 
-        # b = (∂f/∂p)·ṗ at the root (linear in ṗ; float0 tangents for
-        # integer/None leaves are handled by jvp natively).
-        def f_of_p(pp):
-            return make_f_flat(pp, aux)(u_star)
-
-        _, b = jax.jvp(f_of_p, (p,), (p_dot,))
-
+        # Non-square residual (least squares): the root is a stationary
+        # point of ½‖F‖², so the IFT applies to the stationarity system
+        # g(u, p) = J(u, p)ᵀ F(u, p) = 0 instead of F itself.  Computing g
+        # via jax.vjp makes ∂g/∂u the EXACT Gauss-Newton Hessian
+        # JᵀJ + Σᵢ Fᵢ∇²Fᵢ (second-order terms included by AD), which is
+        # what the reference's NLLS adjoint uses (solve.jl:896-929).
         f_fixed = make_f_flat(p, aux)
-        u_dot = -_ift_linear_solve(f_fixed, u_star, b)
+        is_square = f_fixed(u_star).size == u_star.size
+
+        if is_square:
+            def residual_of(pp):
+                return make_f_flat(pp, aux)
+        else:
+            def residual_of(pp):
+                f_pp = make_f_flat(pp, aux)
+
+                def g(u):
+                    Fu, vjp_fn = jax.vjp(f_pp, u)
+                    return vjp_fn(Fu)[0]
+
+                return g
+
+        # b = (∂g/∂p)·ṗ at the root (linear in ṗ; float0 tangents for
+        # integer/None leaves are handled by jvp natively).
+        _, b = jax.jvp(lambda pp: residual_of(pp)(u_star), (p,), (p_dot,))
+        u_dot = -_ift_linear_solve(residual_of(p), u_star, b)
 
         # fu tangent at the root: J u̇ + (∂f/∂p)ṗ = -b + b = 0.
         carry_dot = jax.tree_util.tree_map(zeros_like_leaf, carry)

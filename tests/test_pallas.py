@@ -37,3 +37,21 @@ def test_dia_spmv_pallas():
     x = jnp.asarray(np.random.default_rng(1).standard_normal(n))
     y = dia_spmv_pallas(dia.data, dia.offsets, x)
     np.testing.assert_allclose(np.asarray(y), A @ np.asarray(x), atol=1e-12)
+
+
+def test_brusselator_jvp_bf16():
+    """Mixed-precision matvec factory: bf16 compute, f32 in/out, ~1e-2
+    relative error budget (inexact Newton-Krylov / preconditioner use)."""
+    from nonlinearsolve_tpu.ops.pallas_stencil import (
+        brusselator_jvp, make_brusselator_jvp_bf16)
+    N = 32
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.random((N, N, 2)), jnp.float32)
+    T = jnp.asarray(rng.standard_normal((N, N, 2)), jnp.float32)
+    p = jnp.asarray([3.4, 1.0, 10.0, 1.0 / (N - 1)], jnp.float32)
+    ref = brusselator_jvp(U, T, p)
+    out = make_brusselator_jvp_bf16(U, p)(T)
+    assert out.dtype == jnp.float32
+    rel = float(jnp.linalg.norm((out - ref).ravel())
+                / jnp.linalg.norm(ref.ravel()))
+    assert rel < 2e-2, rel

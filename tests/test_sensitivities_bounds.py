@@ -130,3 +130,37 @@ def test_postcondition_specifier_with_bounds():
             lambda up, upr, p: jnp.clip(up, 0.1, 5.0), space="original"))
     assert bool(sol.success)
     np.testing.assert_allclose(float(sol.u[0]), np.sqrt(2.0), rtol=1e-8)
+
+
+class TestNLLSSensitivity:
+    """IFT through least-squares solves: the stationarity system
+    g = J'F = 0 (exact second-order terms via vjp-of-vjp)."""
+
+    ts = jnp.linspace(0.0, 1.0, 12)
+
+    def _fit(self, theta, alg, noise=0.0, abstol=None):
+        target = theta[0] * jnp.exp(theta[1] * self.ts) + noise
+        def resid(u, p):
+            return u[0] * jnp.exp(u[1] * self.ts) - p
+        prob = nls.NonlinearLeastSquaresProblem(resid, jnp.array([1.0, -1.0]),
+                                                target)
+        kw = {} if abstol is None else {"abstol": abstol}
+        return nls.solve(prob, alg, **kw).u
+
+    def test_jacrev_exact_fit(self):
+        for alg in [nls.GaussNewton(), nls.LevenbergMarquardt()]:
+            g = jax.jacrev(lambda th: self._fit(th, alg))(
+                jnp.array([2.0, -1.5]))
+            np.testing.assert_allclose(np.asarray(g), np.eye(2), atol=1e-5)
+
+    def test_jacfwd_nonzero_residual_matches_fd(self):
+        noise = jnp.asarray(np.random.default_rng(0).standard_normal(12) * 0.1)
+        f = lambda th: self._fit(th, nls.GaussNewton(), noise, abstol=1e-12)
+        th = jnp.array([2.0, -1.5])
+        g = jax.jacfwd(f)(th)
+        eps = 1e-6
+        fd = np.column_stack([
+            (np.asarray(f(th + eps * jnp.eye(2)[i]))
+             - np.asarray(f(th - eps * jnp.eye(2)[i]))) / (2 * eps)
+            for i in range(2)])
+        np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-4)

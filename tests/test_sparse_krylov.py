@@ -143,3 +143,21 @@ def test_analytic_jvp_operator_path():
         linsolve=nls.LinearSolver(method="gmres")))
     assert bool(sol.success)
     np.testing.assert_allclose(np.asarray(sol.u), 2.0, rtol=1e-8)
+
+
+def test_gmres_cgs2_ill_conditioned():
+    """CGS2 reorthogonalization keeps the Arnoldi basis orthogonal on an
+    ill-conditioned system (plain CGS loses orthogonality as O(eps*k^m))."""
+    from nonlinearsolve_tpu.ops.krylov import gmres
+    rng = np.random.default_rng(0)
+    n = 80
+    # condition number ~1e8 via graded singular values
+    Uq, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    Vq, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.logspace(0, -8, n)
+    A = jnp.asarray(Uq @ np.diag(s) @ Vq.T)
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(np.asarray(A) @ xstar)
+    res = gmres(lambda v: A @ v, b, restart=n, rtol=1e-10, maxiter=3 * n)
+    rel = float(jnp.linalg.norm(A @ res.x - b) / jnp.linalg.norm(b))
+    assert rel < 1e-9, rel
