@@ -134,14 +134,25 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
             V, H, cs, sn, g, done, niters = carry
             w = M(matvec(_tmap(lambda Vl: Vl[k], V)))
             # Classical Gram-Schmidt against the first k+1 basis vectors in
-            # one batched reduction (masked; static shapes), then a second
-            # pass (CGS2) to restore orthogonality.
+            # one batched reduction (masked; static shapes).  A second pass
+            # (CGS2) restores MGS-level orthogonality, but doubles the
+            # basis traffic — the dominant HBM cost per iteration — so it
+            # runs only when the Rutishauser criterion detects cancellation
+            # (‖w_orth‖ < ‖w‖/√2), which well-preconditioned solves never
+            # trigger.
             mask = (jnp.arange(m + 1) <= k).astype(dtype)
+            w_norm0 = l2_norm(w)
             h = basis_dots(V, w) * mask
             w = _sub(w, basis_comb(V, h))
-            h2 = basis_dots(V, w) * mask
-            w = _sub(w, basis_comb(V, h2))
-            h = h + h2
+
+            def reorth(args):
+                w, h = args
+                h2 = basis_dots(V, w) * mask
+                return _sub(w, basis_comb(V, h2)), h + h2
+
+            w, h = jax.lax.cond(
+                l2_norm(w) < 0.7071 * w_norm0, reorth,
+                lambda args: args, (w, h))
             h_next = l2_norm(w)
             happy = h_next <= 1e-14 * jnp.abs(g[0])
             V = basis_set(V, k + 1,
