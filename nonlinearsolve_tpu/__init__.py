@@ -46,6 +46,7 @@ from .core.conditioning import PostconditionSpecifier
 from .solvers.poly_homotopy import PolynomialHomotopy, solve_polynomial
 from .core.autodiff import JacobianPolicy
 from .core.initialization import InitializationData
+from .solvers.anderson import AndersonAcceleration
 from .core.cache import NonlinearSolveCache, init
 from .core.ensemble import solve_ensemble
 from .core.tracing import (TraceAll, TraceConfig, TraceMinimal,

@@ -25,6 +25,10 @@ def run_algorithm(alg, ctx, term_cfg, jac_spec, u0_flat, abstol, reltol,
     if isinstance(alg, GeneralizedDFSane):
         return run_dfsane(alg, ctx, term_cfg, u0_flat, abstol, reltol,
                           maxiters)
+    from .anderson import AndersonAcceleration, run_anderson
+    if isinstance(alg, AndersonAcceleration):
+        return run_anderson(alg, ctx, term_cfg, u0_flat, abstol, reltol,
+                            maxiters)
     from .polyalg import NonlinearSolvePolyAlgorithm, run_polyalg
     if isinstance(alg, NonlinearSolvePolyAlgorithm):
         return run_polyalg(alg, ctx, term_cfg, jac_spec, u0_flat, abstol,

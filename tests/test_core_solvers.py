@@ -214,3 +214,40 @@ def test_complex_eltype():
         sol = nls.solve(prob, alg)
         assert bool(sol.success)
         np.testing.assert_allclose(complex(sol.u[0]), expected, rtol=1e-8)
+
+
+def test_anderson_acceleration():
+    """TPU-native Anderson (Walker-Ni type II) — the role the reference's
+    FixedPointAcceleration/SpeedMapping wrappers play."""
+    import nonlinearsolve_tpu as nls
+    # Root finding through the damped fixed-point map
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.AndersonAcceleration(beta=-0.5))
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-8)
+
+    # Genuine fixed point u = cos(u): Anderson should beat plain Picard
+    # (Picard needs ~52 iterations at 1e-9)
+    prob2 = nls.NonlinearProblem(lambda u, p: jnp.cos(u) - u,
+                                 jnp.array([0.0]), None)
+    sol2 = nls.solve(prob2, nls.AndersonAcceleration())
+    assert bool(sol2.success)
+    np.testing.assert_allclose(float(sol2.u[0]), 0.7390851332151607,
+                               rtol=1e-8)
+    assert int(sol2.stats.nsteps) < 40
+
+    # 100-d near-singular smoothing map (rho ~ 0.96): converges to the
+    # conditioning-limited accuracy
+    n = 100
+    A = jnp.asarray(np.eye(n) * 0.4 + np.diag(np.ones(n - 1) * 0.28, 1)
+                    + np.diag(np.ones(n - 1) * 0.28, -1))
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    prob3 = nls.NonlinearProblem(
+        lambda u, p: A @ u + 0.05 * jnp.tanh(u) + p - u, jnp.zeros(n), b)
+    sol3 = nls.solve(prob3, nls.AndersonAcceleration(m=8), abstol=1e-8,
+                     maxiters=500)
+    # Near-singular (rho ~ 0.96): safe-mode stall detection may classify
+    # the tail plateau as Stalled; the best iterate must still be accurate.
+    assert int(sol3.retcode) in (int(nls.ReturnCode.Success),
+                                 int(nls.ReturnCode.Stalled))
+    assert float(jnp.max(jnp.abs(sol3.resid))) < 1e-7
