@@ -41,12 +41,26 @@ def main():
     # end-to-end (raveled layout costs a relayout per matvec: 24x slower)
     # and the whole fused JVP runs VMEM-resident (ops/pallas_stencil.py,
     # ~10% over the XLA-fused roll pipeline; VPU-bound on the shifts).
-    from nonlinearsolve_tpu.ops.pallas_stencil import brusselator_jvp
+    from nonlinearsolve_tpu.ops.pallas_stencil import (brusselator_jvp,
+                                                       brusselator_jvp_scaled)
     lin = lambda t: brusselator_jvp(u0, t, p)
     n_iters = 200
 
     @jax.jit
     def spmv_scan(v):
+        # Fused chain step: scale-on-read + in-kernel absmax — one
+        # 3-in/2-out HBM round-trip per matvec, no separate normalize pass.
+        def body(carry, _):
+            c, s = carry
+            w, m = brusselator_jvp_scaled(u0, c, p, 1.0 / s)
+            return (w, jnp.maximum(m, jnp.float32(1.0))), None
+
+        (out, _), _ = jax.lax.scan(body, (v, jnp.float32(1.0)), None,
+                                   length=n_iters)
+        return out
+
+    @jax.jit
+    def _spmv_scan_unfused(v):
         def body(carry, _):
             w = lin(carry)
             # cheap normalization keeps values finite without leaving the VPU

@@ -47,6 +47,7 @@ from .solvers.poly_homotopy import PolynomialHomotopy, solve_polynomial
 from .core.autodiff import JacobianPolicy
 from .core.initialization import InitializationData
 from .solvers.anderson import AndersonAcceleration
+from .solvers.multistart import polynomialize, solve_multistart
 from .core.cache import NonlinearSolveCache, init
 from .core.ensemble import solve_ensemble
 from .core.tracing import (TraceAll, TraceConfig, TraceMinimal,

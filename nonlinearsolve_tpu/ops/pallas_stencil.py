@@ -113,6 +113,60 @@ def brusselator_jvp(U, T, p):
     return jnp.stack([ou, ov], axis=-1)
 
 
+def _brusselator_jvp_scaled_kernel(u_ref, v_ref, tu_ref, tv_ref, params_ref,
+                                   ou_ref, ov_ref, max_ref):
+    u = u_ref[:]
+    al = params_ref[0, 0].astype(u.dtype)
+    ap1 = params_ref[0, 1].astype(u.dtype)
+    A = params_ref[0, 2].astype(u.dtype)
+    inv_s = params_ref[0, 3].astype(u.dtype)
+    v = v_ref[:]
+    tu = tu_ref[:] * inv_s          # scale applied on read: J(t/s) = J(t)/s
+    tv = tv_ref[:] * inv_s
+    two_uv = 2.0 * u * v
+    u2 = u * u
+    ou = al * _periodic_lap(tu) + (two_uv - ap1) * tu + u2 * tv
+    ov = al * _periodic_lap(tv) + (A - two_uv) * tu - u2 * tv
+    ou_ref[:] = ou
+    ov_ref[:] = ov
+    max_ref[0, 0] = jnp.maximum(jnp.max(jnp.abs(ou)), jnp.max(jnp.abs(ov)))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def brusselator_jvp_scaled(U, T, p, inv_scale):
+    """Fused ``(J · (T · inv_scale), max|out|)`` in ONE kernel pass.
+
+    Chained matvec loops (power iteration, SpMV benchmarks, Krylov-free
+    smoothers) need a normalization between applications to stay finite;
+    doing it as a separate XLA op costs two extra full passes over the
+    state per iteration.  Here the scale is applied as the tangent is read
+    from VMEM and the output's absmax is reduced to an SMEM scalar — the
+    whole chain step is a single 3-in/2-out HBM round-trip.
+    """
+    A, B, alpha, dx = p[0], p[1], p[2], p[3]
+    al = alpha / dx ** 2
+    N = U.shape[0]
+    dtype = U.dtype
+    pdtype = jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
+    params = jnp.stack([al.astype(pdtype), (A + 1.0).astype(pdtype),
+                        A.astype(pdtype),
+                        jnp.asarray(inv_scale, pdtype)]).reshape(1, 4)
+    u, v = U[..., 0], U[..., 1]
+    tu, tv = T[..., 0], T[..., 1]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ou, ov, mx = pl.pallas_call(
+        _brusselator_jvp_scaled_kernel,
+        out_shape=(jax.ShapeDtypeStruct((N, N), dtype),
+                   jax.ShapeDtypeStruct((N, N), dtype),
+                   jax.ShapeDtypeStruct((1, 1), pdtype)),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(spec, spec, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=_interpret(),
+    )(u, v, tu, tv, params)
+    return jnp.stack([ou, ov], axis=-1), mx[0, 0]
+
+
 def make_brusselator_jvp_bf16(U, p):
     """Mixed-precision matvec factory: returns ``mv(T) -> J·T`` with the
     frozen state pre-cast to bfloat16 (once per Newton step) and the

@@ -55,3 +55,20 @@ def test_brusselator_jvp_bf16():
     rel = float(jnp.linalg.norm((out - ref).ravel())
                 / jnp.linalg.norm(ref.ravel()))
     assert rel < 2e-2, rel
+
+
+def test_brusselator_jvp_scaled():
+    """Fused scale-on-read + in-kernel absmax chain step: matches the
+    unfused J(T/s) exactly and reports max|out|."""
+    from nonlinearsolve_tpu.ops.pallas_stencil import (
+        brusselator_jvp, brusselator_jvp_scaled)
+    N = 32
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.random((N, N, 2)), jnp.float32)
+    T = jnp.asarray(rng.standard_normal((N, N, 2)), jnp.float32)
+    p = jnp.asarray([3.4, 1.0, 10.0, 1.0 / (N - 1)], jnp.float32)
+    ref = brusselator_jvp(U, T / 2.0, p)
+    out, m = brusselator_jvp_scaled(U, T, p, 0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    np.testing.assert_allclose(float(m), float(jnp.max(jnp.abs(ref))),
+                               rtol=1e-6)

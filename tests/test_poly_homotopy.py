@@ -60,3 +60,47 @@ def test_parametrized_polynomial():
                            real_only=True)
     np.testing.assert_allclose(np.sort(np.asarray(sol.u).ravel()),
                                [-3.0, 3.0], atol=1e-8)
+
+
+class TestMultistart:
+    """Taylor polynomialization + multistart (solvers/multistart.py)."""
+
+    def test_scalar_sin(self):
+        prob = nls.NonlinearProblem(lambda u, p: jnp.sin(u),
+                                    jnp.array([1.0]), None)
+        roots = np.sort(np.asarray(nls.solve_multistart(prob,
+                                                        order=3)).ravel())
+        np.testing.assert_allclose(roots, [0.0, np.pi], atol=1e-9)
+
+    def test_polynomial_system_all_roots(self):
+        def f2(u, p):
+            return jnp.array([u[0] ** 2 + u[1] ** 2 - 4.0,
+                              u[0] * u[1] - 1.0])
+        prob = nls.NonlinearProblem(f2, jnp.array([1.0, 1.0]), None)
+        roots = np.asarray(nls.solve_multistart(prob, order=2))
+        assert roots.shape[0] == 4
+        for r in roots:
+            assert abs(r[0] ** 2 + r[1] ** 2 - 4) < 1e-8
+            assert abs(r[0] * r[1] - 1) < 1e-8
+
+    def test_transcendental_equilibria(self):
+        def f3(u, p):
+            return jnp.array([u[0] - u[0] ** 3 - 0.2 * u[1],
+                              u[1] - jnp.tanh(u[0])])
+        prob = nls.NonlinearProblem(f3, jnp.array([0.5, 0.5]), None)
+        roots = np.asarray(nls.solve_multistart(prob, order=3))
+        assert roots.shape[0] == 3   # +/- branch and the origin
+        for r in roots:
+            assert np.abs(np.asarray(f3(jnp.asarray(r), None))).max() < 1e-8
+
+    def test_polynomialize_exactness(self):
+        """A degree-2 residual is reproduced exactly by its order-2 model."""
+        def f(u, p):
+            return jnp.array([u[0] ** 2 - u[1], u[0] + u[1] ** 2 - 3.0])
+        poly_f, degrees = nls.polynomialize(f, jnp.array([0.3, -0.7]), None,
+                                            order=2)
+        assert degrees == (2, 2)
+        for pt in [[1.0, 2.0], [-3.0, 0.5]]:
+            np.testing.assert_allclose(
+                np.asarray(poly_f(jnp.asarray(pt))),
+                np.asarray(f(jnp.asarray(pt), None)), atol=1e-10)
