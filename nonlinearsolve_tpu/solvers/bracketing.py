@@ -551,10 +551,44 @@ def _make_step(f, alg, left0, right0, fl0, fr0, abstol):
     raise ValueError(f"unknown bracketing algorithm {alg!r}")
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _bracket_root(f, alg, left, right, p, abstol, maxiters):
+    return _run_bracketing(lambda x: f(x, p), alg, left, right, abstol,
+                           maxiters)
+
+
+@_bracket_root.defjvp
+def _bracket_root_jvp(f, alg, primals, tangents):
+    """Scalar IFT through the bracketing solve: u̇ = −(∂f/∂p·ṗ)/(∂f/∂u).
+
+    The bisection-family iterations use non-differentiable primitives
+    (nextafter, sign tests), so — like the reference's ForwardDiff
+    extension (lib/BracketingNonlinearSolve ext) — the solve runs on
+    primals and the sensitivity is attached analytically at the root.
+    Tangents w.r.t. the bracket endpoints and tolerances are zero."""
+    left, right, p, abstol, maxiters = primals
+    _, _, p_dot, _, _ = tangents
+    final = _bracket_root(f, alg, left, right, p, abstol, maxiters)
+    u = final.u
+
+    dfdu = jax.grad(lambda x: f(x, p))(u)
+    _, dfp = jax.jvp(lambda pp: f(u, pp), (p,), (p_dot,))
+    u_dot = -dfp / jnp.where(dfdu == 0, jnp.ones_like(dfdu), dfdu)
+
+    def zeros_like_leaf(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    final_dot = jax.tree_util.tree_map(zeros_like_leaf, final)
+    final_dot = final_dot.replace(u=u_dot)
+    return final, final_dot
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _jitted_bracket(f, alg, left, right, p, abstol, maxiters):
-    fp = lambda x: f(x, p)
-    return _run_bracketing(fp, alg, left, right, abstol, maxiters)
+    return _bracket_root(f, alg, left, right, p, abstol, maxiters)
 
 
 def solve_bracketing(prob: IntervalNonlinearProblem, alg=None, *, abstol=None,

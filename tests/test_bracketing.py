@@ -73,3 +73,21 @@ def test_vmap_bracketing():
     roots = jax.vmap(solve_one)(jnp.array([1.0, 4.0, 9.0, 16.0]))
     np.testing.assert_allclose(np.asarray(roots), [1.0, 2.0, 3.0, 4.0],
                                atol=1e-8)
+
+
+def test_gradients_through_bracketing():
+    """Scalar IFT custom-jvp: grad/jacfwd/hessian through bracketing
+    solves (the reference's ForwardDiff bracketing extension role)."""
+    import jax
+
+    def root_of(p, alg=None):
+        prob = nls.IntervalNonlinearProblem(lambda u, q: u ** 2 - q,
+                                            (0.1, 5.0), p)
+        return nls.solve(prob, alg).u
+
+    expected = 1 / (2 * np.sqrt(2))
+    for alg in [nls.ITP(), nls.Bisection(), nls.Brent(), None]:
+        g = jax.grad(lambda p: root_of(p, alg))(2.0)
+        np.testing.assert_allclose(float(g), expected, rtol=1e-8)
+    h = jax.grad(jax.grad(root_of))(2.0)
+    np.testing.assert_allclose(float(h), -1 / (4 * 2 ** 1.5), rtol=1e-8)
