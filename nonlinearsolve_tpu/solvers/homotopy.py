@@ -669,6 +669,55 @@ def _jitted_homotopy(plan, u0, p, lam0, lam1, abstol, reltol, maxiters):
             final.lam)
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _homotopy_root(plan, u0, p, lam0, lam1, abstol, reltol, maxiters):
+    return _jitted_homotopy(plan, u0, p, lam0, lam1, abstol, reltol,
+                            maxiters)
+
+
+@_homotopy_root.defjvp
+def _homotopy_root_jvp(plan, primals, tangents):
+    """IFT through a continuation solve: the tracker's while_loops are not
+    reverse-differentiable, so the sweep runs on primals and the
+    sensitivity ``J_u u̇ = −(∂f/∂p)ṗ`` is attached at the landing point
+    (λ_last, which equals λ₁ on success).  Mirrors how the reference's
+    HomotopyContinuation extension handles dual numbers."""
+    u0, p, lam0, lam1, abstol, reltol, maxiters = primals
+    _, p_dot, *_ = tangents
+    out = _homotopy_root(plan, u0, p, lam0, lam1, abstol, reltol, maxiters)
+    u, fu, retcode, stats, lam_last = out
+    f_raw = plan[0].f
+
+    # On success the driver has LANDED at λ₁ exactly (arclength's
+    # ``lam_last`` is its continuation variable, which can overshoot);
+    # only a failed sweep leaves the root at an intermediate λ.
+    from ..core.returncode import ReturnCode as _RC
+    lam_ift = jnp.where(retcode == jnp.int32(_RC.Success), lam1,
+                        jnp.clip(lam_last, jnp.minimum(lam0, lam1),
+                                 jnp.maximum(lam0, lam1)))
+
+    u_flat, unravel_u = ravel_pytree(u)
+
+    def g(u_vec, pp):
+        vec, _ = ravel_pytree(f_raw(unravel_u(u_vec), pp, lam_ift))
+        return vec
+
+    J = jax.jacfwd(lambda uv: g(uv, p))(u_flat)
+    _, b = jax.jvp(lambda pp: g(u_flat, pp), (p,), (p_dot,))
+    n = u_flat.size
+    u_dot_flat = -jnp.linalg.solve(J.reshape(n, n), b.reshape(n))
+    u_dot = unravel_u(u_dot_flat)
+
+    def zeros_like_leaf(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    out_dot = jax.tree_util.tree_map(zeros_like_leaf, out)
+    return out, (u_dot, out_dot[1], out_dot[2], out_dot[3], out_dot[4])
+
+
 def _solve_homotopy_single(prob, alg, *, abstol=None, reltol=None,
                            maxiters=1000, **_ignored):
     u0_flat, _ = ravel_pytree(prob.u0)
@@ -678,7 +727,7 @@ def _solve_homotopy_single(prob, alg, *, abstol=None, reltol=None,
     lam0, lam1 = prob.lambdaspan
     is_kant = isinstance(alg, KantorovichHomotopy)
     plan = (prob.f, alg, is_kant)
-    u, fu, retcode, stats, lam_last = _jitted_homotopy(
+    u, fu, retcode, stats, lam_last = _homotopy_root(
         plan, prob.u0, prob.p, jnp.asarray(lam0, dtype),
         jnp.asarray(lam1, dtype), abstol_v, reltol_v, jnp.int32(maxiters))
     sol = NonlinearSolution(u=u, resid=fu, retcode=retcode, stats=stats,

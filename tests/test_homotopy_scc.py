@@ -111,3 +111,19 @@ def test_scc_failure_propagates():
     prob = nls.SCCNonlinearProblem([b1, b2])
     sol = nls.solve(prob, nls.NewtonRaphson(), maxiters=50)
     assert not bool(sol.success)
+
+
+def test_gradients_through_homotopy():
+    """IFT at the landing lambda through all three continuation drivers
+    (the HomotopyContinuation dual-number role)."""
+    import jax
+    expected = 1 / (2 * np.sqrt(2))
+    for alg in [nls.HomotopySweep(), nls.KantorovichHomotopy(),
+                nls.ArcLengthContinuation()]:
+        def root(p):
+            prob = nls.HomotopyProblem(
+                lambda u, q, lam: u * u - (1 - lam) * 1.0 - lam * q,
+                jnp.array([1.0]), p)
+            return nls.solve(prob, alg).u[0]
+        g = float(jax.grad(root)(2.0))
+        np.testing.assert_allclose(g, expected, rtol=1e-5)

@@ -164,3 +164,28 @@ class TestNLLSSensitivity:
              - np.asarray(f(th - eps * jnp.eye(2)[i]))) / (2 * eps)
             for i in range(2)])
         np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-4)
+
+
+def test_gradients_through_dfsane_anderson_scc():
+    """The IFT wrapper covers every algorithm dispatched through solve,
+    including derivative-free engines and the SCC driver."""
+    import jax
+    expected = 1 / (2 * np.sqrt(2))
+
+    for alg in [nls.DFSane(), nls.AndersonAcceleration(beta=-0.5)]:
+        def root(p, alg=alg):
+            prob = nls.NonlinearProblem(lambda u, q: u * u - q,
+                                        jnp.array([1.0]), p)
+            return nls.solve(prob, alg).u[0]
+        np.testing.assert_allclose(float(jax.grad(root)(2.0)), expected,
+                                   rtol=1e-6)
+
+    def scc_root(p):
+        p1 = nls.NonlinearProblem(lambda u, q: u * u - q,
+                                  jnp.array([1.0]), p)
+        p2 = nls.NonlinearProblem(lambda u, q: u - q, jnp.array([0.0]), None)
+        prob = nls.SCCNonlinearProblem(
+            (p1, p2), explicitfuns=(None, lambda pp, sols: sols[0].u[0]))
+        return nls.solve(prob).u[1]
+    np.testing.assert_allclose(float(jax.grad(scc_root)(2.0)), expected,
+                               rtol=1e-6)
