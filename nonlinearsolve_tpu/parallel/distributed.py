@@ -109,6 +109,45 @@ def sharded_laplacian_1d_factory(mesh: Mesh, axis: str = "x"):
     return lap
 
 
+def sharded_rd3d_jvp_factory(mesh: Mesh, D, N: int, axis: str = "x"):
+    """Explicit-SPMD JVP of the 3D reaction-diffusion operator
+    (models/reaction_diffusion.py): ``J·t = D Δt + (1 − 3u²) t`` with the
+    leading (z) axis sharded across the mesh.
+
+    Halo/compute overlap by construction: the ``ppermute`` halo exchange
+    for the two boundary planes is issued FIRST, and everything that does
+    not depend on it — the in-plane (axis 1/2) stencil contributions and
+    the reaction term — is traced before the halos are consumed, so
+    XLA's latency-hiding scheduler runs the ICI transfer underneath the
+    interior compute.  This is the hand-scheduled tier; the GSPMD tier
+    (``distributed_solve``) gets the same collectives automatically.  On
+    real TPU slices the per-shard interior compute can further drop into
+    the Pallas stencil kernels.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    h2 = (1.0 / N) ** 2
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis))
+    def jvp(u_local, t_local):
+        # 1. kick off the ICI halo exchange for the boundary planes
+        left, right = halo_exchange(axis, t_local)
+        # 2. interior work that overlaps the transfer
+        inplane = (jnp.roll(t_local, 1, 1) + jnp.roll(t_local, -1, 1)
+                   + jnp.roll(t_local, 1, 2) + jnp.roll(t_local, -1, 2)
+                   - 6.0 * t_local)
+        reaction = (1.0 - 3.0 * u_local ** 2) * t_local
+        # 3. consume the halos for the sharded-axis neighbors
+        up = jnp.concatenate([left, t_local[:-1]], axis=0)
+        down = jnp.concatenate([t_local[1:], right], axis=0)
+        lap = (inplane + up + down) / h2
+        return D * lap + reaction
+
+    return jvp
+
+
 def psum_dot_factory(mesh: Mesh, axis: str = "x"):
     """Globally-reduced dot product over row-sharded vectors (the GMRES /
     line-search reduction primitive of SURVEY §2.10)."""

@@ -65,3 +65,35 @@ def test_distributed_sharded_2d_mesh():
     sol = nls.solve(prob2, nls.NewtonRaphson(
         linsolve=nls.LinearSolver(method="gmres", restart=20)), abstol=1e-8)
     assert bool(sol.success)
+
+
+def test_sharded_rd3d_jvp_halo_overlap():
+    """Explicit-SPMD 3D RD JVP with ppermute halos issued before the
+    interior compute (halo/compute overlap): bitwise-matches jax.jvp of
+    the global operator, and drives sharded GMRES to convergence."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from nonlinearsolve_tpu.models.reaction_diffusion import (
+        reaction_diffusion_3d, forcing)
+    from nonlinearsolve_tpu.parallel.distributed import (
+        sharded_rd3d_jvp_factory)
+    from nonlinearsolve_tpu.ops.krylov import gmres
+
+    N, D = 16, 0.01
+    g = forcing(N)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    jvp = sharded_rd3d_jvp_factory(mesh, D, N)
+    sh = NamedSharding(mesh, P("x"))
+
+    u = jnp.asarray(np.random.default_rng(0).random((N, N, N)))
+    t = jnp.asarray(np.random.default_rng(1).standard_normal((N, N, N)))
+    _, ref = jax.jvp(lambda x: reaction_diffusion_3d(x, (D, g)), (u,), (t,))
+    out = jax.jit(jvp)(jax.device_put(u, sh), jax.device_put(t, sh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+    # negative-definite state -> GMRES over the sharded operator converges
+    u2 = jax.device_put(jnp.full((N, N, N), 0.7071), sh)
+    b = jax.device_put(
+        jnp.asarray(np.random.default_rng(2).standard_normal((N, N, N))), sh)
+    res = jax.jit(lambda bb: gmres(lambda v: jvp(u2, v), bb, restart=40,
+                                   rtol=1e-8, maxiter=400))(b)
+    assert bool(res.success)
