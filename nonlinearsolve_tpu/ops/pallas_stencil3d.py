@@ -1,0 +1,94 @@
+"""Grid-blocked Pallas kernel for the 3D reaction-diffusion JVP.
+
+The 2D kernels in ``pallas_stencil.py`` hold the whole state in VMEM —
+fine up to ~12 MB, useless for the 3D 256³ problem (64 MB per array,
+SURVEY BASELINE config 5).  This kernel blocks the leading (z) axis:
+
+* ``u`` (frozen state) and the output stream through the standard Pallas
+  block pipeline, one (Bz, N, N) slab per grid step;
+* the tangent ``t`` stays in HBM (``memory_space=ANY``) and each program
+  issues THREE manual DMAs into a (Bz+2, N, N) VMEM scratch: the slab
+  body plus one periodic halo plane on each side (``pltpu.make_async_copy``
+  with dynamic, wrapped slice indices);
+* the z-derivative comes from shifted scratch reads, the in-plane
+  derivatives from lane/sublane ``pltpu.roll`` — no gathers anywhere.
+
+The reference meets this problem with distributed CSR SpMV over MPI
+(SURVEY §2.10); on TPU a blocked stencil stream at HBM bandwidth is the
+speed-of-light design.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_stencil import _interpret
+
+
+def _rd3d_jvp_kernel(nz: int, bz: int, u_ref, t_hbm, params_ref, out_ref,
+                     scr, sems):
+    i = pl.program_id(0)
+    z0 = i * bz
+    top = (z0 - 1) % nz
+    bot = (z0 + bz) % nz
+
+    body = pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
+                                 scr.at[pl.ds(1, bz)], sems.at[0])
+    cp_t = pltpu.make_async_copy(t_hbm.at[pl.ds(top, 1)],
+                                 scr.at[pl.ds(0, 1)], sems.at[1])
+    cp_b = pltpu.make_async_copy(t_hbm.at[pl.ds(bot, 1)],
+                                 scr.at[pl.ds(bz + 1, 1)], sems.at[2])
+    body.start()
+    cp_t.start()
+    cp_b.start()
+    body.wait()
+    cp_t.wait()
+    cp_b.wait()
+
+    u = u_ref[:]
+    d_h2 = params_ref[0, 0].astype(u.dtype)     # D / h²
+    t_b = scr[pl.ds(1, bz)]
+    inplane = (pltpu.roll(t_b, 1, 1)
+               + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
+               + pltpu.roll(t_b, 1, 2)
+               + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
+               - 6.0 * t_b)
+    up = scr[pl.ds(0, bz)]
+    down = scr[pl.ds(2, bz)]
+    out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
+
+
+@functools.partial(jax.jit, static_argnames=("bz",))
+def rd3d_jvp_blocked(u, t, D, *, bz: int = 8):
+    """JVP of the 3D RD operator ``D Δu + u − u³ + g`` applied to ``t``:
+    ``out = D Δt + (1 − 3u²) t`` on a periodic (Nz, N, N) grid with
+    ``h = 1/Nz``.  ``bz`` must divide Nz."""
+    nz, ny, nx = t.shape
+    if nz % bz:
+        raise ValueError(f"bz={bz} must divide Nz={nz}")
+    dtype = u.dtype
+    h2 = (1.0 / nz) ** 2
+    params = jnp.asarray([[D / h2]], jnp.float32 if
+                         jnp.dtype(dtype).itemsize < 4 else dtype)
+
+    return pl.pallas_call(
+        functools.partial(_rd3d_jvp_kernel, nz, bz),
+        grid=(nz // bz,),
+        in_specs=[
+            pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),      # u slab
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # t in HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bz + 2, ny, nx), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=_interpret(),
+    )(u, t, params)

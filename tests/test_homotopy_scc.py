@@ -127,3 +127,15 @@ def test_gradients_through_homotopy():
             return nls.solve(prob, alg).u[0]
         g = float(jax.grad(root)(2.0))
         np.testing.assert_allclose(g, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("abstol", [1e-6, 1e-9, 1e-12])
+def test_landing_repolish_tolerance_sweep(abstol):
+    """The landing corrector must hit the requested tolerance at lambda=1
+    across drivers and tolerances (tracking_abstol parity)."""
+    f = lambda u, q, lam: u ** 3 - u - lam * q
+    for alg in [nls.HomotopySweep(), nls.KantorovichHomotopy()]:
+        prob = nls.HomotopyProblem(f, jnp.array([1.2]), 1.5)
+        sol = nls.solve(prob, alg, abstol=abstol)
+        assert bool(sol.success), (alg.name, int(sol.retcode))
+        assert float(jnp.max(jnp.abs(sol.resid))) < 10 * abstol, alg.name
