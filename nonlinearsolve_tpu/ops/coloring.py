@@ -30,7 +30,15 @@ from .sparse import CSR
 
 def detect_sparsity(f_flat: Callable, n: int, *, n_probes: int = 2,
                     seed: int = 0, dtype=np.float64) -> CSR:
-    """Return a CSR *pattern* (data zeros) of the Jacobian of ``f_flat``."""
+    """Return a CSR *pattern* (data zeros) of the Jacobian of ``f_flat``.
+
+    Tries the EXACT jaxpr-interpretation tracer first (the
+    SparseConnectivityTracer role — no probabilistic misses); falls back
+    to random-probe jacfwd when the trace uses unsupported primitives."""
+    from .sparsity_trace import detect_sparsity_exact
+    exact = detect_sparsity_exact(f_flat, n, dtype=dtype)
+    if exact is not None:
+        return exact
     rng = np.random.default_rng(seed)
     mask = None
     for _ in range(n_probes):

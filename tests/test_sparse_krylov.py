@@ -161,3 +161,76 @@ def test_gmres_cgs2_ill_conditioned():
     res = gmres(lambda v: A @ v, b, restart=n, rtol=1e-10, maxiter=3 * n)
     rel = float(jnp.linalg.norm(A @ res.x - b) / jnp.linalg.norm(b))
     assert rel < 1e-9, rel
+
+
+class TestExactSparsityTracer:
+    """jaxpr-interpretation sparsity detection (ops/sparsity_trace.py) —
+    the SparseConnectivityTracer role, exact for the supported primitives."""
+
+    def _pattern(self, f, n):
+        from nonlinearsolve_tpu.ops.sparsity_trace import detect_sparsity_exact
+        csr = detect_sparsity_exact(f, n)
+        if csr is None:
+            return None
+        m = np.zeros((csr.shape[0], n), bool)
+        m[csr.row_ids, csr.indices] = True
+        return m
+
+    def test_stencils_match_true_jacobian(self):
+        cases = [
+            (lambda u: jnp.roll(u, 1) + jnp.roll(u, -1) - 2 * u + u ** 3, 32),
+            (lambda u: jnp.pad(u[1:], (0, 1)) + jnp.pad(u[:-1], (1, 0))
+             - 2 * u, 16),
+        ]
+        for f, n in cases:
+            m = self._pattern(f, n)
+            J = np.asarray(jax.jacfwd(f)(
+                jnp.asarray(np.random.default_rng(3).standard_normal(n))))
+            assert m is not None
+            # exact pattern must cover the true nonzeros
+            assert not ((J != 0) & ~m).any()
+
+    def test_catches_entries_probing_misses(self):
+        """An entry whose DERIVATIVE vanishes at both probe points:
+        random-probe detection (seed 0, two draws) sees J[0,1] == 0 twice
+        and drops it; the jaxpr tracer cannot be fooled."""
+        rng = np.random.default_rng(0)
+        a = float((rng.standard_normal(2) * 0.5 + 0.3)[1])
+        b = float((rng.standard_normal(2) * 0.5 + 0.3)[1])
+
+        def f(u):
+            # d/du1 [(u1-a)^2 (u1-b)^2] = 0 exactly at u1 = a and u1 = b
+            return jnp.array([u[0] + (u[1] - a) ** 2 * (u[1] - b) ** 2,
+                              2.0 * u[1]])
+
+        # the probe points themselves give a zero derivative there
+        for probe in (a, b):
+            J = np.asarray(jax.jacfwd(f)(jnp.array([0.0, probe])))
+            assert abs(J[0, 1]) < 1e-12
+        # probe-based detection (what detect_sparsity used to do) misses it
+        from nonlinearsolve_tpu.ops.coloring import detect_sparsity
+        rng = np.random.default_rng(0)
+        miss = True
+        for _ in range(2):
+            u = jnp.asarray(rng.standard_normal(2) * 0.5 + 0.3)
+            miss &= abs(float(jax.jacfwd(f)(u)[0, 1])) < 1e-12
+        assert miss
+        # the exact tracer keeps the entry
+        m = self._pattern(f, 2)
+        assert m is not None and m[0, 1]
+        # and the public detect_sparsity path now returns the exact pattern
+        csr = detect_sparsity(f, 2)
+        full = np.zeros((2, 2), bool)
+        full[csr.row_ids, csr.indices] = True
+        assert full[0, 1]
+
+    def test_unsupported_falls_back(self):
+        from nonlinearsolve_tpu.ops.sparsity_trace import detect_sparsity_exact
+        assert detect_sparsity_exact(
+            lambda u: u[jnp.array([2, 0, 1])], 3) is None
+        # and the public path still returns a correct pattern via probing
+        from nonlinearsolve_tpu.ops.coloring import detect_sparsity
+        p = detect_sparsity(lambda u: u[jnp.array([2, 0, 1])], 3)
+        m = np.zeros((3, 3), bool)
+        m[p.row_ids, p.indices] = True
+        assert m[0, 2] and m[1, 0] and m[2, 1]
