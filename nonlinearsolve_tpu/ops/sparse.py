@@ -259,8 +259,115 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class BSR:
+    """Block compressed sparse row: dense b×b blocks on a sparse block
+    graph — the layout for multi-component couplings (FEM, multi-species
+    reaction networks) where each nonzero is a small dense block.
+
+    ``data``: (nblocks, b, b) traced; ``indices``/``indptr``: static block
+    pattern.  SpMV gathers the x blocks and runs ONE batched (nblocks,
+    b, b)·(nblocks, b) contraction — MXU-shaped, no scalar gathers.
+    """
+
+    def __init__(self, data, indices, indptr, shape, blocksize):
+        self.data = data
+        self.indices = np.asarray(indices, np.int32)
+        self.indptr = np.asarray(indptr, np.int32)
+        self.shape = tuple(shape)
+        self.blocksize = int(blocksize)
+
+    @property
+    def nnz(self):
+        return int(self.indices.shape[0]) * self.blocksize ** 2
+
+    def with_data(self, data):
+        return BSR(data, self.indices, self.indptr, self.shape,
+                   self.blocksize)
+
+    @property
+    def block_row_ids(self):
+        n_brows = self.shape[0] // self.blocksize
+        return np.repeat(np.arange(n_brows, dtype=np.int32),
+                         np.diff(self.indptr))
+
+    @staticmethod
+    def from_csr(csr: "CSR", blocksize: int) -> "BSR":
+        """Reblock a CSR matrix (host-side symbolic pass; data gathered
+        with static indices, jit-safe)."""
+        n, m = csr.shape
+        b = blocksize
+        if n % b or m % b:
+            raise ValueError(f"shape {csr.shape} not divisible by "
+                             f"blocksize {b}")
+        row_ids = csr.row_ids
+        brow = row_ids // b
+        bcol = csr.indices // b
+        keys = brow.astype(np.int64) * (m // b) + bcol
+        uniq, inv = np.unique(keys, return_inverse=True)
+        ubrow = (uniq // (m // b)).astype(np.int32)
+        ubcol = (uniq % (m // b)).astype(np.int32)
+        counts = np.bincount(ubrow, minlength=n // b)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        # scatter csr entries into their block positions
+        slot_r = (row_ids % b).astype(np.int64)
+        slot_c = (csr.indices % b).astype(np.int64)
+        data = jnp.zeros((len(uniq), b, b), csr.data.dtype)
+        data = data.at[inv, slot_r, slot_c].set(csr.data)
+        return BSR(data, ubcol, indptr, csr.shape, b)
+
+    def matvec(self, x):
+        b = self.blocksize
+        xb = x.reshape(-1, b)
+        gathered = jnp.take(xb, jnp.asarray(self.indices), axis=0)
+        prods = jnp.einsum("nij,nj->ni", self.data, gathered)
+        out = jax.ops.segment_sum(prods, jnp.asarray(self.block_row_ids),
+                                  num_segments=self.shape[0] // b)
+        return out.reshape(self.shape[0])
+
+    def rmatvec(self, y):
+        b = self.blocksize
+        yb = y.reshape(-1, b)
+        gathered = jnp.take(yb, jnp.asarray(self.block_row_ids), axis=0)
+        prods = jnp.einsum("nji,nj->ni", self.data, gathered)
+        out = jax.ops.segment_sum(prods, jnp.asarray(self.indices),
+                                  num_segments=self.shape[1] // b)
+        return out.reshape(self.shape[1])
+
+    def diagonal(self):
+        b = self.blocksize
+        brow = self.block_row_ids
+        isdiag = self.indices == brow
+        diag_blocks = self.data[np.nonzero(isdiag)[0]]
+        return jnp.einsum("nii->ni", diag_blocks).reshape(-1)
+
+    def diag_blocks(self):
+        """(n_brows, b, b) diagonal blocks — feeds block-Jacobi."""
+        brow = self.block_row_ids
+        isdiag = self.indices == brow
+        return self.data[np.nonzero(isdiag)[0]]
+
+    def todense(self):
+        b = self.blocksize
+        out = jnp.zeros(self.shape, self.data.dtype)
+        for k, (i, j) in enumerate(zip(self.block_row_ids, self.indices)):
+            out = out.at[i * b:(i + 1) * b, j * b:(j + 1) * b].set(
+                self.data[k])
+        return out
+
+    def __repr__(self):
+        return (f"BSR(shape={self.shape}, blocksize={self.blocksize}, "
+                f"nblocks={len(self.indices)})")
+
+
+jax.tree_util.register_pytree_node(
+    BSR,
+    lambda m: ((m.data,), (m.indices, m.indptr, m.shape, m.blocksize)),
+    lambda aux, children: BSR(children[0], aux[0], aux[1], aux[2], aux[3]),
+)
+
+
 def spmv(A, x):
     """Polymorphic SpMV."""
-    if isinstance(A, (CSR, ELL, DIA)):
+    if isinstance(A, (CSR, ELL, DIA, BSR)):
         return A.matvec(x)
     return A @ x

@@ -234,3 +234,53 @@ class TestExactSparsityTracer:
         m = np.zeros((3, 3), bool)
         m[p.row_ids, p.indices] = True
         assert m[0, 2] and m[1, 0] and m[2, 1]
+
+
+class TestBSR:
+    def _random_block_csr(self, nb, b, seed=0):
+        rng = np.random.default_rng(seed)
+        n = nb * b
+        A = np.zeros((n, n))
+        for i in range(nb):
+            for j in range(nb):
+                if i == j or rng.random() < 0.3:
+                    A[i*b:(i+1)*b, j*b:(j+1)*b] = rng.standard_normal((b, b))
+        return A
+
+    def test_roundtrip_and_matvec(self):
+        from nonlinearsolve_tpu.ops.sparse import BSR, CSR
+        A = self._random_block_csr(6, 3)
+        bsr = BSR.from_csr(CSR.from_dense(A), 3)
+        np.testing.assert_allclose(np.asarray(bsr.todense()), A, atol=1e-14)
+        x = np.random.default_rng(1).standard_normal(18)
+        np.testing.assert_allclose(np.asarray(bsr.matvec(jnp.asarray(x))),
+                                   A @ x, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(bsr.rmatvec(jnp.asarray(x))),
+                                   A.T @ x, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(bsr.diagonal()), np.diag(A),
+                                   atol=1e-14)
+
+    def test_block_jacobi_feed(self):
+        from nonlinearsolve_tpu.ops.sparse import BSR, CSR
+        from nonlinearsolve_tpu.ops.preconditioners import (
+            block_jacobi_preconditioner)
+        A = self._random_block_csr(5, 2, seed=2)
+        A += np.eye(10) * 5.0
+        bsr = BSR.from_csr(CSR.from_dense(A), 2)
+        M = block_jacobi_preconditioner(bsr.diag_blocks())
+        v = np.random.default_rng(3).standard_normal(10)
+        out = np.asarray(M(jnp.asarray(v)))
+        # block-diagonal inverse applied blockwise
+        expected = np.concatenate([
+            np.linalg.solve(A[2*i:2*i+2, 2*i:2*i+2], v[2*i:2*i+2])
+            for i in range(5)])
+        np.testing.assert_allclose(out, expected, atol=1e-10)
+
+    def test_jit_compatible(self):
+        from nonlinearsolve_tpu.ops.sparse import BSR, CSR
+        A = self._random_block_csr(4, 2, seed=4)
+        bsr = BSR.from_csr(CSR.from_dense(A), 2)
+        x = jnp.asarray(np.random.default_rng(5).standard_normal(8))
+        out = jax.jit(lambda d, v: bsr.with_data(d).matvec(v))(bsr.data, x)
+        np.testing.assert_allclose(np.asarray(out), A @ np.asarray(x),
+                                   atol=1e-12)
