@@ -62,3 +62,20 @@ def test_checkpoint_resume_iterator(tmp_path):
     np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-10)
     # resumed iteration count continues from the checkpoint
     assert int(sol.stats.nsteps) >= 2
+
+
+def test_ensemble_at_scale():
+    """Kernels-in-kernels: thousands of Simple-tier solves in one vmapped
+    executable (the reference's static-array GPU-kernel story, §2.6)."""
+    import jax
+    n_batch = 4096
+    ps = jnp.linspace(0.5, 10.0, n_batch)
+
+    def solve_one(p):
+        prob = nls.NonlinearProblem(lambda u, q: u * u - q,
+                                    jnp.array([1.0]), p)
+        return nls.solve(prob, nls.SimpleNewtonRaphson()).u[0]
+
+    roots = jax.jit(jax.vmap(solve_one))(ps)
+    np.testing.assert_allclose(np.asarray(roots), np.sqrt(np.asarray(ps)),
+                               rtol=1e-6)
