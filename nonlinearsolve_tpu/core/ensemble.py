@@ -19,13 +19,17 @@ from .problems import NonlinearProblem
 from .solution import NonlinearSolution
 
 
-def solve_ensemble(prob, alg=None, *, u0s=None, ps=None,
-                   **kwargs) -> NonlinearSolution:
+def solve_ensemble(prob, alg=None, *, u0s=None, ps=None, mesh=None,
+                   batch_axis: str = "batch", **kwargs) -> NonlinearSolution:
     """Solve one problem family over a batch of initial conditions and/or
     parameters.
 
     ``u0s``: pytree like ``prob.u0`` with a leading batch axis (optional).
     ``ps``: pytree like ``prob.p`` with a leading batch axis (optional).
+    ``mesh``: optional ``jax.sharding.Mesh``; when given, the batch axis
+    is sharded over ``mesh[batch_axis]`` so trajectories distribute
+    across devices (ensemble = data parallelism over ICI).  Batch size
+    must divide the axis size.
     Returns a NonlinearSolution whose fields carry the batch axis.
     """
     from .solve import solve_nonlinear, _default_algorithm
@@ -40,7 +44,23 @@ def solve_ensemble(prob, alg=None, *, u0s=None, ps=None,
         return solve_nonlinear(prob_i, alg, **kwargs)
 
     if u0s is not None and ps is not None:
-        return jax.vmap(solve_one)(u0s, ps)
-    if u0s is not None:
-        return jax.vmap(lambda u0: solve_one(u0, prob.p))(u0s)
-    return jax.vmap(lambda p: solve_one(prob.u0, p))(ps)
+        batched = lambda: jax.vmap(solve_one)(u0s, ps)
+    elif u0s is not None:
+        batched = lambda: jax.vmap(lambda u0: solve_one(u0, prob.p))(u0s)
+    else:
+        batched = lambda: jax.vmap(lambda p: solve_one(prob.u0, p))(ps)
+
+    if mesh is None:
+        return batched()
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P(batch_axis))
+
+    def shard_leaves(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding)
+            if hasattr(x, "ndim") and x.ndim >= 1 else x, tree)
+
+    u0s = shard_leaves(u0s) if u0s is not None else None
+    ps = shard_leaves(ps) if ps is not None else None
+    return jax.jit(batched)()

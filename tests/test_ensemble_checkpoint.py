@@ -79,3 +79,19 @@ def test_ensemble_at_scale():
     roots = jax.jit(jax.vmap(solve_one))(ps)
     np.testing.assert_allclose(np.asarray(roots), np.sqrt(np.asarray(ps)),
                                rtol=1e-6)
+
+
+def test_ensemble_sharded_over_mesh():
+    """Ensemble data-parallelism: batch axis sharded over the device
+    mesh (one vmapped executable, trajectories on different devices)."""
+    import jax
+    from jax.sharding import Mesh
+    from nonlinearsolve_tpu.core.ensemble import solve_ensemble
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    ps = jnp.linspace(1.0, 8.0, 64)
+    prob = nls.NonlinearProblem(lambda u, p: u * u - p, jnp.array([1.0]), 1.0)
+    sol = solve_ensemble(prob, nls.NewtonRaphson(), ps=ps, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sol.u[:, 0]),
+                               np.sqrt(np.asarray(ps)), rtol=1e-8)
+    assert bool(jnp.all(sol.retcode == 1))
