@@ -204,3 +204,32 @@ class TestInitializationHook:
         sol = nls.solve(nls.NonlinearProblem(fn, jnp.array([0.0]), 99.0),
                         nls.NewtonRaphson())
         np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-10)
+
+
+def test_implicit_euler_consumes_iterator():
+    """Downstream-integrator pattern (how OrdinaryDiffEq consumes the
+    cache): one NonlinearSolveCache reused across timesteps via reinit,
+    warm-started from the previous step's solution."""
+    # du/dt = -50 (u - cos(t)): stiff relaxation onto cos(t)
+    dt = 0.01
+
+    def be_residual(u, p):
+        u_prev, t_next = p
+        return u - u_prev + dt * 50.0 * (u - jnp.cos(t_next))
+
+    u = jnp.array([1.0])
+    cache = nls.init(
+        nls.NonlinearProblem(be_residual, u, (u, jnp.array(0.0))),
+        nls.NewtonRaphson())
+    ts = np.arange(1, 51) * dt
+    total_steps = 0
+    for t in ts:
+        cache.reinit(u0=u, p=(u, jnp.array(t)))
+        sol = cache.solve()
+        assert bool(sol.success)
+        u = sol.u
+        total_steps += cache.nsteps
+    # stiff relaxation: solution hugs cos(t) after the transient
+    assert abs(float(u[0]) - np.cos(ts[-1])) < 2e-2
+    # warm-started Newton should need very few iterations per step
+    assert total_steps / len(ts) < 4
