@@ -63,8 +63,62 @@ def _rd3d_jvp_kernel(nz: int, bz: int, u_ref, t_hbm, params_ref, out_ref,
     out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
 
 
-@functools.partial(jax.jit, static_argnames=("bz",))
-def rd3d_jvp_blocked(u, t, D, *, bz: int = 8):
+def _rd3d_jvp_kernel_db(nz: int, bz: int, u_ref, t_hbm, params_ref,
+                        out_ref, scr, sems):
+    """Double-buffered variant: program i prefetches block i+1's slab and
+    halos into the other scratch slot while computing block i (the DMA
+    for block i was started by program i-1; program 0 bootstraps its
+    own).  TPU Pallas grids execute sequentially on a core, so scratch
+    and semaphores persist across grid steps."""
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+    def dmas(block, slot_idx):
+        z0 = block * bz
+        top = (z0 - 1) % nz
+        bot = (z0 + bz) % nz
+        return (
+            pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
+                                  scr.at[slot_idx, pl.ds(1, bz)],
+                                  sems.at[slot_idx, 0]),
+            pltpu.make_async_copy(t_hbm.at[pl.ds(top, 1)],
+                                  scr.at[slot_idx, pl.ds(0, 1)],
+                                  sems.at[slot_idx, 1]),
+            pltpu.make_async_copy(t_hbm.at[pl.ds(bot, 1)],
+                                  scr.at[slot_idx, pl.ds(bz + 1, 1)],
+                                  sems.at[slot_idx, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        for cp in dmas(i + 1, nxt):
+            cp.start()
+
+    for cp in dmas(i, slot):
+        cp.wait()
+
+    u = u_ref[:]
+    d_h2 = params_ref[0, 0].astype(u.dtype)
+    t_b = scr[slot, pl.ds(1, bz)]
+    inplane = (pltpu.roll(t_b, 1, 1)
+               + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
+               + pltpu.roll(t_b, 1, 2)
+               + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
+               - 6.0 * t_b)
+    up = scr[slot, pl.ds(0, bz)]
+    down = scr[slot, pl.ds(2, bz)]
+    out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
+
+
+@functools.partial(jax.jit, static_argnames=("bz", "double_buffer"))
+def rd3d_jvp_blocked(u, t, D, *, bz: int = 8, double_buffer: bool = False):
     """JVP of the 3D RD operator ``D Δu + u − u³ + g`` applied to ``t``:
     ``out = D Δt + (1 − 3u²) t`` on a periodic (Nz, N, N) grid with
     ``h = 1/Nz``.  ``bz`` must divide Nz."""
@@ -76,8 +130,16 @@ def rd3d_jvp_blocked(u, t, D, *, bz: int = 8):
     params = jnp.asarray([[D / h2]], jnp.float32 if
                          jnp.dtype(dtype).itemsize < 4 else dtype)
 
+    if double_buffer:
+        kernel = functools.partial(_rd3d_jvp_kernel_db, nz, bz)
+        scratch = [pltpu.VMEM((2, bz + 2, ny, nx), dtype),
+                   pltpu.SemaphoreType.DMA((2, 3))]
+    else:
+        kernel = functools.partial(_rd3d_jvp_kernel, nz, bz)
+        scratch = [pltpu.VMEM((bz + 2, ny, nx), dtype),
+                   pltpu.SemaphoreType.DMA((3,))]
     return pl.pallas_call(
-        functools.partial(_rd3d_jvp_kernel, nz, bz),
+        kernel,
         grid=(nz // bz,),
         in_specs=[
             pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),      # u slab
@@ -86,9 +148,6 @@ def rd3d_jvp_blocked(u, t, D, *, bz: int = 8):
         ],
         out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bz + 2, ny, nx), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(u, t, params)

@@ -87,8 +87,9 @@ def test_rd3d_jvp_blocked():
     t = jnp.asarray(np.random.default_rng(1).standard_normal((N, N, N)))
     _, ref = jax.jvp(lambda x: reaction_diffusion_3d(x, (D, g)), (u,), (t,))
     for bz in [4, 8]:
-        out = rd3d_jvp_blocked(u, t, D, bz=bz)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-11)
+        for db in [False, True]:
+            out = rd3d_jvp_blocked(u, t, D, bz=bz, double_buffer=db)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-11)
     with pytest.raises(ValueError, match="must divide"):
         rd3d_jvp_blocked(u, t, D, bz=5)
