@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import termination as trm
+from ..core.tracing import init_trace, record_trace
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats
 from ..utils.pytree import pytree_dataclass, static_config
@@ -53,6 +54,7 @@ class AndersonCarry:
     retcode: Any
     stats: Any
     term: Any
+    trace_state: Any = None
 
 
 def _anderson_gamma(dF, fu, hist_mask, reg):
@@ -86,6 +88,7 @@ def run_anderson(alg: AndersonAcceleration, ctx, term_cfg, u0_flat, abstol,
         force_stop=jnp.bool_(False),
         retcode=jnp.int32(ReturnCode.Default),
         stats=NLStats.zeros().incr(nf=1), term=term,
+        trace_state=init_trace(ctx.trace, u0_flat, u0_flat.dtype),
     )
     beta = jnp.asarray(alg.beta, dtype)
 
@@ -125,6 +128,9 @@ def run_anderson(alg: AndersonAcceleration, ctx, term_cfg, u0_flat, abstol,
             force_stop=carry.force_stop | stop,
             retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
             stats=stats, term=term,
+            trace_state=record_trace(ctx.trace, carry.trace_state,
+                                     carry.nsteps + 1, fu_new, u_new - u,
+                                     None, u_new),
         )
 
     final = jax.lax.while_loop(cond, body, carry0)

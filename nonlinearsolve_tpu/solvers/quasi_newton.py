@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core import linesearch as lsr
 from ..core import termination as trm
+from ..core.tracing import init_trace, record_trace
 from ..core.autodiff import JacobianPolicy, construct_dense_jacobian_fn
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats
@@ -141,6 +142,7 @@ class QNCarry:
     ls_state: Any
     update_fu_prev: Any         # fu at the last update (Broyden dfu / Klement fu_cache)
     reset_state: Any
+    trace_state: Any = None
 
 
 def _alpha_scaling(alpha, u, fu):
@@ -329,6 +331,7 @@ def init_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         stats=NLStats.zeros().incr(nf=1, njacs=njacs),
         term=term, ls_state=ls_state, update_fu_prev=fu0,
         reset_state=reset_state,
+        trace_state=init_trace(ctx.trace, u0_flat, u0_flat.dtype),
     )
 
 
@@ -425,6 +428,9 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
         stats=stats, term=term, ls_state=ls_state,
         update_fu_prev=update_fu_prev, reset_state=reset_state,
+        trace_state=record_trace(ctx.trace, carry.trace_state,
+                                 carry.nsteps + 1, fu_new, du, J_next,
+                                 u_new),
     )
 
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..core import linesearch as lsr
 from ..core import termination as trm
+from ..core.tracing import init_trace, record_trace
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats
 from ..utils.norms import l2_norm, tree_dot
@@ -62,6 +63,7 @@ class DFSaneCarry:
     stats: Any
     term: Any
     ls_state: Any
+    trace_state: Any = None
 
 
 def _initial_sigma(alg: GeneralizedDFSane, u, fu):
@@ -91,6 +93,7 @@ def run_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat, abstol, reltol,
         nsteps=jnp.int32(0), force_stop=jnp.bool_(False),
         retcode=jnp.int32(ReturnCode.Default),
         stats=NLStats.zeros().incr(nf=1), term=term, ls_state=ls_state,
+        trace_state=init_trace(ctx.trace, u0_flat, u0_flat.dtype),
     )
 
     def cond(carry):
@@ -141,6 +144,9 @@ def run_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat, abstol, reltol,
             force_stop=carry.force_stop | force_stop,
             retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
             stats=stats, term=term, ls_state=ls_state,
+            trace_state=record_trace(ctx.trace, carry.trace_state,
+                                     carry.nsteps + 1, fu_new,
+                                     ls_res.alpha * du, None, u_new),
         )
 
     final = jax.lax.while_loop(cond, body, carry0)

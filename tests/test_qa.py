@@ -85,3 +85,19 @@ def test_retcode_names():
     from nonlinearsolve_tpu.core.returncode import retcode_name
     assert retcode_name(1) == "Success"
     assert retcode_name(3) == "MaxIters"
+
+
+def test_trace_all_engines():
+    """store_trace works for every engine family (the reference traces
+    all solvers via update_trace!)."""
+    prob = nls.NonlinearProblem(lambda u, p: u * u - p,
+                                jnp.array([1.0, 1.0]), 2.0)
+    for alg in [nls.NewtonRaphson(), nls.Broyden(), nls.Klement(),
+                nls.DFSane(), nls.AndersonAcceleration(beta=-0.5)]:
+        sol = nls.solve(prob, alg, store_trace=True)
+        tr = sol.trace
+        assert tr is not None, alg.name
+        n = int(tr.n)
+        assert n == int(sol.stats.nsteps), alg.name
+        fn = np.asarray(tr.fnorm[:n])
+        assert fn[-1] < fn[0], alg.name   # residual actually decreased
