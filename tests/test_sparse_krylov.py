@@ -284,3 +284,61 @@ class TestBSR:
         out = jax.jit(lambda d, v: bsr.with_data(d).matvec(v))(bsr.data, x)
         np.testing.assert_allclose(np.asarray(out), A @ np.asarray(x),
                                    atol=1e-12)
+
+
+class TestMultigrid:
+    """Geometric multigrid V-cycle preconditioner (the ILU/AMG role for
+    structured grids — handles variable coefficients and Dirichlet BCs
+    where the FFT preconditioner does not apply)."""
+
+    def _dirichlet_op(self, N, cfield, alpha=1.0):
+        h = 1.0 / N
+
+        def lap_dir(u):
+            out = -4.0 * u
+            out = out.at[1:, :].add(u[:-1, :])
+            out = out.at[:-1, :].add(u[1:, :])
+            out = out.at[:, 1:].add(u[:, :-1])
+            out = out.at[:, :-1].add(u[:, 1:])
+            return out
+
+        return lambda u: (alpha / h ** 2) * lap_dir(u) - cfield * u, h
+
+    def test_iteration_reduction_2d(self):
+        from nonlinearsolve_tpu.ops.multigrid import multigrid_preconditioner
+        from nonlinearsolve_tpu.ops.krylov import gmres
+        N = 64
+        rng = np.random.default_rng(0)
+        cfield = jnp.asarray(1.0 + 2.0 * rng.random((N, N)))
+        A, h = self._dirichlet_op(N, cfield)
+        b = jnp.asarray(rng.standard_normal((N, N)))
+        M = multigrid_preconditioner((N, N), 1.0, h, c=cfield,
+                                     bc="dirichlet")
+        r0 = gmres(A, b, restart=30, rtol=1e-8, maxiter=3000)
+        r1 = gmres(A, b, restart=30, rtol=1e-8, maxiter=3000, M=M)
+        assert bool(r1.success)
+        assert int(r1.iterations) < int(r0.iterations) // 5
+        rel = float(jnp.linalg.norm(A(r1.x) - b) / jnp.linalg.norm(b))
+        assert rel < 1e-6
+
+    def test_newton_krylov_with_mg(self):
+        from nonlinearsolve_tpu.ops.multigrid import multigrid_preconditioner
+        N = 32
+        h = 1.0 / N
+        g = jnp.asarray(np.random.default_rng(1).standard_normal((N, N)))
+
+        def f(u, p):
+            out = -4.0 * u
+            out = out.at[1:, :].add(u[:-1, :])
+            out = out.at[:-1, :].add(u[1:, :])
+            out = out.at[:, 1:].add(u[:, :-1])
+            out = out.at[:, :-1].add(u[:, 1:])
+            return (1.0 / h ** 2) * out - u ** 3 - u + p
+
+        M = multigrid_preconditioner((N, N), 1.0, h, c=1.0, bc="dirichlet")
+        prob = nls.NonlinearProblem(f, jnp.zeros((N, N)), g)
+        sol = nls.solve(prob, nls.NewtonRaphson(
+            linsolve=nls.LinearSolver(method="gmres", restart=20,
+                                      precond_fn=lambda u: M)), abstol=1e-9)
+        assert bool(sol.success)
+        assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
