@@ -97,3 +97,36 @@ def test_sharded_rd3d_jvp_halo_overlap():
     res = jax.jit(lambda bb: gmres(lambda v: jvp(u2, v), bb, restart=40,
                                    rtol=1e-8, maxiter=400))(b)
     assert bool(res.success)
+
+
+def test_sharded_gmres_with_multigrid():
+    """Multigrid-preconditioned GMRES runs unchanged over a sharded state:
+    GSPMD lowers the V-cycle's pooling/slice ops and the Krylov
+    reductions to collectives (iteration count matches single-device)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from nonlinearsolve_tpu.ops.multigrid import multigrid_preconditioner
+    from nonlinearsolve_tpu.ops.krylov import gmres
+
+    N, h = 64, 1.0 / 64
+    rng = np.random.default_rng(0)
+    cfield = jnp.asarray(1.0 + 2.0 * rng.random((N, N)))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    sh = NamedSharding(mesh, P("x"))
+    c_s = jax.device_put(cfield, sh)
+
+    def lap_dir(u):
+        out = -4.0 * u
+        out = out.at[1:, :].add(u[:-1, :])
+        out = out.at[:-1, :].add(u[1:, :])
+        out = out.at[:, 1:].add(u[:, :-1])
+        out = out.at[:, :-1].add(u[:, 1:])
+        return out
+
+    A = lambda u: (1.0 / h ** 2) * lap_dir(u) - c_s * u
+    M = multigrid_preconditioner((N, N), 1.0, h, c=c_s, bc="dirichlet")
+    b = jax.device_put(jnp.asarray(rng.standard_normal((N, N))), sh)
+    r = jax.jit(lambda bb: gmres(A, bb, restart=30, rtol=1e-8,
+                                 maxiter=500, M=M))(b)
+    assert bool(r.success) and int(r.iterations) < 30
+    rel = float(jnp.linalg.norm(A(r.x) - b) / jnp.linalg.norm(b))
+    assert rel < 1e-6
