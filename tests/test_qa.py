@@ -101,3 +101,14 @@ def test_trace_all_engines():
         assert n == int(sol.stats.nsteps), alg.name
         fn = np.asarray(tr.fnorm[:n])
         assert fn[-1] < fn[0], alg.name   # residual actually decreased
+
+
+def test_show_trace_prints(capfd):
+    """show_trace emits per-iteration lines via jax.debug.print."""
+    prob = nls.NonlinearProblem(lambda u, p: u * u - p,
+                                jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(), show_trace=True)
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "iter" in out and "‖f‖" in out
+    assert bool(sol.success)
