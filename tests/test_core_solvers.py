@@ -251,3 +251,56 @@ def test_anderson_acceleration():
     assert int(sol3.retcode) in (int(nls.ReturnCode.Success),
                                  int(nls.ReturnCode.Stalled))
     assert float(jnp.max(jnp.abs(sol3.resid))) < 1e-7
+
+
+def test_nlls_analytic_jacobian():
+    """NLLS with a user-supplied analytic Jacobian (reference
+    nlls_tests.jl analytic-jac case)."""
+    ts = jnp.linspace(0.0, 1.0, 8)
+    target = 2.0 * jnp.exp(-1.5 * ts)
+
+    def resid(u, p):
+        return u[0] * jnp.exp(u[1] * ts) - target
+
+    def jac(u, p):
+        e = jnp.exp(u[1] * ts)
+        return jnp.stack([e, u[0] * ts * e], axis=1)
+
+    f = nls.NonlinearFunction(f=resid, jac=jac)
+    prob = nls.NonlinearLeastSquaresProblem(f, jnp.array([1.0, -1.0]))
+    for alg in [nls.GaussNewton(), nls.LevenbergMarquardt()]:
+        sol = nls.solve(prob, alg)
+        np.testing.assert_allclose(np.asarray(sol.u), [2.0, -1.5], rtol=1e-5)
+
+
+def test_singular_jacobian_lstsq_fallback():
+    """A Jacobian that is exactly singular at an iterate must not produce
+    NaNs: the dense solve falls back to least-squares (the reference's
+    QR-pivoted auto-switch, linear_solve.jl)."""
+    # J(u0) singular at u0 = [1, 1]: rows become linearly dependent
+    def f(u, p):
+        return jnp.array([u[0] * u[1] - 1.0, u[0] * u[1] - 1.0 + (u[0] - u[1]) ** 2])
+
+    prob = nls.NonlinearProblem(f, jnp.array([2.0, 0.5]), None)
+    sol = nls.solve(prob, nls.NewtonRaphson(), maxiters=200)
+    # root manifold: u0*u1 = 1 with u0 == u1 -> [1, 1] or [-1, -1]
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-8
+    assert bool(jnp.all(jnp.isfinite(sol.u)))
+
+
+def test_bounds_nlls():
+    """Bounds transform composes with least-squares (reference bounds
+    tests include the NLLS case)."""
+    ts = jnp.linspace(0.0, 1.0, 8)
+    target = 2.0 * jnp.exp(-1.5 * ts)
+
+    def resid(u, p):
+        return u[0] * jnp.exp(u[1] * ts) - target
+
+    prob = nls.NonlinearLeastSquaresProblem(
+        resid, jnp.array([1.0, -1.0]),
+        lb=jnp.array([0.5, -3.0]), ub=jnp.array([5.0, -0.5]))
+    sol = nls.solve(prob, nls.LevenbergMarquardt())
+    np.testing.assert_allclose(np.asarray(sol.u), [2.0, -1.5], rtol=1e-4)
+    assert bool(jnp.all(sol.u >= jnp.array([0.5, -3.0])))
+    assert bool(jnp.all(sol.u <= jnp.array([5.0, -0.5])))
