@@ -112,3 +112,45 @@ def test_show_trace_prints(capfd):
     out = capfd.readouterr().out
     assert "iter" in out and "‖f‖" in out
     assert bool(sol.success)
+
+
+def test_public_api_surface():
+    """Every public export resolves and the core callables are intact."""
+    expected = [
+        "solve", "init", "NonlinearProblem", "NonlinearLeastSquaresProblem",
+        "IntervalNonlinearProblem", "SteadyStateProblem", "HomotopyProblem",
+        "SCCNonlinearProblem", "NonlinearFunction", "NonlinearSolution",
+        "ReturnCode", "NewtonRaphson", "GaussNewton", "TrustRegion",
+        "LevenbergMarquardt", "PseudoTransient", "Broyden", "Klement",
+        "LimitedMemoryBroyden", "DFSane", "AndersonAcceleration",
+        "RobustMultiNewton", "FastShortcutNonlinearPolyalg",
+        "SimpleNewtonRaphson", "SimpleHalley", "Bisection", "ITP", "Brent",
+        "HomotopySweep", "KantorovichHomotopy", "ArcLengthContinuation",
+        "PolynomialHomotopy", "solve_polynomial", "solve_multistart",
+        "polynomialize", "LinearSolver", "JacobianPolicy",
+        "InitializationData", "BackTracking", "solve_ensemble",
+        "SciPyRoot", "SciPyLeastSquares", "PostconditionSpecifier",
+        "TraceConfig", "EisenstatWalkerForcing",
+    ]
+    missing = [n for n in expected if not hasattr(nls, n)]
+    assert not missing, missing
+
+
+def test_randomized_wellposed_systems():
+    """Property sweep: random diagonally-dominant nonlinear systems all
+    solve through the default polyalgorithm."""
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        n = int(rng.integers(2, 12))
+        A = rng.standard_normal((n, n)) * 0.3
+        A += np.diag(np.abs(A).sum(1) + 1.0)
+        Aj = jnp.asarray(A)
+        b = jnp.asarray(rng.standard_normal(n))
+        scale = float(rng.uniform(0.05, 0.5))
+
+        def f(u, p):
+            return Aj @ u + scale * jnp.tanh(u) - p
+
+        sol = nls.solve(nls.NonlinearProblem(f, jnp.zeros(n), b))
+        assert bool(sol.success), trial
+        assert float(jnp.max(jnp.abs(sol.resid))) < 1e-8, trial
