@@ -130,3 +130,14 @@ def test_sharded_gmres_with_multigrid():
     assert bool(r.success) and int(r.iterations) < 30
     rel = float(jnp.linalg.norm(A(r.x) - b) / jnp.linalg.norm(b))
     assert rel < 1e-6
+
+
+def test_weak_scaling_report_runs():
+    """The weak-scaling harness produces rates and efficiencies on the
+    virtual mesh (real multi-host numbers need hardware)."""
+    from nonlinearsolve_tpu.parallel.scaling import weak_scaling_report
+    rows = weak_scaling_report([1, 2, 4, 8], base_n=8, n_matvecs=5)
+    assert len(rows) == 4
+    for k, rate, eff in rows:
+        assert rate > 0 and np.isfinite(eff)
+    assert rows[0][2] == 1.0
