@@ -40,6 +40,7 @@ CASES = [
     ("SimpleTrustRegion", nls.SimpleTrustRegion(), {11, 21}),
     ("SimpleLimitedMemoryBroyden", nls.SimpleLimitedMemoryBroyden(),
      {1, 6, 11, 16, 18}),
+    ("RobustMultiNewton", nls.RobustMultiNewton(), set()),
     ("DefaultPolyalgorithm", None, set()),
 ]
 
