@@ -92,3 +92,28 @@ def test_bratu_fold_sweep_stalls():
     assert not bool(sweep.success)
     lam_last = float(sweep.original)
     assert 5.0 < lam_last < 8.0   # stalled near the fold
+
+
+def test_snes_ex2_dense_vs_sparse():
+    """PETSc SNES ex2 (reference docs/src/tutorials/snes_ex2.md): the
+    dense-AD and sparse-AD (tridiagonal -> PCR direct) Newton solves
+    agree to floating-point, like the tutorial's NR-vs-SNES check."""
+    from nonlinearsolve_tpu.models import snes_ex2
+    sol_d = nls.solve(snes_ex2.make_problem(128), nls.NewtonRaphson(),
+                      abstol=1e-8)
+    sol_s = nls.solve(snes_ex2.make_problem(128, sparse=True),
+                      nls.NewtonRaphson(
+                          autodiff=nls.JacobianPolicy(mode="sparse")),
+                      abstol=1e-8)
+    assert bool(sol_d.success) and bool(sol_s.success)
+    np.testing.assert_allclose(np.asarray(sol_d.u), np.asarray(sol_s.u),
+                               atol=1e-8)
+    # boundary conditions enforced exactly
+    assert abs(float(sol_d.u[0])) < 1e-10
+    np.testing.assert_allclose(float(sol_d.u[-1]), 1.0, atol=1e-10)
+    # scipy cross-validation
+    from scipy.optimize import root as scipy_root
+    import nonlinearsolve_tpu.models.snes_ex2 as m
+    r = scipy_root(lambda x: np.asarray(m.residual(jnp.asarray(x))),
+                   np.full(128, 0.5), tol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol_d.u), r.x, atol=1e-6)
