@@ -304,3 +304,19 @@ def test_bounds_nlls():
     np.testing.assert_allclose(np.asarray(sol.u), [2.0, -1.5], rtol=1e-4)
     assert bool(jnp.all(sol.u >= jnp.array([0.5, -3.0])))
     assert bool(jnp.all(sol.u <= jnp.array([5.0, -0.5])))
+
+
+def test_complex_nlls():
+    """Complex-valued least squares through the vjp stationarity system
+    (conjugate-aware J^H F)."""
+    ts = jnp.linspace(0.0, 1.0, 8)
+    target = (2.0 + 1.0j) * jnp.exp(1j * 2 * jnp.pi * ts)
+
+    def resid(u, p):
+        return u[0] * jnp.exp(1j * 2 * jnp.pi * ts) - p
+
+    prob = nls.NonlinearLeastSquaresProblem(
+        resid, jnp.array([0.5 + 0.1j], jnp.complex128), target)
+    sol = nls.solve(prob, nls.GaussNewton())
+    assert bool(sol.success)
+    np.testing.assert_allclose(complex(sol.u[0]), 2.0 + 1.0j, rtol=1e-8)
