@@ -73,12 +73,16 @@ def _prolong(u):
 def multigrid_preconditioner(grid_shape: Sequence[int], alpha, h, *,
                              c=None, bc: str = "periodic",
                              levels: int = None, nu: int = 2,
-                             cycles: int = 1, omega: float = 2.0 / 3.0):
+                             cycles: int = 1, omega: float = 2.0 / 3.0,
+                             smoother: str = "jacobi"):
     """Return ``M(v) ≈ A⁻¹ v`` for ``A = alpha·Δ_h − diag(c)``.
 
     ``c``: reaction/shift field on the grid (scalar or array; default 1).
     ``bc``: 'periodic' | 'dirichlet'.  ``levels``: V-cycle depth (default:
     down to a ≤4-point axis).  ``nu``: pre+post smoothing sweeps.
+    ``smoother``: 'jacobi' (weighted, ω) or 'chebyshev' (degree-``nu``
+    polynomial on the D⁻¹A high-frequency interval [λmax/4, λmax] —
+    stronger on rough error, no inner products, same VPU-only profile).
     """
     grid_shape = tuple(int(s) for s in grid_shape)
     if levels is None:
@@ -101,6 +105,25 @@ def multigrid_preconditioner(grid_shape: Sequence[int], alpha, h, *,
 
     def smooth(u, f, c_l, h_l, sweeps):
         d = diag_A(None, c_l, h_l)
+        if smoother == "chebyshev" and sweeps >= 2:
+            # Chebyshev semi-iteration on D⁻¹A: eigenvalues lie in (0, 2)
+            # by Gershgorin (|offdiag row sum| < |diag|); smooth the
+            # high-frequency band [lmax/4, lmax].
+            lmax, lmin = 1.95, 1.95 / 4.0
+            theta = (lmax + lmin) / 2.0
+            delta = (lmax - lmin) / 2.0
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            r = (f - apply_A(u, c_l, h_l)) / d
+            du = r / theta
+            u = u + du
+            for _ in range(sweeps - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                r = (f - apply_A(u, c_l, h_l)) / d
+                du = rho_new * rho * du + (2.0 * rho_new / delta) * r
+                u = u + du
+                rho = rho_new
+            return u
         for _ in range(sweeps):
             r = f - apply_A(u, c_l, h_l)
             u = u + omega * r / d

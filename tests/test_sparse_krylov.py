@@ -342,3 +342,21 @@ class TestMultigrid:
                                       precond_fn=lambda u: M)), abstol=1e-9)
         assert bool(sol.success)
         assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
+
+    def test_chebyshev_smoother(self):
+        from nonlinearsolve_tpu.ops.multigrid import multigrid_preconditioner
+        from nonlinearsolve_tpu.ops.krylov import gmres
+        N = 64
+        rng = np.random.default_rng(0)
+        cfield = jnp.asarray(1.0 + 2.0 * rng.random((N, N)))
+        A, h = self._dirichlet_op(N, cfield)
+        b = jnp.asarray(rng.standard_normal((N, N)))
+        Mj = multigrid_preconditioner((N, N), 1.0, h, c=cfield,
+                                      bc="dirichlet", smoother="jacobi")
+        Mc = multigrid_preconditioner((N, N), 1.0, h, c=cfield,
+                                      bc="dirichlet", smoother="chebyshev",
+                                      nu=3)
+        rj = gmres(A, b, restart=30, rtol=1e-8, maxiter=500, M=Mj)
+        rc = gmres(A, b, restart=30, rtol=1e-8, maxiter=500, M=Mc)
+        assert bool(rc.success)
+        assert int(rc.iterations) <= int(rj.iterations)
