@@ -298,6 +298,82 @@ def cg(matvec: Callable, b, x0=None, *, maxiter: Optional[int] = None,
                         success=(rnorm <= tol) & _all_finite(x))
 
 
+def minres(matvec: Callable, b, x0=None, *, maxiter: Optional[int] = None,
+           rtol=1e-5, atol=0.0, M: Optional[Callable] = None
+           ) -> KrylovResult:
+    """MINRES (Paige–Saunders) for SYMMETRIC (possibly indefinite)
+    systems; pytree-native.  Short Lanczos recurrences — O(1) stored
+    vectors, no basis, so per-iteration HBM traffic is a fraction of
+    GMRES's.  ``M`` must be SPD when given (preconditioned Lanczos)."""
+    n = tree_size(b)
+    if maxiter is None:
+        maxiter = 2 * n
+    M = M or _identity_precond
+    x0 = _zeros_like(b) if x0 is None else x0
+    tol = jnp.maximum(rtol * l2_norm(b), atol)
+
+    r0 = _sub(b, matvec(x0))
+    y0 = M(r0)
+    beta0 = jnp.sqrt(jnp.maximum(tree_dot(r0, y0), 0.0))
+    safe_b0 = jnp.where(beta0 == 0, 1.0, beta0)
+
+    def cond(c):
+        (x, r_norm, v, y, v_old, w, w_old, beta, c_rot, s_rot, eta, it,
+         ok) = c
+        return (r_norm > tol) & (it < maxiter) & ok
+
+    def body(cst):
+        (x, r_norm, v, y, v_old, w, w_old, beta, c_rot, s_rot, eta, it,
+         ok) = cst
+        # Lanczos step on the M-preconditioned operator
+        Av = matvec(y)
+        alpha = tree_dot(y, Av)
+        # v_{k+1} = A y_k - alpha v_k - beta v_{k-1}
+        v_new = _tmap(lambda a, vk, vo: a - alpha * vk - beta * vo,
+                      Av, v, v_old)
+        y_new = M(v_new)
+        beta_new = jnp.sqrt(jnp.maximum(tree_dot(v_new, y_new), 0.0))
+        safe_bn = jnp.where(beta_new == 0, 1.0, beta_new)
+
+        # apply previous rotations to the new tridiagonal column
+        delta = c_rot[0] * alpha - c_rot[1] * s_rot[0] * beta
+        rho2 = s_rot[1] * beta
+        rho3 = s_rot[0] * alpha + c_rot[1] * c_rot[0] * beta
+        # new rotation annihilating beta_new
+        gamma = jnp.sqrt(delta ** 2 + beta_new ** 2)
+        safe_g = jnp.where(gamma == 0, 1.0, gamma)
+        cs = delta / safe_g
+        sn = beta_new / safe_g
+
+        w_new = _tmap(lambda yk, wk, wo:
+                      (yk - rho3 * wk - rho2 * wo) / safe_g, y, w, w_old)
+        x = _axpy(cs * eta, w_new, x)
+        r_norm = jnp.abs(sn * eta)
+        eta = -sn * eta
+
+        v_norm = _scale(1.0 / safe_bn, v_new)
+        y_norm = _scale(1.0 / safe_bn, y_new)
+        ok = jnp.isfinite(r_norm) & (gamma != 0)
+        return (x, r_norm, v_norm, y_norm, v, w_new, w,
+                beta_new, jnp.stack([cs, c_rot[0]]),
+                jnp.stack([sn, s_rot[0]]), eta, it + 1, ok)
+
+    leaves = jax.tree_util.tree_leaves(b)
+    rdt = jnp.zeros((), leaves[0].dtype).real.dtype
+    init = (x0, beta0,
+            _scale(1.0 / safe_b0, r0), _scale(1.0 / safe_b0, y0),
+            _zeros_like(b), _zeros_like(b), _zeros_like(b),
+            jnp.zeros((), rdt),
+            jnp.asarray([1.0, 1.0], rdt), jnp.asarray([0.0, 0.0], rdt),
+            beta0, jnp.int32(0), jnp.bool_(True))
+    out = jax.lax.while_loop(cond, body, init)
+    x, r_norm, *_, it, ok = out
+    true_r = l2_norm(_sub(b, matvec(x)))
+    return KrylovResult(x=x, residual_norm=true_r, iterations=it,
+                        success=(true_r <= jnp.maximum(tol, 10 * tol))
+                        & _all_finite(x))
+
+
 def solve_krylov(method: str, matvec, b, x0=None, **kw) -> KrylovResult:
     if method == "gmres":
         return gmres(matvec, b, x0, **kw)
@@ -307,4 +383,7 @@ def solve_krylov(method: str, matvec, b, x0=None, **kw) -> KrylovResult:
     if method == "cg":
         kw.pop("restart", None)
         return cg(matvec, b, x0, **kw)
+    if method == "minres":
+        kw.pop("restart", None)
+        return minres(matvec, b, x0, **kw)
     raise ValueError(f"unknown Krylov method {method!r}")

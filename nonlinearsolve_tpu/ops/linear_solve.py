@@ -27,7 +27,7 @@ class LinearSolver:
     """Static linear-solver selection.
 
     method: 'auto' | 'lu' | 'qr' | 'cholesky' | 'svd' | 'diagonal'
-            | 'gmres' | 'bicgstab' | 'cg'  (krylov handled by the caller via
+            | 'gmres' | 'bicgstab' | 'cg' | 'minres'  (krylov handled by the caller via
             ops.krylov with a matrix/operator-aware dispatch)
     """
 
@@ -42,7 +42,7 @@ class LinearSolver:
 
     @property
     def is_krylov(self) -> bool:
-        return self.method in ("gmres", "bicgstab", "cg")
+        return self.method in ("gmres", "bicgstab", "cg", "minres")
 
 
 def _lstsq(A, b):

@@ -360,3 +360,33 @@ class TestMultigrid:
         rc = gmres(A, b, restart=30, rtol=1e-8, maxiter=500, M=Mc)
         assert bool(rc.success)
         assert int(rc.iterations) <= int(rj.iterations)
+
+
+def test_minres_symmetric_indefinite():
+    """MINRES converges on symmetric indefinite systems with O(1) stored
+    vectors (GMRES needs a restart basis; CG diverges)."""
+    from nonlinearsolve_tpu.ops.krylov import minres
+    rng = np.random.default_rng(0)
+    n = 200
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.concatenate([np.linspace(-5, -0.5, n // 2),
+                           np.linspace(0.5, 5, n // 2)])
+    A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+    b = jnp.asarray(np.asarray(A) @ rng.standard_normal(n))
+    r = minres(lambda v: A @ v, b, rtol=1e-10, maxiter=600)
+    assert bool(r.success)
+    rel = float(jnp.linalg.norm(A @ r.x - b) / jnp.linalg.norm(b))
+    assert rel < 1e-9
+
+    # shape-native on a 2D indefinite stencil operator
+    N, h = 32, 1.0 / 32
+    cfield = jnp.asarray(3.0 * rng.random((N, N)))
+
+    def Aop(u):
+        lap = (jnp.roll(u, 1, 0) + jnp.roll(u, -1, 0) + jnp.roll(u, 1, 1)
+               + jnp.roll(u, -1, 1) - 4 * u)
+        return 0.01 * lap / h ** 2 + (1.0 - cfield) * u
+
+    b2 = jnp.asarray(rng.standard_normal((N, N)))
+    r2 = minres(Aop, b2, rtol=1e-8, maxiter=3000)
+    assert bool(r2.success)
