@@ -35,19 +35,32 @@ def _zero_tangent(x):
                                            dtype=jax.dtypes.float0)
 
 
-def _ift_linear_solve(f_flat_fixed_p: Callable, u_star, b):
+def _ift_linear_solve(f_flat_fixed_p: Callable, u_star, b,
+                      symmetric: bool = False):
     """Solve ``J_u x = b`` at the root.  Transposable; shape-agnostic
-    (the iterate may be a multi-dimensional array in shaped mode)."""
+    (the iterate may be a multi-dimensional array in shaped mode).
+
+    ``symmetric=True`` (the NLLS stationarity system, whose operator is
+    the exact Hessian of ½‖F‖²) switches the large-scale path to MINRES
+    — short recurrences instead of a GMRES basis, and the transpose
+    solve IS the forward solve."""
     n = int(u_star.size)
     if n <= _DENSE_IFT_LIMIT:
         J = jax.jacfwd(f_flat_fixed_p)(u_star)
         x = jnp.linalg.solve(J.reshape(n, n), jnp.ravel(b))
         return x.reshape(u_star.shape)
 
-    from ..ops.krylov import gmres
+    from ..ops.krylov import gmres, minres
 
     def matvec(v):
         return jax.jvp(f_flat_fixed_p, (u_star,), (v,))[1]
+
+    if symmetric:
+        def solve_sym(mv, rhs):
+            return minres(mv, rhs, maxiter=10 * n, rtol=1e-8).x
+
+        return jax.lax.custom_linear_solve(
+            matvec, b, solve=solve_sym, symmetric=True)
 
     def solve(mv, rhs):
         return gmres(mv, rhs, restart=min(50, n),
@@ -116,7 +129,8 @@ def differentiable_root(make_f_flat: Callable, run_solver: Callable):
         # b = (∂g/∂p)·ṗ at the root (linear in ṗ; float0 tangents for
         # integer/None leaves are handled by jvp natively).
         _, b = jax.jvp(lambda pp: residual_of(pp)(u_star), (p,), (p_dot,))
-        u_dot = -_ift_linear_solve(residual_of(p), u_star, b)
+        u_dot = -_ift_linear_solve(residual_of(p), u_star, b,
+                                   symmetric=not is_square)
 
         # fu tangent at the root: J u̇ + (∂f/∂p)ṗ = -b + b = 0.
         carry_dot = jax.tree_util.tree_map(zeros_like_leaf, carry)
