@@ -37,4 +37,12 @@ def run_algorithm(alg, ctx, term_cfg, jac_spec, u0_flat, abstol, reltol,
     if is_simple_alg(alg):
         return run_simple(alg, ctx, term_cfg, analytic_jac, u0_flat, abstol,
                           reltol, maxiters)
+    # Extension hook: any (hashable) object exposing ``run_flat`` is a
+    # user-defined algorithm (the AbstractNonlinearSolveAlgorithm
+    # extension point).  It must return a carry pytree with at least
+    # u / fu / retcode / stats / nsteps / term fields — reuse
+    # solvers.custom.make_custom_carry for the boilerplate.
+    if hasattr(alg, "run_flat"):
+        return alg.run_flat(ctx, term_cfg, u0_flat, abstol, reltol,
+                            maxiters)
     raise ValueError(f"cannot dispatch algorithm {alg!r}")

@@ -233,3 +233,41 @@ def test_implicit_euler_consumes_iterator():
     assert abs(float(u[0]) - np.cos(ts[-1])) < 2e-2
     # warm-started Newton should need very few iterations per step
     assert total_steps / len(ts) < 4
+
+
+def test_custom_algorithm_extension():
+    """User-defined algorithm via the run_flat protocol dispatches through
+    solve() and inherits IFT differentiability."""
+    from nonlinearsolve_tpu.solvers.custom import run_fixed_point_loop
+
+    class Richardson:
+        name = "Richardson"
+
+        def __init__(self, omega=0.3):
+            self.omega = omega
+
+        def __hash__(self):
+            return hash(("Richardson", self.omega))
+
+        def __eq__(self, o):
+            return isinstance(o, Richardson) and o.omega == self.omega
+
+        def run_flat(self, ctx, term_cfg, u0_flat, abstol, reltol,
+                     maxiters):
+            def step(u, fu, state):
+                return u - self.omega * fu, state
+            return run_fixed_point_loop(step, ctx, term_cfg, u0_flat,
+                                        abstol, reltol, maxiters)
+
+    prob = nls.NonlinearProblem(lambda u, p: u + 0.3 * jnp.tanh(u) - p,
+                                jnp.zeros(5), 0.7 * jnp.ones(5))
+    sol = nls.solve(prob, Richardson(), maxiters=500)
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-10
+
+    import jax as _jax
+    g = _jax.grad(lambda p: nls.solve(
+        nls.NonlinearProblem(lambda u, q: u + 0.3 * jnp.tanh(u) - q,
+                             jnp.zeros(1), p),
+        Richardson(), maxiters=500).u[0])(jnp.array([0.7]))
+    assert np.isfinite(float(g[0])) and 0.7 < float(g[0]) < 0.9
