@@ -271,3 +271,15 @@ def test_custom_algorithm_extension():
                              jnp.zeros(1), p),
         Richardson(), maxiters=500).u[0])(jnp.array([0.7]))
     assert np.isfinite(float(g[0])) and 0.7 < float(g[0]) < 0.9
+
+
+@pytest.mark.parametrize("method", ["hybr", "lm", "df-sane", "broyden1"])
+def test_scipy_root_method_conformance(method):
+    """Wrapper conformance (reference test/Wrappers/rootfind): SciPy
+    bridge methods land on the same root as the native solvers."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    native = nls.solve(prob, nls.NewtonRaphson())
+    wrapped = nls.solve(prob, nls.SciPyRoot(method=method))
+    assert bool(wrapped.success), method
+    np.testing.assert_allclose(np.asarray(wrapped.u), np.asarray(native.u),
+                               rtol=1e-6)
