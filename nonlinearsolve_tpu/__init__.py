@@ -52,5 +52,24 @@ from .core.cache import NonlinearSolveCache, init
 from .core.ensemble import solve_ensemble
 from .core.tracing import (TraceAll, TraceConfig, TraceMinimal,
                            TraceWithJacobianConditionNumber)
-from .solvers.wrappers import (CMINPACK, KINSOL, PETScSNES, SciPyLeastSquares,
-                               SciPyRoot, SciPyRootScalar)
+from .solvers.wrappers import (CMINPACK, KINSOL, PETScSNES,
+                               FastLevenbergMarquardtJL,
+                               FixedPointAccelerationJL, LeastSquaresOptimJL,
+                               NLSolversJL, NLsolveJL, SIAMFANLEquationsJL,
+                               SciPyLeastSquares, SciPyLeastSquaresDogbox,
+                               SciPyLeastSquaresTRF, SciPyRoot,
+                               SciPyRootScalar, SpeedMappingJL)
+from .core.descent import (DampedNewtonDescent, DescentResult, Dogleg,
+                           GeodesicAcceleration, NewtonDescent,
+                           SteepestDescent)
+from .core.trust_region import (GenericTrustRegionScheme,
+                                LevenbergMarquardtTrustRegion,
+                                RadiusUpdateSchemes)
+from .core.conditioning import PostconditionSpace
+from .core.verbosity import NonlinearVerbosity
+from .ops.operators import (JacVecOperator, JacobianOperator,
+                            StatefulJacobianNormalFormOperator,
+                            StatefulJacobianOperator, VecJacOperator)
+from .solvers.homotopy_continuation import (HomotopyContinuationJL,
+                                            HomotopyNonlinearFunction,
+                                            TaylorHomotopyContinuationJL)

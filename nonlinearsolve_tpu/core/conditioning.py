@@ -14,6 +14,15 @@ import dataclasses
 from typing import Callable
 
 
+class PostconditionSpace:
+    """Coordinate space the postcondition corrector is written in
+    (the reference's ``PostconditionSpace.Original|Transformed`` EnumX,
+    conditioning.jl:46-66)."""
+
+    Original = "original"
+    Transformed = "transformed"
+
+
 @dataclasses.dataclass(frozen=True)
 class PostconditionSpecifier:
     corrector: Callable

@@ -31,6 +31,10 @@ class ReturnCode(enum.IntEnum):
     FloatingPointLimit = 14
     ExactSolutionLeft = 15
     ExactSolutionRight = 16
+    # All polynomial-space roots were filtered (denominator zeros / NaN
+    # preimages) — SciMLBase.ReturnCode.Infeasible as used by the
+    # HomotopyContinuation bridge (solve.jl:98-105).
+    Infeasible = 17
 
     @staticmethod
     def successful(code):

@@ -95,6 +95,12 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
     if is_wrapper_alg(alg):
         return solve_wrapper(prob, alg, **merged)
 
+    from ..solvers.homotopy_continuation import (HomotopyContinuationJL,
+                                                 TaylorHomotopyContinuationJL,
+                                                 solve_homotopy_continuation)
+    if isinstance(alg, (HomotopyContinuationJL, TaylorHomotopyContinuationJL)):
+        return solve_homotopy_continuation(prob, alg, **merged)
+
     if alg is None:
         alg = _default_algorithm(prob)
     return solve_nonlinear(prob, alg, **merged)

@@ -34,6 +34,20 @@ from .descent import DescentCtx, DescentResult
 SCHEMES = ("simple", "nlsolve", "nocedalwright", "hei", "yuan", "fan", "bastin")
 
 
+class RadiusUpdateSchemes:
+    """Named radius-update schemes (the reference's
+    ``RadiusUpdateSchemes`` EnumX namespace, trust_region.jl:59-147) — pass
+    one as ``TrustRegion(radius_update_scheme=RadiusUpdateSchemes.Fan)``."""
+
+    Simple = "simple"
+    NLsolve = "nlsolve"
+    NocedalWright = "nocedalwright"
+    Hei = "hei"
+    Yuan = "yuan"
+    Fan = "fan"
+    Bastin = "bastin"
+
+
 @static_config
 class GenericTrustRegionScheme:
     method: str = "simple"

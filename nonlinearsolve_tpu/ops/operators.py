@@ -102,6 +102,23 @@ class StatefulJacobianNormalFormOperator:
         return self(v)
 
 
+def JacVecOperator(f_flat: Callable, u=None, *, analytic_jvp=None
+                   ) -> Any:
+    """``v ↦ J(u)·v`` operator (SciMLJacobianOperators.jl JacVecOperator,
+    :446-474): a JacobianOperator restricted to JVP mode, optionally bound
+    at ``u`` (returns the stateful matvec when ``u`` is given)."""
+    op = JacobianOperator(f_flat, analytic_jvp=analytic_jvp)
+    return op if u is None else op.at(u)
+
+
+def VecJacOperator(f_flat: Callable, u=None, *, analytic_vjp=None
+                   ) -> Any:
+    """``v ↦ J(u)ᵀ·v`` operator (the reference's VecJacOperator): the
+    transposed JacobianOperator, optionally bound at ``u``."""
+    op = JacobianOperator(f_flat, analytic_vjp=analytic_vjp).T
+    return op if u is None else op.at(u)
+
+
 def as_matvec(A) -> Callable:
     """Normalize a matrix / sparse container / operator to ``v -> A@v``."""
     from .sparse import CSR, DIA, ELL

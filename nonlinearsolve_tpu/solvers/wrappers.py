@@ -58,6 +58,17 @@ class SciPyLeastSquares:
     name: str = "SciPyLeastSquares"
 
 
+def SciPyLeastSquaresTRF(**kwargs):
+    """Preset for the trust-region-reflective method
+    (NonlinearSolveSciPy.jl's SciPyLeastSquaresTRF export)."""
+    return SciPyLeastSquares(method="trf", **kwargs)
+
+
+def SciPyLeastSquaresDogbox(**kwargs):
+    """Preset for the dogleg-with-box method."""
+    return SciPyLeastSquares(method="dogbox", **kwargs)
+
+
 _UNAVAILABLE = {
     "PETScSNES": "NewtonRaphson(linsolve=LinearSolver(method='gmres')) with "
                  "parallel.distributed_solve — the TPU-native distributed "

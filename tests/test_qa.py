@@ -39,6 +39,20 @@ PUBLIC_API = [
     "RelNormSafeBestTerminationMode", "AbsNormSafeBestTerminationMode",
     # bridges
     "SciPyRoot", "SciPyRootScalar", "SciPyLeastSquares",
+    "SciPyLeastSquaresTRF", "SciPyLeastSquaresDogbox",
+    "NLsolveJL", "NLSolversJL", "LeastSquaresOptimJL",
+    "FastLevenbergMarquardtJL", "SIAMFANLEquationsJL", "SpeedMappingJL",
+    "FixedPointAccelerationJL", "PETScSNES", "CMINPACK", "KINSOL",
+    # descent / scheme / operator surface (reference exports)
+    "NewtonDescent", "SteepestDescent", "DampedNewtonDescent", "Dogleg",
+    "GeodesicAcceleration", "DescentResult", "RadiusUpdateSchemes",
+    "GenericTrustRegionScheme", "LevenbergMarquardtTrustRegion",
+    "PostconditionSpace", "NonlinearVerbosity",
+    "JacobianOperator", "JacVecOperator", "VecJacOperator",
+    "StatefulJacobianOperator", "StatefulJacobianNormalFormOperator",
+    # polynomial/rational all-roots tier
+    "HomotopyContinuationJL", "TaylorHomotopyContinuationJL",
+    "HomotopyNonlinearFunction",
 ]
 
 
