@@ -71,8 +71,8 @@ def test_denominator_filters_spurious_roots():
 
 def test_all_roots_filtered_out_is_infeasible():
     hf = nls.HomotopyNonlinearFunction(
-        f=lambda u, p: u ** 2 - 4 * u + 4.0,     # double root at 2
-        denominator=lambda u, p: u - 2.0)         # ... which is spurious
+        f=lambda u, p: u ** 2 - 7 * u + 10.0,        # roots 2 and 5...
+        denominator=lambda u, p: (u - 2.0) * (u - 5.0))   # ...both spurious
     prob = nls.NonlinearProblem(hf, jnp.array([0.0]))
     sol = nls.solve(prob, nls.HomotopyContinuationJL(all_roots=True))
     assert int(sol.retcode) == int(nls.ReturnCode.Infeasible)
