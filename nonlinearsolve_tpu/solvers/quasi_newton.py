@@ -23,8 +23,10 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from ..core import descent as dsc
 from ..core import linesearch as lsr
 from ..core import termination as trm
+from ..core import trust_region as trg
 from ..core.tracing import init_trace, record_trace
 from ..core.autodiff import JacobianPolicy, construct_dense_jacobian_fn
 from ..core.returncode import ReturnCode
@@ -50,22 +52,54 @@ class IllConditionedJacobianReset:
 
 @static_config
 class QuasiNewtonAlgorithm:
+    """The engine (solve.jl:27-53).  ``trustregion`` takes a
+    ``GenericTrustRegionScheme`` and globalizes with a Dogleg step on the
+    approximate Jacobian (the reference's ``QuasiNewtonAlgorithm(;
+    trustregion, descent = Dogleg())`` combination, gated on
+    ``supports_trust_region``, solve.jl:247-249); it forces direct (not
+    inverse) Jacobian storage, so the Broyden update switches to its
+    direct-space rank-1 form."""
+
     update_rule: str = "good_broyden"   # good_broyden|bad_broyden|klement
     structure: str = "full"             # full | diagonal | low_rank
     threshold: int = 27                 # low_rank history depth η
     init_jacobian: str = "identity"     # identity | true_jacobian
     alpha: Optional[float] = None
     linesearch: Any = None
+    trustregion: Any = None             # GenericTrustRegionScheme
+    max_shrink_times: int = 2**31 - 2   # reference default: typemax(Int)
     reinit_rule: Any = NoChangeInStateReset()
     max_resets: int = 100
     linsolve: LinearSolver = LinearSolver()
     jacobian: JacobianPolicy = JacobianPolicy()  # for true_jacobian init
     name: str = "QuasiNewton"
 
+    def __post_init__(self):
+        if self.trustregion is None:
+            return
+        from ..core.trust_region import GenericTrustRegionScheme
+        if self.linesearch is not None:
+            raise ValueError("cannot combine linesearch and trustregion "
+                             "globalization (solve.jl:239-243)")
+        if not isinstance(self.trustregion, GenericTrustRegionScheme):
+            raise ValueError("QuasiNewton trustregion must be a "
+                             "GenericTrustRegionScheme")
+        if self.structure != "full":
+            raise ValueError("trust-region globalization needs the full "
+                             "direct Jacobian structure (Dogleg needs J, "
+                             "not J⁻¹ or a diagonal)")
+        if self.update_rule == "bad_broyden":
+            raise ValueError("bad_broyden is an inverse-Jacobian update "
+                             "rule; use good_broyden or klement with "
+                             "trustregion")
+
     @property
     def store_inverse(self) -> bool:
         # Broyden rules store J⁻¹ (broyden.jl store_inverse_jacobian=true);
-        # Klement stores J directly.
+        # Klement stores J directly; trust-region globalization forces
+        # direct storage (the Dogleg/TR ratio model needs J).
+        if self.trustregion is not None:
+            return False
         return self.update_rule in ("good_broyden", "bad_broyden")
 
 
@@ -142,6 +176,7 @@ class QNCarry:
     ls_state: Any
     update_fu_prev: Any         # fu at the last update (Broyden dfu / Klement fu_cache)
     reset_state: Any
+    tr_state: Any = None        # trust-region globalization state
     trace_state: Any = None
 
 
@@ -277,6 +312,13 @@ def _update_jacobian(alg: QuasiNewtonAlgorithm, J, fu, fu_prev, u, du):
         return (U.at[slot].set(u_new), V.at[slot].set(vT), count + 1, alpha)
     if alg.update_rule in ("good_broyden", "bad_broyden"):
         dfu = fu - fu_prev
+        if not alg.store_inverse:
+            # Direct-space good Broyden (TR-globalized path):
+            # J += (Δf − JΔu) Δuᵀ / ⟨Δu, Δu⟩ — the Sherman–Morrison
+            # preimage of the inverse update at broyden.jl:126-143.
+            denom = jnp.dot(du, du)
+            denom = jnp.where(denom == 0, eps_guard, denom)
+            return J + jnp.outer((dfu - J @ du) / denom, du)
         if alg.structure == "diagonal":
             d = J
             if alg.update_rule == "good_broyden":
@@ -318,6 +360,8 @@ def init_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     term = trm.init_termination(term_cfg, fu0, u0_flat, reltol)
     ls_state = (lsr.ls_init(alg.linesearch, ctx, fu0, u0_flat)
                 if alg.linesearch is not None else None)
+    tr_state = (trg.tr_init(alg.trustregion, ctx, fu0, u0_flat)
+                if alg.trustregion is not None else None)
     reset_state = ResetRuleState(
         steps_since_change_du=jnp.int32(0),
         steps_since_change_dfu=jnp.int32(0), dfu_prev=fu0)
@@ -330,7 +374,7 @@ def init_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         retcode=jnp.int32(ReturnCode.Default),
         stats=NLStats.zeros().incr(nf=1, njacs=njacs),
         term=term, ls_state=ls_state, update_fu_prev=fu0,
-        reset_state=reset_state,
+        reset_state=reset_state, tr_state=tr_state,
         trace_state=init_trace(ctx.trace, u0_flat, u0_flat.dtype),
     )
 
@@ -358,7 +402,18 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     update_fu_prev = tree_where(reinit, fu, carry.update_fu_prev)
 
     # --- descent ----------------------------------------------------------
-    du, linsolve_ok = _qn_descent(alg, J, fu)
+    tr_result = None
+    if alg.trustregion is not None:
+        # Dogleg on the (direct-stored) approximate Jacobian — the
+        # supports_trust_region descent the reference requires
+        # (solve.jl:247-249, abstract_types.jl:146).
+        tr_radius = carry.tr_state.trust_region
+        dogleg = dsc.Dogleg(newton=dsc.NewtonDescent(linsolve=alg.linsolve))
+        tr_result, _ = dsc.descent_solve(dogleg, None, ctx, J, fu, u,
+                                         trust_region=tr_radius)
+        du, linsolve_ok = tr_result.du, tr_result.linsolve_success
+    else:
+        du, linsolve_ok = _qn_descent(alg, J, fu)
     stats = carry.stats.incr(nsteps=1, nsolve=1,
                              njacs=jnp.where(
                                  reinit & (alg.init_jacobian == "true_jacobian"),
@@ -367,7 +422,19 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     # --- globalization ----------------------------------------------------
     force_reinit_next = jnp.bool_(False)
     ls_state = carry.ls_state
-    if alg.linesearch is not None:
+    tr_state = carry.tr_state
+    tr_accepted = jnp.bool_(True)
+    shrink_exceeded = jnp.bool_(False)
+    if alg.trustregion is not None:
+        tr_accepted, u_cand, fu_cand, tr_state = trg.tr_solve(
+            alg.trustregion, tr_state, ctx, J, fu, u, du, tr_result)
+        stats = stats.incr(nf=1)
+        u_new = jnp.where(tr_accepted, u_cand, u)
+        fu_new = jnp.where(tr_accepted, fu_cand, fu)
+        counter = trg.tr_shrink_counter(tr_state)
+        if counter is not None:
+            shrink_exceeded = counter > alg.max_shrink_times
+    elif alg.linesearch is not None:
         ls_res = lsr.ls_solve(alg.linesearch, ls_state, ctx, u, du, fu, None,
                               carry.nsteps)
         ls_failed = ~ls_res.success
@@ -386,8 +453,12 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         stats = stats.incr(nf=1)
 
     if ctx.postcondition is not None:
-        u_new = ctx.postcondition(u_new, u)
-        fu_new = ctx.f_flat(u_new)
+        # Skipped when the trust region rejected the step (reference QN
+        # step!, solve.jl:424-436: postcondition only inside tr_accepted).
+        u_pc = ctx.postcondition(u_new, u)
+        fu_pc = ctx.f_flat(u_pc)
+        u_new = jnp.where(tr_accepted, u_pc, u_new)
+        fu_new = jnp.where(tr_accepted, fu_pc, fu_new)
         stats = stats.incr(nf=1)
     u_new = jnp.where(linsolve_ok, u_new, u)
     fu_new = jnp.where(linsolve_ok, fu_new, fu)
@@ -405,19 +476,23 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     stop = stop & linsolve_ok
 
     # --- jacobian update (skipped on force_stop / pending reinit) --------
-    do_update = (~stop) & (~force_reinit_next) & linsolve_ok & (~resets_exhausted)
+    do_update = ((~stop) & (~force_reinit_next) & linsolve_ok
+                 & (~resets_exhausted) & (~shrink_exceeded))
     J_updated = _update_jacobian(alg, J, fu_new, update_fu_prev, u_new, du)
     J_next = tree_where(do_update, J_updated, J)
     update_fu_prev = tree_where(do_update, fu_new, update_fu_prev)
 
     retcode = jnp.int32(ReturnCode.Default)
+    retcode = jnp.where(shrink_exceeded,
+                        jnp.int32(ReturnCode.ShrinkThresholdExceeded),
+                        retcode)
     retcode = jnp.where(stop, term.retcode, retcode)
     retcode = jnp.where(hard_lin_fail,
                         jnp.int32(ReturnCode.InternalLinearSolveFailed),
                         retcode)
     retcode = jnp.where(resets_exhausted,
                         jnp.int32(ReturnCode.ConvergenceFailure), retcode)
-    force_stop = stop | hard_lin_fail | resets_exhausted
+    force_stop = stop | hard_lin_fail | resets_exhausted | shrink_exceeded
 
     return QNCarry(
         u=u_new, u_prev=u, fu=fu_new, du=du, J=J_next,
@@ -428,6 +503,7 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
         stats=stats, term=term, ls_state=ls_state,
         update_fu_prev=update_fu_prev, reset_state=reset_state,
+        tr_state=tr_state,
         trace_state=record_trace(ctx.trace, carry.trace_state,
                                  carry.nsteps + 1, fu_new, du, J_next,
                                  u_new),
