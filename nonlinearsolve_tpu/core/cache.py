@@ -51,9 +51,11 @@ def _build_ctx_and_engine(plan, u0, p):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _jit_init(plan, u0, p, reltol):
+    from ..solvers.anderson import AndersonAcceleration, init_anderson
     from ..solvers.first_order import (GeneralizedFirstOrderAlgorithm,
                                        init_first_order)
     from ..solvers.quasi_newton import QuasiNewtonAlgorithm, init_quasi_newton
+    from ..solvers.spectral import GeneralizedDFSane, init_dfsane
     from ..core.jacobian import construct_jacobian
     f, alg, term_cfg = plan
     ctx, u0_flat, _, _ = _build_ctx_and_engine(plan, u0, p)
@@ -62,9 +64,13 @@ def _jit_init(plan, u0, p, reltol):
     if isinstance(alg, QuasiNewtonAlgorithm):
         jac_fn, _ = construct_jacobian(alg.jacobian, None, ctx, None)
         return init_quasi_newton(alg, ctx, term_cfg, jac_fn, u0_flat, reltol)
+    if isinstance(alg, GeneralizedDFSane):
+        return init_dfsane(alg, ctx, term_cfg, u0_flat, reltol)
+    if isinstance(alg, AndersonAcceleration):
+        return init_anderson(alg, ctx, term_cfg, u0_flat, reltol)
     raise ValueError(
-        f"iterator interface supports first-order and quasi-Newton "
-        f"algorithms, got {alg!r}")
+        f"iterator interface supports first-order, quasi-Newton, spectral "
+        f"and Anderson algorithms, got {alg!r}")
 
 
 _STEP_CHUNK = 16
@@ -72,20 +78,7 @@ _STEP_CHUNK = 16
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _jit_step(plan, carry, p, u0_proto, abstol, reltol):
-    from ..solvers.first_order import (GeneralizedFirstOrderAlgorithm,
-                                       step_first_order)
-    from ..solvers.quasi_newton import QuasiNewtonAlgorithm, step_quasi_newton
-    from ..core.jacobian import construct_jacobian
-    f, alg, term_cfg = plan
-    ctx, _, _, _ = _build_ctx_and_engine(plan, u0_proto, p)
-    if isinstance(alg, GeneralizedFirstOrderAlgorithm):
-        jac_fn, _ = construct_jacobian(alg.jacobian, alg.get_linsolve(), ctx,
-                                       None, alg.concrete_jac)
-        return step_first_order(alg, ctx, term_cfg, jac_fn, carry, abstol,
-                                reltol)
-    jac_fn, _ = construct_jacobian(alg.jacobian, None, ctx, None)
-    return step_quasi_newton(alg, ctx, term_cfg, jac_fn, carry, abstol,
-                             reltol)
+    return _step_body(plan, carry, p, u0_proto, abstol, reltol)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -127,9 +120,11 @@ def _jit_solve_from(plan, carry, p, u0_proto, abstol, reltol, maxiters):
 
 
 def _step_body(plan, carry, p, u0_proto, abstol, reltol):
+    from ..solvers.anderson import AndersonAcceleration, step_anderson
     from ..solvers.first_order import (GeneralizedFirstOrderAlgorithm,
                                        step_first_order)
     from ..solvers.quasi_newton import step_quasi_newton
+    from ..solvers.spectral import GeneralizedDFSane, step_dfsane
     from ..core.jacobian import construct_jacobian
     f, alg, term_cfg = plan
     ctx, _, _, _ = _build_ctx_and_engine(plan, u0_proto, p)
@@ -138,6 +133,10 @@ def _step_body(plan, carry, p, u0_proto, abstol, reltol):
                                        None, alg.concrete_jac)
         return step_first_order(alg, ctx, term_cfg, jac_fn, carry, abstol,
                                 reltol)
+    if isinstance(alg, GeneralizedDFSane):
+        return step_dfsane(alg, ctx, term_cfg, carry, abstol, reltol)
+    if isinstance(alg, AndersonAcceleration):
+        return step_anderson(alg, ctx, term_cfg, carry, abstol, reltol)
     jac_fn, _ = construct_jacobian(alg.jacobian, None, ctx, None)
     return step_quasi_newton(alg, ctx, term_cfg, jac_fn, carry, abstol,
                              reltol)

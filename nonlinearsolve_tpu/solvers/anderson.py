@@ -74,14 +74,14 @@ def _anderson_gamma(dF, fu, hist_mask, reg):
     return jnp.where(jnp.isfinite(gamma), gamma, 0.0)
 
 
-def run_anderson(alg: AndersonAcceleration, ctx, term_cfg, u0_flat, abstol,
-                 reltol, maxiters):
+def init_anderson(alg: AndersonAcceleration, ctx, term_cfg, u0_flat,
+                  reltol) -> AndersonCarry:
     fu0 = ctx.f_flat(u0_flat)
     n = u0_flat.shape[0]
     m = min(alg.m, n)
     dtype = u0_flat.dtype
     term = trm.init_termination(term_cfg, fu0, u0_flat, reltol)
-    carry0 = AndersonCarry(
+    return AndersonCarry(
         u=u0_flat, fu=fu0,
         dU=jnp.zeros((m, n), dtype), dF=jnp.zeros((m, n), dtype),
         count=jnp.int32(0), nsteps=jnp.int32(0),
@@ -90,48 +90,60 @@ def run_anderson(alg: AndersonAcceleration, ctx, term_cfg, u0_flat, abstol,
         stats=NLStats.zeros().incr(nf=1), term=term,
         trace_state=init_trace(ctx.trace, u0_flat, u0_flat.dtype),
     )
+
+
+def step_anderson(alg: AndersonAcceleration, ctx, term_cfg,
+                  carry: AndersonCarry, abstol, reltol) -> AndersonCarry:
+    dtype = carry.u.dtype
+    m = carry.dU.shape[0]
     beta = jnp.asarray(alg.beta, dtype)
+    u, fu = carry.u, carry.fu
+    hist = jnp.minimum(carry.count, m)
+    hist_mask = (jnp.arange(m) < hist).astype(dtype)
+
+    gamma = _anderson_gamma(carry.dF, fu, hist_mask,
+                            jnp.asarray(alg.regularization, dtype))
+    # u⁺ = u + βF − (dU + β dF)ᵀ γ  (Walker-Ni type II)
+    u_new = u + beta * fu - (carry.dU + beta * carry.dF).T @ gamma
+    fu_new = ctx.f_flat(u_new)
+    stats = carry.stats.incr(nf=1, nsteps=1)
+    if ctx.postcondition is not None:
+        u_new = ctx.postcondition(u_new, u)
+        fu_new = ctx.f_flat(u_new)
+        stats = stats.incr(nf=1)
+
+    # ring update with the new (Δu, ΔF) pair
+    slot = carry.count % m
+    dU = carry.dU.at[slot].set(u_new - u)
+    dF = carry.dF.at[slot].set(fu_new - fu)
+
+    stop, term = trm.check_termination(
+        term_cfg, carry.term, fu_new, u_new, u, abstol, reltol,
+        is_least_squares=ctx.is_least_squares)
+    retcode = jnp.where(stop, term.retcode,
+                        jnp.int32(ReturnCode.Default))
+
+    return AndersonCarry(
+        u=u_new, fu=fu_new, dU=dU, dF=dF, count=carry.count + 1,
+        nsteps=carry.nsteps + 1,
+        force_stop=carry.force_stop | stop,
+        retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
+        stats=stats, term=term,
+        trace_state=record_trace(ctx.trace, carry.trace_state,
+                                 carry.nsteps + 1, fu_new, u_new - u,
+                                 None, u_new),
+    )
+
+
+def run_anderson(alg: AndersonAcceleration, ctx, term_cfg, u0_flat, abstol,
+                 reltol, maxiters):
+    carry0 = init_anderson(alg, ctx, term_cfg, u0_flat, reltol)
 
     def cond(carry):
         return (~carry.force_stop) & (carry.nsteps < maxiters)
 
-    def body(carry: AndersonCarry) -> AndersonCarry:
-        u, fu = carry.u, carry.fu
-        hist = jnp.minimum(carry.count, m)
-        hist_mask = (jnp.arange(m) < hist).astype(dtype)
-
-        gamma = _anderson_gamma(carry.dF, fu, hist_mask,
-                                jnp.asarray(alg.regularization, dtype))
-        # u⁺ = u + βF − (dU + β dF)ᵀ γ  (Walker-Ni type II)
-        u_new = u + beta * fu - (carry.dU + beta * carry.dF).T @ gamma
-        fu_new = ctx.f_flat(u_new)
-        stats = carry.stats.incr(nf=1, nsteps=1)
-        if ctx.postcondition is not None:
-            u_new = ctx.postcondition(u_new, u)
-            fu_new = ctx.f_flat(u_new)
-            stats = stats.incr(nf=1)
-
-        # ring update with the new (Δu, ΔF) pair
-        slot = carry.count % m
-        dU = carry.dU.at[slot].set(u_new - u)
-        dF = carry.dF.at[slot].set(fu_new - fu)
-
-        stop, term = trm.check_termination(
-            term_cfg, carry.term, fu_new, u_new, u, abstol, reltol,
-            is_least_squares=ctx.is_least_squares)
-        retcode = jnp.where(stop, term.retcode,
-                            jnp.int32(ReturnCode.Default))
-
-        return AndersonCarry(
-            u=u_new, fu=fu_new, dU=dU, dF=dF, count=carry.count + 1,
-            nsteps=carry.nsteps + 1,
-            force_stop=carry.force_stop | stop,
-            retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
-            stats=stats, term=term,
-            trace_state=record_trace(ctx.trace, carry.trace_state,
-                                     carry.nsteps + 1, fu_new, u_new - u,
-                                     None, u_new),
-        )
+    def body(carry):
+        return step_anderson(alg, ctx, term_cfg, carry, abstol, reltol)
 
     final = jax.lax.while_loop(cond, body, carry0)
     retcode = jnp.where(

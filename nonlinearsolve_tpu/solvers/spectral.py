@@ -82,12 +82,12 @@ def _initial_sigma(alg: GeneralizedDFSane, u, fu):
     return jnp.where(in_bounds, sigma, fallback)
 
 
-def run_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat, abstol, reltol,
-               maxiters):
+def init_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat,
+                reltol) -> DFSaneCarry:
     fu0 = ctx.f_flat(u0_flat)
     term = trm.init_termination(term_cfg, fu0, u0_flat, reltol)
     ls_state = lsr.ls_init(alg.linesearch, ctx, fu0, u0_flat)
-    carry0 = DFSaneCarry(
+    return DFSaneCarry(
         u=u0_flat, u_prev=u0_flat, fu=fu0, fu_prev=fu0,
         du=jnp.zeros_like(u0_flat), sigma=_initial_sigma(alg, u0_flat, fu0),
         nsteps=jnp.int32(0), force_stop=jnp.bool_(False),
@@ -96,58 +96,68 @@ def run_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat, abstol, reltol,
         trace_state=init_trace(ctx.trace, u0_flat, u0_flat.dtype),
     )
 
+
+def step_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, carry: DFSaneCarry,
+                abstol, reltol) -> DFSaneCarry:
+    u, fu = carry.u, carry.fu
+    du = -carry.sigma * fu
+
+    ls_res = lsr.ls_solve(alg.linesearch, carry.ls_state, ctx, u, du, fu,
+                          None, carry.nsteps)
+    ls_failed = ~ls_res.success
+    u_new = u + ls_res.alpha * du
+    fu_new = ctx.f_flat(u_new)
+    stats = carry.stats.incr(nf=ls_res.nf + 1, nsteps=1)
+    if ctx.postcondition is not None:
+        u_new = ctx.postcondition(u_new, u)
+        fu_new = ctx.f_flat(u_new)
+        stats = stats.incr(nf=1)
+    ls_state = lsr.ls_post_step(alg.linesearch, ls_res.state, fu_new)
+
+    stop, term = trm.check_termination(
+        term_cfg, carry.term, fu_new, u_new, u, abstol, reltol,
+        is_least_squares=ctx.is_least_squares)
+
+    # Spectral parameter update (solve.jl:269-287).
+    s = u_new - u
+    y = fu_new - fu
+    denom = tree_dot(s, y)
+    sigma = tree_dot(s, s) / jnp.where(denom == 0, jnp.ones_like(denom),
+                                       denom)
+    fallback = jnp.clip(1.0 / l2_norm(fu_new), 1.0, 1e5)
+    in_bounds = ((alg.sigma_min <= jnp.abs(sigma))
+                 & (jnp.abs(sigma) <= alg.sigma_max)
+                 & (denom != 0) & jnp.isfinite(sigma))
+    sigma = jnp.where(in_bounds, sigma, fallback)
+
+    retcode = jnp.int32(ReturnCode.Default)
+    retcode = jnp.where(ls_failed,
+                        jnp.int32(ReturnCode.InternalLineSearchFailed),
+                        retcode)
+    retcode = jnp.where(stop, term.retcode, retcode)
+    force_stop = stop | ls_failed
+
+    return DFSaneCarry(
+        u=u_new, u_prev=u, fu=fu_new, fu_prev=fu, du=du, sigma=sigma,
+        nsteps=carry.nsteps + 1,
+        force_stop=carry.force_stop | force_stop,
+        retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
+        stats=stats, term=term, ls_state=ls_state,
+        trace_state=record_trace(ctx.trace, carry.trace_state,
+                                 carry.nsteps + 1, fu_new,
+                                 ls_res.alpha * du, None, u_new),
+    )
+
+
+def run_dfsane(alg: GeneralizedDFSane, ctx, term_cfg, u0_flat, abstol, reltol,
+               maxiters):
+    carry0 = init_dfsane(alg, ctx, term_cfg, u0_flat, reltol)
+
     def cond(carry):
         return (~carry.force_stop) & (carry.nsteps < maxiters)
 
-    def body(carry: DFSaneCarry) -> DFSaneCarry:
-        u, fu = carry.u, carry.fu
-        du = -carry.sigma * fu
-
-        ls_res = lsr.ls_solve(alg.linesearch, carry.ls_state, ctx, u, du, fu,
-                              None, carry.nsteps)
-        ls_failed = ~ls_res.success
-        u_new = u + ls_res.alpha * du
-        fu_new = ctx.f_flat(u_new)
-        stats = carry.stats.incr(nf=ls_res.nf + 1, nsteps=1)
-        if ctx.postcondition is not None:
-            u_new = ctx.postcondition(u_new, u)
-            fu_new = ctx.f_flat(u_new)
-            stats = stats.incr(nf=1)
-        ls_state = lsr.ls_post_step(alg.linesearch, ls_res.state, fu_new)
-
-        stop, term = trm.check_termination(
-            term_cfg, carry.term, fu_new, u_new, u, abstol, reltol,
-            is_least_squares=ctx.is_least_squares)
-
-        # Spectral parameter update (solve.jl:269-287).
-        s = u_new - u
-        y = fu_new - fu
-        denom = tree_dot(s, y)
-        sigma = tree_dot(s, s) / jnp.where(denom == 0, jnp.ones_like(denom),
-                                           denom)
-        fallback = jnp.clip(1.0 / l2_norm(fu_new), 1.0, 1e5)
-        in_bounds = ((alg.sigma_min <= jnp.abs(sigma))
-                     & (jnp.abs(sigma) <= alg.sigma_max)
-                     & (denom != 0) & jnp.isfinite(sigma))
-        sigma = jnp.where(in_bounds, sigma, fallback)
-
-        retcode = jnp.int32(ReturnCode.Default)
-        retcode = jnp.where(ls_failed,
-                            jnp.int32(ReturnCode.InternalLineSearchFailed),
-                            retcode)
-        retcode = jnp.where(stop, term.retcode, retcode)
-        force_stop = stop | ls_failed
-
-        return DFSaneCarry(
-            u=u_new, u_prev=u, fu=fu_new, fu_prev=fu, du=du, sigma=sigma,
-            nsteps=carry.nsteps + 1,
-            force_stop=carry.force_stop | force_stop,
-            retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
-            stats=stats, term=term, ls_state=ls_state,
-            trace_state=record_trace(ctx.trace, carry.trace_state,
-                                     carry.nsteps + 1, fu_new,
-                                     ls_res.alpha * du, None, u_new),
-        )
+    def body(carry):
+        return step_dfsane(alg, ctx, term_cfg, carry, abstol, reltol)
 
     final = jax.lax.while_loop(cond, body, carry0)
     retcode = jnp.where(

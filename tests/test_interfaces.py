@@ -43,6 +43,31 @@ def test_iterator_quasi_newton():
     assert bool(sol.success)
 
 
+def test_iterator_dfsane():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    cache = nls.init(prob, nls.DFSane())
+    cache.step()
+    assert cache.nsteps == 1
+    sol = cache.solve()
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-8)
+    # warm restart (integrator-style reuse)
+    cache.reinit(p=jnp.asarray(9.0))
+    np.testing.assert_allclose(np.asarray(cache.solve().u), 3.0, rtol=1e-8)
+
+
+def test_iterator_anderson():
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    cache = nls.init(prob, nls.AndersonAcceleration(beta=-0.5))
+    cache.step(2)
+    assert cache.nsteps == 2
+    sol = cache.solve()
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-8)
+    cache.reinit(p=jnp.asarray(4.0))
+    np.testing.assert_allclose(np.asarray(cache.solve().u), 2.0, rtol=1e-8)
+
+
 def test_store_trace():
     prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
     sol = nls.solve(prob, nls.NewtonRaphson(), store_trace=True)
