@@ -117,6 +117,97 @@ def _rd3d_jvp_kernel_db(nz: int, bz: int, u_ref, t_hbm, params_ref,
     out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
 
 
+def _rd3d_jvp_kernel_halo(nz: int, bz: int, u_ref, t_hbm, lo_hbm, hi_hbm,
+                          params_ref, out_ref, scr, sems):
+    """Shard-local variant: the z-neighbors at the shard boundary come from
+    explicit halo planes (received over ICI via ppermute) instead of a
+    periodic wrap.  Interior blocks never touch the halo refs, so only the
+    first/last grid steps depend on the exchange."""
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    z0 = i * bz
+
+    body = pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
+                                 scr.at[pl.ds(1, bz)], sems.at[0])
+    body.start()
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(lo_hbm, scr.at[pl.ds(0, 1)], sems.at[1])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        cp = pltpu.make_async_copy(t_hbm.at[pl.ds(z0 - 1, 1)],
+                                   scr.at[pl.ds(0, 1)], sems.at[1])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == nblk - 1)
+    def _():
+        cp = pltpu.make_async_copy(hi_hbm, scr.at[pl.ds(bz + 1, 1)],
+                                   sems.at[2])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i < nblk - 1)
+    def _():
+        cp = pltpu.make_async_copy(t_hbm.at[pl.ds(z0 + bz, 1)],
+                                   scr.at[pl.ds(bz + 1, 1)], sems.at[2])
+        cp.start()
+        cp.wait()
+
+    body.wait()
+
+    u = u_ref[:]
+    d_h2 = params_ref[0, 0].astype(u.dtype)
+    t_b = scr[pl.ds(1, bz)]
+    inplane = (pltpu.roll(t_b, 1, 1)
+               + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
+               + pltpu.roll(t_b, 1, 2)
+               + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
+               - 6.0 * t_b)
+    up = scr[pl.ds(0, bz)]
+    down = scr[pl.ds(2, bz)]
+    out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
+
+
+@functools.partial(jax.jit, static_argnames=("bz", "n_global"))
+def rd3d_jvp_blocked_halo(u, t, lo, hi, D, *, bz: int = 8,
+                          n_global: int = None):
+    """Shard-local blocked JVP with explicit z-halo planes ``lo``/``hi``
+    (each (1, N, N)) — the per-shard kernel under the shard_map halo
+    exchange (parallel/distributed.py:sharded_rd3d_jvp_pallas_factory).
+    ``n_global`` sets the grid spacing h = 1/Nz_global (the local shard
+    holds only Nz_global / n_shards planes)."""
+    nz, ny, nx = t.shape
+    if nz % bz:
+        raise ValueError(f"bz={bz} must divide local Nz={nz}")
+    dtype = u.dtype
+    n_g = n_global if n_global is not None else nz
+    h2 = (1.0 / n_g) ** 2
+    params = jnp.asarray([[D / h2]], jnp.float32 if
+                         jnp.dtype(dtype).itemsize < 4 else dtype)
+    kernel = functools.partial(_rd3d_jvp_kernel_halo, nz, bz)
+    return pl.pallas_call(
+        kernel,
+        grid=(nz // bz,),
+        in_specs=[
+            pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),      # u slab
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # t in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # lo halo
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # hi halo
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        scratch_shapes=[pltpu.VMEM((bz + 2, ny, nx), dtype),
+                        pltpu.SemaphoreType.DMA((3,))],
+        interpret=_interpret(),
+    )(u, t, lo, hi, params)
+
+
 @functools.partial(jax.jit, static_argnames=("bz", "double_buffer"))
 def rd3d_jvp_blocked(u, t, D, *, bz: int = 8, double_buffer: bool = False):
     """JVP of the 3D RD operator ``D Δu + u − u³ + g`` applied to ``t``:

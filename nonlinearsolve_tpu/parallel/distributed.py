@@ -148,6 +148,33 @@ def sharded_rd3d_jvp_factory(mesh: Mesh, D, N: int, axis: str = "x"):
     return jvp
 
 
+def sharded_rd3d_jvp_pallas_factory(mesh: Mesh, D, N: int, axis: str = "x",
+                                    bz: int = 8):
+    """Per-shard Pallas tier of the 3D RD JVP: ``ppermute`` halo exchange
+    over ICI feeding the grid-blocked VMEM kernel
+    (ops/pallas_stencil3d.py:rd3d_jvp_blocked_halo).
+
+    This is the full TPU-native stack replacing PETSc's distributed MatMult
+    (SURVEY §5.8): inter-chip boundary planes ride ICI, the local stencil
+    streams HBM→VMEM in (bz, N, N) slabs with manual async-copy halos, and
+    only the first/last grid steps of the kernel consume the exchanged
+    planes — interior slabs are independent of the collective, so the
+    transfer hides behind the bulk of the sweep."""
+    from ..ops.pallas_stencil3d import rd3d_jvp_blocked_halo
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+    # annotation, so shard_map's vma checker cannot see through the kernel.
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    def jvp(u_local, t_local):
+        left, right = halo_exchange(axis, t_local)
+        return rd3d_jvp_blocked_halo(u_local, t_local, left, right, D,
+                                     bz=bz, n_global=N)
+
+    return jvp
+
+
 def psum_dot_factory(mesh: Mesh, axis: str = "x"):
     """Globally-reduced dot product over row-sharded vectors (the GMRES /
     line-search reduction primitive of SURVEY §2.10)."""

@@ -208,8 +208,15 @@ def _kantorovich_q(alg: KantorovichHomotopy, theta, has_theta, dtype):
 
 
 def _run_sweep(alg, inner, ctx_maker, run_inner, u0_flat, lam0, lam1,
-               abstol, reltol, maxiters, kantorovich: bool):
-    """Shared natural-parameter driver (homotopy_sweep.jl:637-890)."""
+               abstol, reltol, maxiters, kantorovich: bool,
+               user_tol: bool = False, user_maxiters: bool = False):
+    """Shared natural-parameter driver (homotopy_sweep.jl:637-890).
+
+    ``user_tol`` / ``user_maxiters``: explicit user-passed solve options
+    always win over the loose interior-tracking tolerance/budget
+    (_tracking_tolerance / _tracking_budget, homotopy_sweep.jl:355-377) —
+    splicing a loose abstol next to a user reltol would let the loose
+    criterion fire first in OR-combined termination modes."""
     dtype = u0_flat.dtype
     lam0 = jnp.asarray(lam0, dtype)
     lam1 = jnp.asarray(lam1, dtype)
@@ -223,10 +230,11 @@ def _run_sweep(alg, inner, ctx_maker, run_inner, u0_flat, lam0, lam1,
     max_dlam = alg.max_step_factor * span
     dlam0 = jnp.where(jnp.abs(dlam0) > jnp.abs(max_dlam), max_dlam, dlam0)
 
-    track_budget = (jnp.int32(alg.tracking_maxiters)
-                    if alg.tracking_maxiters is not None else maxiters)
-    track_abstol = (jnp.asarray(alg.tracking_abstol, dtype)
-                    if alg.tracking_abstol is not None else abstol)
+    track_budget = (maxiters if (user_maxiters
+                                 or alg.tracking_maxiters is None)
+                    else jnp.int32(alg.tracking_maxiters))
+    track_abstol = (abstol if (user_tol or alg.tracking_abstol is None)
+                    else jnp.asarray(alg.tracking_abstol, dtype))
 
     # --- anchor solve at λ0 (full budget/tolerance; homotopy_sweep.jl:694).
     # The anchor's full-ladder run discovers the winning subalgorithm,
@@ -438,7 +446,8 @@ class ArcCarry:
 
 
 def _run_arclength(alg: ArcLengthContinuation, run_inner_fixed, run_corrector,
-                   f_of, u0_flat, lam0, lam1, abstol, reltol, maxiters):
+                   f_of, u0_flat, lam0, lam1, abstol, reltol, maxiters,
+                   user_maxiters: bool = False):
     """Keller pseudo-arclength (arclength.jl).  ``run_corrector(tau, xcur,
     ds, guess, budget, tol) -> carry on the augmented system``."""
     dtype = u0_flat.dtype
@@ -459,8 +468,9 @@ def _run_arclength(alg: ArcLengthContinuation, run_inner_fixed, run_corrector,
     min_ds = (jnp.sqrt(jnp.finfo(dtype).eps) if alg.min_ds is None
               else jnp.asarray(alg.min_ds, dtype))
     max_ds = jnp.abs(alg.max_step_factor * span)
-    track_budget = (jnp.int32(alg.tracking_maxiters)
-                    if alg.tracking_maxiters is not None else maxiters)
+    track_budget = (maxiters if (user_maxiters
+                                 or alg.tracking_maxiters is None)
+                    else jnp.int32(alg.tracking_maxiters))
 
     # anchor at λ0
     anchor = run_inner_fixed(u0_flat, lam0, maxiters, abstol)
@@ -613,7 +623,7 @@ def _run_arclength(alg: ArcLengthContinuation, run_inner_fixed, run_corrector,
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _jitted_homotopy(plan, u0, p, lam0, lam1, abstol, reltol, maxiters):
-    f, alg, is_kant = plan
+    f, alg, is_kant, user_tol, user_maxiters = plan
     f_raw = f.f  # the 3-argument homotopy residual f(u, p, λ)
     u0_flat, unravel_u = ravel_pytree(u0)
 
@@ -660,11 +670,12 @@ def _jitted_homotopy(plan, u0, p, lam0, lam1, abstol, reltol, maxiters):
 
         u_f, fu_f, retcode, stats, lam_last = _run_arclength(
             alg, run_inner, run_corrector, make_f_flat, u0_flat, lam0, lam1,
-            abstol, reltol, maxiters)
+            abstol, reltol, maxiters, user_maxiters=user_maxiters)
         return unravel_u(u_f), fu_f, retcode, stats, lam_last
 
     final = _run_sweep(alg, inner, make_f_flat, run_inner, u0_flat, lam0,
-                       lam1, abstol, reltol, maxiters, kantorovich=is_kant)
+                       lam1, abstol, reltol, maxiters, kantorovich=is_kant,
+                       user_tol=user_tol, user_maxiters=user_maxiters)
     return (unravel_u(final.u), final.fu, final.retcode, final.stats,
             final.lam)
 
@@ -719,14 +730,21 @@ def _homotopy_root_jvp(plan, primals, tangents):
 
 
 def _solve_homotopy_single(prob, alg, *, abstol=None, reltol=None,
-                           maxiters=1000, **_ignored):
+                           maxiters=None, **_ignored):
     u0_flat, _ = ravel_pytree(prob.u0)
     dtype = u0_flat.dtype
+    # Explicit user tolerances / iteration budgets shadow the loose
+    # interior-tracking settings (homotopy_sweep.jl:355-377); solve()
+    # merges problem kwargs below call kwargs, so both tiers land here.
+    user_tol = abstol is not None or reltol is not None
+    user_maxiters = maxiters is not None
+    if maxiters is None:
+        maxiters = 1000
     abstol_v = jnp.asarray(get_tolerance(abstol, dtype), dtype)
     reltol_v = jnp.asarray(get_tolerance(reltol, dtype), dtype)
     lam0, lam1 = prob.lambdaspan
     is_kant = isinstance(alg, KantorovichHomotopy)
-    plan = (prob.f, alg, is_kant)
+    plan = (prob.f, alg, is_kant, user_tol, user_maxiters)
     u, fu, retcode, stats, lam_last = _homotopy_root(
         plan, prob.u0, prob.p, jnp.asarray(lam0, dtype),
         jnp.asarray(lam1, dtype), abstol_v, reltol_v, jnp.int32(maxiters))

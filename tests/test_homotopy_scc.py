@@ -139,3 +139,48 @@ def test_landing_repolish_tolerance_sweep(abstol):
         sol = nls.solve(prob, alg, abstol=abstol)
         assert bool(sol.success), (alg.name, int(sol.retcode))
         assert float(jnp.max(jnp.abs(sol.resid))) < 10 * abstol, alg.name
+
+
+@pytest.mark.parametrize("loose", [1e-2, 1e-4])
+def test_loose_tracking_landing_exempt(loose):
+    """Interior tracking at a loose tracking_abstol must NOT leak into the
+    returned solution: the landing on lambda=1 is exempt and re-polished at
+    the full tolerance (homotopy_sweep.jl:120-124, 788-812)."""
+    f = lambda u, q, lam: u ** 3 - u - lam * q
+    prob = nls.HomotopyProblem(f, jnp.array([1.2]), 1.5)
+    for alg in [nls.HomotopySweep(tracking_abstol=loose),
+                nls.KantorovichHomotopy(tracking_abstol=loose)]:
+        sol = nls.solve(prob, alg)
+        assert bool(sol.success), (alg.name, int(sol.retcode))
+        # full default tolerance (~eps^0.8), far below the loose cap
+        assert float(jnp.max(jnp.abs(sol.resid))) < 1e-10, alg.name
+
+
+def test_user_tolerance_shadows_loose_tracking():
+    """An explicit user abstol disables the loose interior tolerance
+    entirely (_tracking_tolerance, homotopy_sweep.jl:366-377): with the
+    loosening suppressed, interior correctors converge tighter, so the
+    tight-user run must do at least as many residual evaluations as the
+    loose run, and both land within tolerance."""
+    f = lambda u, q, lam: u ** 3 - u - lam * q
+    prob = nls.HomotopyProblem(f, jnp.array([1.2]), 1.5,
+                               lambdaspan=(0.0, 1.0))
+    alg = nls.HomotopySweep(tracking_abstol=1e-2, nsteps=8)
+    sol_loose = nls.solve(prob, alg)                 # loosening active
+    sol_user = nls.solve(prob, alg, abstol=1e-12)    # user tol wins
+    assert bool(sol_loose.success) and bool(sol_user.success)
+    assert int(sol_user.stats.nf) >= int(sol_loose.stats.nf)
+    assert float(jnp.max(jnp.abs(sol_user.resid))) < 1e-11
+
+
+def test_user_maxiters_shadows_tracking_budget():
+    """An explicit user maxiters replaces the loose per-step tracking cap
+    (_tracking_budget, homotopy_sweep.jl:355-363): a tracking_maxiters too
+    small for the problem is rescued by the user budget."""
+    # stiff enough that a 1-iteration tracking cap fails interior steps
+    f = lambda u, q, lam: jnp.tanh(3.0 * u) - u + lam * q
+    prob = nls.HomotopyProblem(f, jnp.array([0.1]), 0.4)
+    alg = nls.HomotopySweep(tracking_maxiters=1, nsteps=4)
+    sol_user = nls.solve(prob, alg, maxiters=200)
+    assert bool(sol_user.success), int(sol_user.retcode)
+    assert float(jnp.max(jnp.abs(sol_user.resid))) < 1e-9
