@@ -1,11 +1,12 @@
 """SCC (strongly-connected-component) driver.
 
 Port of /root/reference/lib/SCCNonlinearSolve/src/SCCNonlinearSolve.jl:24-207:
-solve an ordered sequence of subproblems (nonlinear or linear blocks), where
-each block's parameters may be computed from the already-solved blocks via
-``explicitfuns`` (the reference's ``explicitfuns!`` parameter injectors);
-concatenate u/resid; overall retcode = Success iff every block succeeded,
-else the first failing block's code.
+solve an ordered sequence of subproblems (nonlinear, linear, or homotopy
+blocks), where each block's parameters may be computed from the
+already-solved blocks via ``explicitfuns`` (the reference's
+``explicitfuns!`` parameter injectors); concatenate u/resid; overall
+retcode = Success iff every block succeeded, else the first failing
+block's code.
 
 Blocks are statically unrolled (the reference's @generated tuple path) — each
 block's solve is independently jit-cached.
@@ -19,7 +20,8 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.problems import NonlinearProblem, SCCNonlinearProblem
+from ..core.problems import (HomotopyProblem, NonlinearProblem,
+                             SCCNonlinearProblem)
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats, NonlinearSolution
 
@@ -60,6 +62,22 @@ def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
                                   jnp.int32(
                                       ReturnCode.InternalLinearSolveFailed)),
                 stats=NLStats.zeros().incr(nsolve=1, nfactors=1))
+        elif isinstance(block, HomotopyProblem):
+            # A HomotopyProblem block (e.g. a Modelica `homotopy` operator
+            # block) is swept by continuation; the SCC's nonlinear algorithm
+            # is threaded in as the INNER corrector so its autodiff /
+            # linear-solver choices are honored
+            # (SCCNonlinearSolve.jl:96-107).
+            from .homotopy import (ArcLengthContinuation,
+                                   HomotopyPolyAlgorithm, HomotopySweep)
+            block_prob = HomotopyProblem(block.f, block.u0, p_block,
+                                         lambdaspan=block.lambdaspan,
+                                         **block.kwargs)
+            block_alg = HomotopyPolyAlgorithm(
+                stages=(HomotopySweep(inner=alg),
+                        ArcLengthContinuation(inner=alg)))
+            from ..core.solve import solve
+            sol = solve(block_prob, block_alg, **kwargs)
         else:
             block_prob = block.remake(p=p_block) \
                 if p_block is not getattr(block, "p", None) else block

@@ -105,6 +105,25 @@ def test_scc_sequential_blocks():
     np.testing.assert_allclose(u[2], (2.0 + 2.0 ** (1 / 3)) / 2.0, rtol=1e-8)
 
 
+def test_scc_homotopy_block():
+    """A HomotopyProblem block inside an SCC sequence is swept by
+    continuation, threading the previous block's solution and honoring the
+    SCC's inner algorithm (SCCNonlinearSolve.jl:96-107)."""
+    # block 1 (nonlinear): x^2 = 4  -> x = 2
+    b1 = nls.NonlinearProblem(lambda u, p: u ** 2 - 4.0, jnp.array([1.0]))
+    # block 2 (homotopy): needs continuation — at lambda=1, u^3+2u = x_prev
+    Hb = lambda u, q, lam: lam * (u ** 3 + 2.0 * u - q) + (1 - lam) * (u - 0.5)
+    b2 = nls.HomotopyProblem(Hb, jnp.array([0.0]), None)
+    prob = nls.SCCNonlinearProblem(
+        [b1, b2],
+        explicitfuns=[None, lambda p, sols: float(sols[0].u[0])])
+    sol = nls.solve(prob)
+    assert bool(sol.success), int(sol.retcode)
+    x, y = float(sol.u[0]), float(sol.u[1])
+    np.testing.assert_allclose(x, 2.0, rtol=1e-10)
+    np.testing.assert_allclose(y ** 3 + 2.0 * y, x, rtol=1e-8)
+
+
 def test_scc_failure_propagates():
     b1 = nls.NonlinearProblem(lambda u, p: u * u + 1.0, jnp.array([1.0]))
     b2 = nls.NonlinearProblem(lambda u, p: u - 1.0, jnp.array([0.0]))
