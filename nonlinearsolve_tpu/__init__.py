@@ -44,7 +44,7 @@ from .solvers.scc import LinearSCCBlock
 from .solvers.first_order import EisenstatWalkerForcing
 from .core.conditioning import PostconditionSpecifier
 from .solvers.poly_homotopy import PolynomialHomotopy, solve_polynomial
-from .core.autodiff import JacobianPolicy
+from .core.autodiff import JacobianPolicy, pickchunksize
 from .core.initialization import InitializationData
 from .solvers.anderson import AndersonAcceleration
 from .solvers.multistart import polynomialize, solve_multistart

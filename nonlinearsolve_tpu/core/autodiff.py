@@ -21,6 +21,18 @@ import jax.numpy as jnp
 from ..utils.pytree import static_config
 
 
+def pickchunksize(n: int, threshold: int = 12) -> int:
+    """ForwardDiff.pickchunksize's heuristic (the reference re-exports it
+    from NonlinearSolveBase): the smallest chunk ≤ ``threshold`` that
+    divides ``n`` into equal-ish batches.  Here it sizes the tangent
+    batches of the chunked ``jacfwd`` (JacobianPolicy.chunk_size), which
+    bounds peak memory at ``chunk × n_out`` instead of ``n_in × n_out``."""
+    if n <= threshold:
+        return n
+    nchunks = -(-n // threshold)
+    return -(-n // nchunks)
+
+
 @static_config
 class JacobianPolicy:
     """mode: 'auto' | 'forward' | 'reverse' | 'finite' | 'analytic'.
@@ -29,10 +41,14 @@ class JacobianPolicy:
     forward mode (the reference's ForwardDiff-first priority list); reverse
     is picked when the output dim is much smaller than the input dim.
     ``fd_rel_step``: relative step for 'finite' (central differences).
+    ``chunk_size``: batch the forward-mode tangents ``chunk_size`` at a
+    time through ``lax.map`` (the ForwardDiff chunking analogue) — peak
+    tangent memory drops from n_in×n_out to chunk_size×n_out.
     """
 
     mode: str = "auto"
     fd_rel_step: Optional[float] = None
+    chunk_size: Optional[int] = None
 
     def resolve(self, n_in: int, n_out: int) -> str:
         if self.mode != "auto":
@@ -41,6 +57,27 @@ class JacobianPolicy:
         if n_out * 4 < n_in:
             return "reverse"
         return "forward"
+
+
+def _chunked_jacfwd(f_flat: Callable, u: jnp.ndarray, chunk: int,
+                    n_out: int) -> jnp.ndarray:
+    """Forward-mode jacobian in tangent batches of ``chunk`` via
+    ``lax.map`` — the ForwardDiff-chunking analogue.  Peak live tangents:
+    (chunk, n) instead of (n, n)."""
+    n = u.shape[0]
+    nchunks = -(-n // chunk)
+    pad = nchunks * chunk - n
+    basis = jnp.eye(n, dtype=u.dtype)
+    if pad:
+        basis = jnp.concatenate(
+            [basis, jnp.zeros((pad, n), u.dtype)], axis=0)
+    basis = basis.reshape(nchunks, chunk, n)
+
+    def one_chunk(tangents):
+        return jax.vmap(lambda t: jax.jvp(f_flat, (u,), (t,))[1])(tangents)
+
+    cols = jax.lax.map(one_chunk, basis)          # (nchunks, chunk, n_out)
+    return cols.reshape(nchunks * chunk, n_out)[:n].T
 
 
 def _finite_diff_jacobian(f_flat: Callable, u: jnp.ndarray, rel_step):
@@ -71,6 +108,10 @@ def construct_dense_jacobian_fn(
         return analytic_jac_flat
     mode = policy.resolve(n_in, n_out)
     if mode == "forward":
+        if policy.chunk_size is not None:
+            chunk = max(1, min(int(policy.chunk_size), n_in))
+            return lambda u: _chunked_jacfwd(f_flat, u, chunk, n_out)
+
         def jac_forward(u):
             holo = jnp.iscomplexobj(u)
             return jax.jacfwd(f_flat, holomorphic=holo)(u)

@@ -150,6 +150,34 @@ def test_public_api_surface():
     assert not missing, missing
 
 
+def test_pickchunksize_and_chunked_jacfwd():
+    """Chunked forward-mode jacobian (the ForwardDiff pickchunksize role):
+    identical to jacfwd for every chunk size, and usable through solve."""
+    from nonlinearsolve_tpu.core.autodiff import (JacobianPolicy,
+                                                  construct_dense_jacobian_fn,
+                                                  pickchunksize)
+    assert pickchunksize(5) == 5
+    assert pickchunksize(13) == 7
+    assert pickchunksize(100) == 12
+
+    f = lambda v: jnp.array([v[0] ** 2 + v[1], jnp.sin(v[2]) * v[0],
+                             v[1] * v[2], v[0] + v[1] + v[2], v[2] ** 3])
+    u = jnp.array([0.3, -1.2, 2.0])
+    ref = jax.jacfwd(f)(u)
+    for chunk in (1, 2, 3, 7):
+        jf = construct_dense_jacobian_fn(
+            f, JacobianPolicy(mode="forward", chunk_size=chunk), 3, 5)
+        np.testing.assert_allclose(np.asarray(jf(u)), np.asarray(ref),
+                                   atol=1e-14)
+
+    prob = nls.NonlinearProblem(lambda u, p: u ** 2 - p,
+                                jnp.array([1.0, 1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        autodiff=nls.JacobianPolicy(mode="forward", chunk_size=2)))
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-10)
+
+
 def test_randomized_wellposed_systems():
     """Property sweep: random diagonally-dominant nonlinear systems all
     solve through the default polyalgorithm."""
