@@ -46,6 +46,9 @@ class DescentCtx:
     postcondition: Callable = None
     # Iteration tracing config (core.tracing.TraceConfig) or None.
     trace: Any = None
+    # NonlinearVerbosity (core.verbosity) or None — gates @SciMLMessage-
+    # style emissions at traced engine sites.
+    verbosity: Any = None
 
     @property
     def square(self) -> bool:

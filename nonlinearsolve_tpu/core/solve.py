@@ -109,7 +109,8 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
 def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
                     termination_condition=None, precondition=None,
                     postcondition=None, show_trace=False, store_trace=False,
-                    trace_level=None, **_ignored) -> NonlinearSolution:
+                    trace_level=None, verbose=None,
+                    **_ignored) -> NonlinearSolution:
     u0_flat, _ = ravel_pytree(prob.u0)
     dtype = jnp.zeros((), u0_flat.dtype).real.dtype   # tolerances are real
     abstol_v = jnp.asarray(get_tolerance(abstol, dtype), dtype)
@@ -151,8 +152,19 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
         trace_cfg = trace_cfg.replace(show=bool(show_trace),
                                       store=bool(store_trace))
 
+    from .verbosity import normalize_verbosity
+    verbosity = normalize_verbosity(verbose)
+    if verbosity is not None and postcondition is not None \
+            and getattr(postcondition, "space", "original") == "transformed" \
+            and not has_bounds:
+        verbosity.emit(
+            "unsupported_postcondition",
+            "postcondition declared in the transformed space but the "
+            "problem has no bounds — the corrector runs in the original "
+            "coordinates (conditioning.jl:46-66)")
+
     plan = (f, alg, termination_condition, is_lsq, sparse_plan,
-            precondition, postcondition, has_bounds, trace_cfg)
+            precondition, postcondition, has_bounds, trace_cfg, verbosity)
     lb, ub = (prob.lb, prob.ub) if has_bounds else (None, None)
     return _jitted_solve(plan, prob.u0, p_eff, lb, ub, abstol_v, reltol_v,
                          jnp.int32(maxiters))
@@ -244,7 +256,7 @@ def _shaped_supported(alg) -> bool:
 def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
                 maxiters) -> NonlinearSolution:
     f, alg, term_cfg, is_lsq, sparse_plan, precondition, postcondition, \
-        has_bounds, trace_cfg = plan
+        has_bounds, trace_cfg, verbosity = plan
     fu0_tree = f(u0, p)
 
     u0_leaves, u0_treedef = jax.tree_util.tree_flatten(u0)
@@ -340,7 +352,7 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
     ctx = DescentCtx(
         f_flat=f_flat, n_in=int(u0_flat.size), n_out=int(fu0_flat.size),
         is_least_squares=bool(is_lsq), postcondition=post_flat,
-        trace=trace_cfg,
+        trace=trace_cfg, verbosity=verbosity,
     )
 
     from .jacobian import JacobianSpec

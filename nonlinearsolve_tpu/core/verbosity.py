@@ -68,3 +68,26 @@ class NonlinearVerbosity:
 
 VERBOSITY_NONE = NonlinearVerbosity("none")
 VERBOSITY_ALL = NonlinearVerbosity("all")
+
+
+def normalize_verbosity(verbose) -> "NonlinearVerbosity | None":
+    """Accept None | bool | preset str | NonlinearVerbosity (the reference's
+    verbose-kwarg normalization, solve.jl:84-95)."""
+    if verbose is None or isinstance(verbose, NonlinearVerbosity):
+        return verbose
+    return NonlinearVerbosity(verbose)
+
+
+def traced_emit(verbosity, message_class: str, pred, fmt: str, **kwargs):
+    """@SciMLMessage analogue at a TRACED site: compiles to nothing unless
+    the class is enabled (static check), in which case it lowers to a
+    predicated ``jax.debug.print``."""
+    if verbosity is None or not verbosity.enabled(message_class):
+        return
+    import jax
+
+    jax.lax.cond(
+        pred,
+        lambda: jax.debug.print(
+            f"[nonlinearsolve_tpu:{message_class}] {fmt}", **kwargs),
+        lambda: None)

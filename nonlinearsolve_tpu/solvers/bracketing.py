@@ -592,7 +592,8 @@ def _jitted_bracket(f, alg, left, right, p, abstol, maxiters):
 
 
 def solve_bracketing(prob: IntervalNonlinearProblem, alg=None, *, abstol=None,
-                     maxiters=1000, **_ignored) -> NonlinearSolution:
+                     maxiters=1000, verbose=None, **_ignored
+                     ) -> NonlinearSolution:
     """Entry point for IntervalNonlinearProblem (default: ModAB)."""
     if alg is None:
         alg = ModAB()
@@ -603,6 +604,13 @@ def solve_bracketing(prob: IntervalNonlinearProblem, alg=None, *, abstol=None,
     final = _jitted_bracket(prob.f, alg, jnp.asarray(left, dtype),
                             jnp.asarray(right, dtype), prob.p, abstol_v,
                             jnp.int32(maxiters))
+    from ..core.verbosity import normalize_verbosity
+    vrb = normalize_verbosity(verbose)
+    if vrb is not None and int(final.retcode) == int(ReturnCode.InitialFailure):
+        vrb.emit("non_enclosing_interval",
+                 f"the interval ({float(left)}, {float(right)}) does not "
+                 "enclose a sign change; returning InitialFailure "
+                 "(BracketingNonlinearSolve pre-check)")
     return NonlinearSolution(
         u=final.u, resid=final.fu, retcode=final.retcode,
         stats=NLStats(nf=final.nf, njacs=jnp.int32(0),

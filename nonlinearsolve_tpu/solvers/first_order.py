@@ -278,6 +278,10 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
                         jnp.asarray(fcfg.eta_0, u.dtype), eta_new)
         forcing_state = forcing_state.replace(eta=eta)
         krylov_rtol = eta
+        from ..core.verbosity import traced_emit
+        traced_emit(ctx.verbosity, "forcing", jnp.bool_(True),
+                    "Eisenstat-Walker forcing eta = {eta} "
+                    "(eisenstat_walker.jl:44)", eta=eta)
 
     tr_radius = (carry.tr_state.trust_region
                  if isinstance(carry.tr_state, trg.TRState) else None)

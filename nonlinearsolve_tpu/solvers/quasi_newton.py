@@ -465,8 +465,12 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     # Linear solve failed right after a reset → hard failure; otherwise
     # force a reinit on the next step (solve.jl:377-397).
     hard_lin_fail = (~linsolve_ok) & (steps_since_last_reset == 0)
-    force_reinit_next = force_reinit_next | ((~linsolve_ok)
-                                             & (steps_since_last_reset > 0))
+    stale_lin_fail = (~linsolve_ok) & (steps_since_last_reset > 0)
+    force_reinit_next = force_reinit_next | stale_lin_fail
+    from ..core.verbosity import traced_emit
+    traced_emit(ctx.verbosity, "linsolve_failed_noncurrent", stale_lin_fail,
+                "linear solve failed with a stale approximate Jacobian; "
+                "retrying with a reinitialized Jacobian (QN solve.jl:385)")
 
     # --- termination ------------------------------------------------------
     stop, term_checked = trm.check_termination(

@@ -96,6 +96,37 @@ def test_trace_all_level_stores_iterates():
                                np.sqrt(2.0), rtol=1e-6)
 
 
+def test_verbose_forcing_emission(capfd):
+    """verbose='all' emits the Eisenstat-Walker forcing message at the
+    traced site via jax.debug.print; verbose=None stays silent."""
+    import jax
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres"),
+        forcing=EisenstatWalkerForcing())
+    nls.solve(prob, alg)
+    jax.effects_barrier()
+    capfd.readouterr()
+    nls.solve(prob, alg, verbose="all")
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "forcing eta" in out.out + out.err
+    nls.solve(prob, alg)
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "forcing eta" not in out.out + out.err
+
+
+def test_verbose_non_enclosing_interval(capfd):
+    prob = nls.IntervalNonlinearProblem(lambda u, p: u * u + 1.0,
+                                        (0.0, 1.0))
+    sol = nls.solve(prob, nls.Bisection(), verbose="all")
+    assert int(sol.retcode) == int(nls.ReturnCode.InitialFailure)
+    out = capfd.readouterr()
+    assert "non_enclosing_interval" in out.err
+
+
 def test_verbosity_toggles():
     from nonlinearsolve_tpu.core.verbosity import NonlinearVerbosity
     v = NonlinearVerbosity("standard")
