@@ -1,5 +1,6 @@
 """Find ALL nearby roots of a smooth system (docs/solvers.md)."""
 import jax
+jax.config.update("jax_platforms", "cpu")   # C128 tracking unsupported on TPU
 jax.config.update("jax_enable_x64", True)   # path tracking wants f64
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))

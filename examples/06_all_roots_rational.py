@@ -4,6 +4,7 @@ The reference reaches HomotopyContinuation.jl through a bridge; here the
 total-degree tracker is in-repo and every path is tracked in one vmap.
 """
 import jax
+jax.config.update("jax_platforms", "cpu")   # C128 tracking unsupported on TPU
 jax.config.update("jax_enable_x64", True)   # path tracking wants f64
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
