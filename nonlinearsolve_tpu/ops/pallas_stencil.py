@@ -167,6 +167,38 @@ def brusselator_jvp_scaled(U, T, p, inv_scale):
     return jnp.stack([ou, ov], axis=-1), mx[0, 0]
 
 
+@functools.partial(jax.jit, static_argnames=())
+def brusselator_jvp_scaled_pair(u, v, tu, tv, p, inv_scale):
+    """``brusselator_jvp_scaled`` on component-separated arrays.
+
+    For chained matvecs (the SpMV benchmark's scan) carry (tu, tv) as a
+    pair: the stacked (N, N, 2) interface pays a channel-minor
+    stack + strided re-slice across every loop iteration — two extra
+    full passes over the state that the kernel itself was built to avoid.
+    Returns ``(ou, ov, absmax)``.
+    """
+    A, B, alpha, dx = p[0], p[1], p[2], p[3]
+    al = alpha / dx ** 2
+    N = u.shape[0]
+    dtype = u.dtype
+    pdtype = jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
+    params = jnp.stack([al.astype(pdtype), (A + 1.0).astype(pdtype),
+                        A.astype(pdtype),
+                        jnp.asarray(inv_scale, pdtype)]).reshape(1, 4)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ou, ov, mx = pl.pallas_call(
+        _brusselator_jvp_scaled_kernel,
+        out_shape=(jax.ShapeDtypeStruct((N, N), dtype),
+                   jax.ShapeDtypeStruct((N, N), dtype),
+                   jax.ShapeDtypeStruct((1, 1), pdtype)),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(spec, spec, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=_interpret(),
+    )(u, v, tu, tv, params)
+    return ou, ov, mx[0, 0]
+
+
 def make_brusselator_jvp_bf16(U, p):
     """Mixed-precision matvec factory: returns ``mv(T) -> J·T`` with the
     frozen state pre-cast to bfloat16 (once per Newton step) and the

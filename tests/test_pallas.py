@@ -30,6 +30,21 @@ def test_pallas_jvp_through_newton_krylov():
     assert bool(sol.success)
 
 
+def test_brusselator_scaled_pair_matches_stacked():
+    from nonlinearsolve_tpu.ops.pallas_stencil import (
+        brusselator_jvp_scaled, brusselator_jvp_scaled_pair)
+    N = 16
+    U = brusselator.init_u0(N)
+    p = brusselator.default_p(N)
+    T = jnp.asarray(np.random.default_rng(2).standard_normal((N, N, 2)))
+    ref, mref = brusselator_jvp_scaled(U, T, p, 0.5)
+    ou, ov, m = brusselator_jvp_scaled_pair(U[..., 0], U[..., 1],
+                                            T[..., 0], T[..., 1], p, 0.5)
+    np.testing.assert_allclose(np.asarray(jnp.stack([ou, ov], -1)),
+                               np.asarray(ref), rtol=1e-12)
+    np.testing.assert_allclose(float(m), float(mref), rtol=1e-12)
+
+
 def test_dia_spmv_pallas():
     n = 64
     A = (np.diag(2.0 * np.ones(n)) + np.diag(-np.ones(n - 1), 1)
