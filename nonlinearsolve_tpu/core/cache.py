@@ -142,7 +142,43 @@ def _step_body(plan, carry, p, u0_proto, abstol, reltol):
                              reltol)
 
 
-class NonlinearSolveCache:
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_polyalg_solve(plan, u0, p, abstol, reltol, maxiters, hint):
+    from ..core.jacobian import JacobianSpec
+    from ..solvers.polyalg import run_polyalg
+    f, alg, term_cfg = plan
+    ctx, u0_flat, _, _ = _build_ctx_and_engine(plan, u0, p)
+    carry = run_polyalg(alg, ctx, term_cfg, JacobianSpec(), u0_flat, abstol,
+                        reltol, maxiters, start_hint=hint)
+    return carry
+
+
+class _PolyalgCacheMixin:
+    """Warm polyalgorithm cache: best-subalgorithm retention across
+    reinit/solve cycles with re-probing every 8th solve and wrap-around
+    escalation (the reference's retain_best cache, polyalg.jl:30-64 +
+    generated solve!, solve.jl:541-568)."""
+
+    _REPROBE_EVERY = 8
+
+    def _polyalg_solve(self) -> NonlinearSolution:
+        hint = jnp.int32(0) if (self._winner is None
+                                or self._nsolves % self._REPROBE_EVERY == 0) \
+            else jnp.int32(self._winner)
+        carry = _jit_polyalg_solve(self._plan, self.prob.u0, self.p,
+                                   self.abstol, self.reltol, self.maxiters,
+                                   hint)
+        self._nsolves += 1
+        winner = int(carry.winner)
+        self._winner = winner if winner >= 0 else None
+        self.carry = carry
+        _, unravel_fu = ravel_pytree(self.prob.f(self.prob.u0, self.p))
+        return NonlinearSolution(
+            u=self._unravel_u(carry.u), resid=unravel_fu(carry.fu),
+            retcode=carry.retcode, stats=carry.stats)
+
+
+class NonlinearSolveCache(_PolyalgCacheMixin):
     """Stateful handle over the functional carry (the reference's
     AbstractNonlinearSolveCache role)."""
 
@@ -176,31 +212,57 @@ class NonlinearSolveCache:
                 prob.is_least_squares)
         self._plan = (prob.f, alg, termination_condition)
         self.p = prob.p
+        from ..solvers.polyalg import NonlinearSolvePolyAlgorithm
+        self._is_polyalg = isinstance(alg, NonlinearSolvePolyAlgorithm)
+        self._winner = None
+        self._nsolves = 0
+        if self._is_polyalg:
+            # No per-step carry until the first solve; accessors reflect u0.
+            self.carry = None
+            return
         self.carry = _jit_init(self._plan, prob.u0, prob.p, self.reltol)
 
     # -- accessors (get_u / get_fu / get_nsteps, abstract_types.jl:366-463)
     @property
     def u(self):
+        if self.carry is None:
+            return self.prob.u0
         return self._unravel_u(self.carry.u)
 
     @property
     def fu(self):
+        if self.carry is None:
+            return ravel_pytree(self.prob.f(self.prob.u0, self.p))[0]
         return self.carry.fu
 
     @property
     def nsteps(self) -> int:
-        return int(self.carry.nsteps)
+        return 0 if self.carry is None else int(self.carry.nsteps)
 
     @property
     def retcode(self):
+        if self.carry is None:
+            return jnp.int32(ReturnCode.Default)
         return self.carry.retcode
 
     @property
     def stats(self):
-        return self.carry.stats
+        from .solution import NLStats
+        return NLStats.zeros() if self.carry is None else self.carry.stats
+
+    @property
+    def best_subalgorithm(self):
+        """Index of the retained winning rung (polyalgorithm caches), or
+        None before the first successful solve."""
+        return self._winner
 
     def step(self, n: int = 1):
         """Advance ``n`` iterations (CommonSolve.step!, solve.jl:799-822)."""
+        if self._is_polyalg:
+            raise NotImplementedError(
+                "per-step iteration of a polyalgorithm cache is not "
+                "supported — use solve(); the winning subalgorithm is "
+                "retained across reinit()/solve() cycles")
         for _ in range(n):
             self.carry = _jit_step(self._plan, self.carry, self.p,
                                    self.prob.u0, self.abstol, self.reltol)
@@ -213,6 +275,8 @@ class NonlinearSolveCache:
         MaxTime budget (solve.jl:811-819): the solve proceeds in compiled
         step chunks and stops with ReturnCode.MaxTime once the budget is
         exhausted."""
+        if self._is_polyalg:
+            return self._polyalg_solve()
         # A previous MaxTime stop is a host-level budget, not solver state:
         # clear it so a later solve()/solve(maxtime=...) resumes iterating.
         if int(self.carry.retcode) == int(ReturnCode.MaxTime):
@@ -262,6 +326,9 @@ class NonlinearSolveCache:
             self.reltol = jnp.asarray(reltol, self._dtype)
         if maxiters is not None:
             self.maxiters = jnp.int32(maxiters)
+        if self._is_polyalg:
+            self.carry = None   # winner retention survives the reinit
+            return self
         self.carry = _jit_init(self._plan, self.prob.u0, self.p, self.reltol)
         return self
 

@@ -40,9 +40,26 @@ CASES = [
     ("SimpleTrustRegion", nls.SimpleTrustRegion(), {11, 21}),
     ("SimpleLimitedMemoryBroyden", nls.SimpleLimitedMemoryBroyden(),
      {1, 6, 11, 16, 18}),
+    ("NewtonRaphson-BackTracking",
+     nls.NewtonRaphson(linesearch=nls.BackTracking()), {16, 21}),
+    # Full-tier L-Broyden (η-deep low-rank ring) is the fragile tier the
+    # reference reserves for GPU/static arrays and does NOT sweep; rows
+    # where it does converge are regression-guarded here.
+    ("LimitedMemoryBroyden", nls.LimitedMemoryBroyden(),
+     {1, 2, 3, 4, 5, 6, 7, 9, 11, 13, 14, 15, 16, 17, 18, 21, 22, 23}),
     ("RobustMultiNewton", nls.RobustMultiNewton(), set()),
     ("DefaultPolyalgorithm", None, set()),
 ]
+
+
+def _broyden_tr():
+    from nonlinearsolve_tpu.solvers.quasi_newton import QuasiNewtonAlgorithm
+    return QuasiNewtonAlgorithm(update_rule="good_broyden", structure="full",
+                                trustregion=nls.GenericTrustRegionScheme(),
+                                name="BroydenTR")
+
+
+CASES.append(("Broyden-TrustRegion", _broyden_tr(), {1, 3, 5, 15, 16, 21}))
 
 
 @pytest.fixture(autouse=True)

@@ -43,6 +43,25 @@ def test_iterator_quasi_newton():
     assert bool(sol.success)
 
 
+def test_iterator_polyalg_winner_retention():
+    """Warm polyalgorithm cache: the winning subalgorithm is retained
+    across reinit/solve cycles (polyalg.jl:30-64) and re-probed every
+    8th solve."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0]), 2.0)
+    cache = nls.init(prob, nls.FastShortcutNonlinearPolyalg())
+    roots = []
+    for pval in [1.0, 2.0, 3.0, 4.0, 5.0]:
+        cache.reinit(p=jnp.asarray(pval))
+        sol = cache.solve()
+        assert bool(sol.success)
+        roots.append(float(sol.u[0]))
+        assert cache.best_subalgorithm is not None
+    np.testing.assert_allclose(roots, np.sqrt([1.0, 2.0, 3.0, 4.0, 5.0]),
+                               rtol=1e-9)
+    with pytest.raises(NotImplementedError, match="polyalgorithm"):
+        cache.step()
+
+
 def test_iterator_dfsane():
     prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
     cache = nls.init(prob, nls.DFSane())
