@@ -24,9 +24,14 @@ from .mesh import create_mesh
 
 def weak_scaling_report(device_counts: Sequence[int], base_n: int = 32,
                         n_matvecs: int = 50, dtype=jnp.float32,
-                        devices=None):
+                        devices=None, use_pallas: bool = False, bz: int = 8):
     """Per-device slab of base_n × base_n² grid points; returns
-    [(k, nnz_per_s, efficiency_vs_1)]."""
+    [(k, nnz_per_s, efficiency_vs_1)].
+
+    ``use_pallas`` switches the per-shard operator from the GSPMD
+    jax.linearize tier to the explicit shard_map + blocked-VMEM-kernel
+    tier (``sharded_rd3d_jvp_pallas_factory``) — the same collective
+    pattern, hand-scheduled."""
     results = []
     base_rate = None
     all_devices = list(devices if devices is not None else jax.devices())
@@ -43,7 +48,16 @@ def weak_scaling_report(device_counts: Sequence[int], base_n: int = 32,
         p = (jax.device_put(p[0], NamedSharding(mesh, P())),
              jax.device_put(p[1], sharding))
 
-        _, lin = jax.linearize(lambda x: reaction_diffusion_3d(x, p), u)
+        if use_pallas:
+            from .distributed import sharded_rd3d_jvp_pallas_factory
+            bz_k = bz
+            while base_n % bz_k:
+                bz_k //= 2
+            jvp = sharded_rd3d_jvp_pallas_factory(
+                mesh, 0.01, N0, bz=max(bz_k, 1))
+            lin = lambda t: jvp(u, t)
+        else:
+            _, lin = jax.linearize(lambda x: reaction_diffusion_3d(x, p), u)
 
         @jax.jit
         def chain(v):

@@ -178,3 +178,8 @@ def test_weak_scaling_report_runs():
     for k, rate, eff in rows:
         assert rate > 0 and np.isfinite(eff)
     assert rows[0][2] == 1.0
+    # explicit shard_map + blocked Pallas tier takes the same path
+    rows_p = weak_scaling_report([1, 2], base_n=8, n_matvecs=3,
+                                 use_pallas=True, bz=4)
+    assert len(rows_p) == 2
+    assert all(r > 0 for _, r, _ in rows_p)
