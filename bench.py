@@ -93,27 +93,12 @@ def main():
     jax.block_until_ready(sol.u)
     resid = float(jnp.max(jnp.abs(sol.resid)))
 
-    # Device-amortized solve cost: chain k solves inside ONE jitted program
-    # (each u0 carries a zero-weighted data dependency on the previous
-    # result, forcing sequential execution) so the remote-tunnel dispatch
-    # overhead (~70 ms) is paid once, not per solve.  min over reps guards
-    # against queueing noise on the shared chip.
-    k_chain = 4
-
-    @jax.jit
-    def chained_solves(u0arr):
-        def body(_, acc):
-            s = nls.solve(prob.remake(u0=u0arr + 0.0 * acc), alg,
-                          abstol=5.0, maxiters=30)
-            return s.u
-        return jax.lax.fori_loop(0, k_chain, body, u0arr)
-
-    chained_solves(u0).block_until_ready()   # compile
-    solve_time = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        chained_solves(u0).block_until_ready()
-        solve_time = min(solve_time, (time.perf_counter() - t0) / k_chain)
+    # Device-amortized solve cost (utils/profiling.py): chain k solves in
+    # ONE jitted program with zero-weighted data dependencies, so the
+    # remote-tunnel dispatch overhead is paid once, not per solve.
+    from nonlinearsolve_tpu.utils.profiling import chained_solve_time
+    solve_time = chained_solve_time(prob, alg, k=4, reps=3,
+                                    abstol=5.0, maxiters=30)
 
     print(json.dumps({
         "metric": "brusselator512_spmv_nnz_per_s",
