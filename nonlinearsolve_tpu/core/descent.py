@@ -218,9 +218,15 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
                 M = cfg.linsolve.precond_fn
         else:
             M = _jacobi_precond(cfg.linsolve, J)
+        kw = {}
+        if method == "gmres" and cfg.linsolve.krylov_basis_dtype:
+            kw["basis_dtype"] = {"bf16": jnp.bfloat16,
+                                 "bfloat16": jnp.bfloat16,
+                                 "f16": jnp.float16,
+                                 }[cfg.linsolve.krylov_basis_dtype]
         res = solve_krylov(
             method, matvec, b, restart=cfg.linsolve.restart,
-            maxiter=cfg.linsolve.krylov_maxiter, rtol=rtol, M=M)
+            maxiter=cfg.linsolve.krylov_maxiter, rtol=rtol, M=M, **kw)
         return -res.x, jnp.all(jnp.isfinite(res.x))
 
     if isinstance(J, (CSR, DIA, ELL)):

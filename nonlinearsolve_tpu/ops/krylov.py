@@ -81,11 +81,18 @@ def _all_finite(x):
 
 def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
           maxiter: Optional[int] = None, rtol=1e-5, atol=0.0,
-          M: Optional[Callable] = None) -> KrylovResult:
+          M: Optional[Callable] = None, basis_dtype=None) -> KrylovResult:
     """Restarted GMRES(m), left-preconditioned: solves M⁻¹A x = M⁻¹b.
 
     ``b``/``x`` may be arrays of any shape or pytrees; the Krylov basis adds
     a leading axis per leaf.
+
+    ``basis_dtype`` (e.g. ``jnp.bfloat16``) stores the Krylov basis V in a
+    narrower dtype: basis vectors are rounded on store and upcast on read,
+    halving the dominant HBM traffic of the orthogonalization sweep (basis
+    reads grow linearly in k).  The Hessenberg/Givens recurrences, norms
+    and dot accumulations stay in the working dtype, so this pairs with
+    loose tolerances (Eisenstat–Walker inexact Newton), not rtol ≲ 1e-4.
     """
     n = tree_size(b)
     leaves, _ = jax.tree_util.tree_flatten(b)
@@ -100,15 +107,21 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
     tol = jnp.maximum(rtol * b_norm, atol)
 
     def basis_alloc():
-        return _tmap(lambda l: jnp.zeros((m + 1,) + l.shape, l.dtype), b)
+        return _tmap(lambda l: jnp.zeros((m + 1,) + l.shape,
+                                         basis_dtype or l.dtype), b)
 
     def basis_set(V, k, w):
-        return _tmap(lambda Vl, wl: Vl.at[k].set(wl), V, w)
+        return _tmap(lambda Vl, wl: Vl.at[k].set(wl.astype(Vl.dtype)), V, w)
+
+    def basis_read(V, k):
+        return _tmap(lambda Vl, bl: Vl[k].astype(bl.dtype), V, b)
 
     def basis_dots(V, w):
-        """(m+1,) vector of ⟨V[i], w⟩ per leading index."""
+        """(m+1,) vector of ⟨V[i], w⟩ per leading index (accumulated in
+        the working dtype — bf16 basis entries upcast in registers)."""
         def leaf(Vl, wl):
             axes = tuple(range(1, Vl.ndim))
+            Vl = Vl.astype(wl.dtype)
             return jnp.sum(Vl * wl[None], axis=axes) if axes else Vl * wl
         parts = [leaf(Vl, wl) for Vl, wl in zip(
             jax.tree_util.tree_leaves(V), jax.tree_util.tree_leaves(w))]
@@ -117,7 +130,7 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
     def basis_comb(V, coeffs):
         """Σ_i coeffs[i] V[i] as a b-shaped tree."""
         def leaf(Vl):
-            return jnp.tensordot(coeffs, Vl, axes=1)
+            return jnp.tensordot(coeffs, Vl.astype(coeffs.dtype), axes=1)
         return _tmap(leaf, V)
 
     def arnoldi_cycle(x):
@@ -132,7 +145,7 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
 
         def body(k, carry):
             V, H, cs, sn, g, done, niters = carry
-            w = M(matvec(_tmap(lambda Vl: Vl[k], V)))
+            w = M(matvec(basis_read(V, k)))
             # Classical Gram-Schmidt against the first k+1 basis vectors in
             # one batched reduction (masked; static shapes).  A second pass
             # (CGS2) restores MGS-level orthogonality, but doubles the

@@ -39,6 +39,10 @@ class LinearSolver:
     # User preconditioner factory: ``precond_fn(u) -> (v -> M⁻¹v)``, rebuilt
     # at each Newton linearization point (reference `precs` analogue).
     precond_fn: Any = None
+    # 'bf16' stores the GMRES Krylov basis in bfloat16 (HBM traffic of the
+    # orthogonalization sweep halves; pairs with loose/forcing-driven
+    # tolerances).  None = working dtype.
+    krylov_basis_dtype: Optional[str] = None
 
     @property
     def is_krylov(self) -> bool:

@@ -8,6 +8,39 @@ import numpy as np
 import pytest
 
 import nonlinearsolve_tpu as nls
+
+
+def test_gmres_bf16_basis():
+    """bfloat16 Krylov basis: same iteration count at loose rtol, and a
+    Newton outer loop still converges fully (the inexact-Newton pairing).
+    NOT for tight inner tolerances — measured diverging at rel 5e-6 on
+    the f32 Brusselator benchmark."""
+    import numpy as np
+    from nonlinearsolve_tpu.ops.krylov import gmres
+    rng = np.random.default_rng(0)
+    n = 200
+    A = np.diag(np.linspace(1.0, 10.0, n)) + 0.1 * rng.standard_normal((n, n))
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal(n))
+    ref = gmres(lambda v: Aj @ v, b, restart=40, rtol=1e-3)
+    res = gmres(lambda v: Aj @ v, b, restart=40, rtol=1e-3,
+                basis_dtype=jnp.bfloat16)
+    assert bool(res.success)
+    assert int(res.iterations) <= int(ref.iterations) + 2
+    direct = jnp.linalg.solve(Aj, b)
+    rel = float(jnp.linalg.norm(res.x - direct) / jnp.linalg.norm(direct))
+    assert rel < 1e-2
+
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+    prob = nls.NonlinearProblem(lambda u, p: jnp.tanh(u) - 0.25 * u - p,
+                                jnp.zeros((64,)), 0.3)
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres",
+                                  krylov_basis_dtype="bf16"),
+        forcing=EisenstatWalkerForcing())
+    sol = nls.solve(prob, alg)
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-10
 from nonlinearsolve_tpu.core.autodiff import JacobianPolicy
 from nonlinearsolve_tpu.ops import krylov
 from nonlinearsolve_tpu.ops.coloring import (detect_sparsity,
