@@ -36,7 +36,7 @@ from .termination import default_termination_mode
 
 def _build_ctx_and_engine(plan, u0, p):
     """Shared trace-time setup: returns (engine_fns, ctx, unravels)."""
-    f, alg, term_cfg = plan
+    f, alg, term_cfg, is_lsq = plan
     u0_flat, unravel_u = ravel_pytree(u0)
     fu0_flat, unravel_fu = ravel_pytree(f(u0, p))
 
@@ -45,7 +45,7 @@ def _build_ctx_and_engine(plan, u0, p):
         return out
 
     ctx = DescentCtx(f_flat=f_flat, n_in=int(u0_flat.size),
-                     n_out=int(fu0_flat.size), is_least_squares=False)
+                     n_out=int(fu0_flat.size), is_least_squares=bool(is_lsq))
     return ctx, u0_flat, unravel_u, unravel_fu
 
 
@@ -57,7 +57,7 @@ def _jit_init(plan, u0, p, reltol):
     from ..solvers.quasi_newton import QuasiNewtonAlgorithm, init_quasi_newton
     from ..solvers.spectral import GeneralizedDFSane, init_dfsane
     from ..core.jacobian import construct_jacobian
-    f, alg, term_cfg = plan
+    f, alg, term_cfg, is_lsq = plan
     ctx, u0_flat, _, _ = _build_ctx_and_engine(plan, u0, p)
     if isinstance(alg, GeneralizedFirstOrderAlgorithm):
         return init_first_order(alg, ctx, term_cfg, u0_flat, reltol)
@@ -101,7 +101,7 @@ def _jit_finalize(plan, carry, p, u0_proto, maxiters):
     """Map Default retcode to MaxIters/Success and apply safe-best
     retention.  Pre-set retcodes (termination failures, MaxTime) stick."""
     from ..core import termination as trm
-    f, alg, term_cfg = plan
+    f, alg, term_cfg, is_lsq = plan
     retcode = jnp.where(
         carry.retcode == ReturnCode.Default,
         jnp.where(carry.nsteps >= maxiters, jnp.int32(ReturnCode.MaxIters),
@@ -126,7 +126,7 @@ def _step_body(plan, carry, p, u0_proto, abstol, reltol):
     from ..solvers.quasi_newton import step_quasi_newton
     from ..solvers.spectral import GeneralizedDFSane, step_dfsane
     from ..core.jacobian import construct_jacobian
-    f, alg, term_cfg = plan
+    f, alg, term_cfg, is_lsq = plan
     ctx, _, _, _ = _build_ctx_and_engine(plan, u0_proto, p)
     if isinstance(alg, GeneralizedFirstOrderAlgorithm):
         jac_fn, _ = construct_jacobian(alg.jacobian, alg.get_linsolve(), ctx,
@@ -146,7 +146,7 @@ def _step_body(plan, carry, p, u0_proto, abstol, reltol):
 def _jit_polyalg_solve(plan, u0, p, abstol, reltol, maxiters, hint):
     from ..core.jacobian import JacobianSpec
     from ..solvers.polyalg import run_polyalg
-    f, alg, term_cfg = plan
+    f, alg, term_cfg, is_lsq = plan
     ctx, u0_flat, _, _ = _build_ctx_and_engine(plan, u0, p)
     carry = run_polyalg(alg, ctx, term_cfg, JacobianSpec(), u0_flat, abstol,
                         reltol, maxiters, start_hint=hint)
@@ -210,7 +210,8 @@ class NonlinearSolveCache(_PolyalgCacheMixin):
         if termination_condition is None:
             termination_condition = default_termination_mode(
                 prob.is_least_squares)
-        self._plan = (prob.f, alg, termination_condition)
+        self._plan = (prob.f, alg, termination_condition,
+                      bool(prob.is_least_squares))
         self.p = prob.p
         from ..solvers.polyalg import NonlinearSolvePolyAlgorithm
         self._is_polyalg = isinstance(alg, NonlinearSolvePolyAlgorithm)
