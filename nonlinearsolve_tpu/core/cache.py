@@ -153,6 +153,17 @@ def _jit_polyalg_solve(plan, u0, p, abstol, reltol, maxiters, hint):
     return carry
 
 
+class _PolyalgResult:
+    """Accessor adapter over a finished polyalgorithm run."""
+
+    def __init__(self, *, u, fu, retcode, stats, nsteps):
+        self.u = u
+        self.fu = fu
+        self.retcode = retcode
+        self.stats = stats
+        self.nsteps = nsteps
+
+
 class _PolyalgCacheMixin:
     """Warm polyalgorithm cache: best-subalgorithm retention across
     reinit/solve cycles with re-probing every 8th solve and wrap-around
@@ -171,7 +182,11 @@ class _PolyalgCacheMixin:
         self._nsolves += 1
         winner = int(carry.winner)
         self._winner = winner if winner >= 0 else None
-        self.carry = carry
+        # PolyCarry has no per-step fields (nsteps/force_stop/term); keep
+        # a uniform accessor surface via a tiny adapter.
+        self.carry = _PolyalgResult(u=carry.u, fu=carry.fu,
+                                    retcode=carry.retcode, stats=carry.stats,
+                                    nsteps=carry.stats.nsteps)
         _, unravel_fu = ravel_pytree(self.prob.f(self.prob.u0, self.p))
         return NonlinearSolution(
             u=self._unravel_u(carry.u), resid=unravel_fu(carry.fu),
@@ -277,6 +292,11 @@ class NonlinearSolveCache(_PolyalgCacheMixin):
         step chunks and stops with ReturnCode.MaxTime once the budget is
         exhausted."""
         if self._is_polyalg:
+            if maxtime is not None:
+                raise NotImplementedError(
+                    "maxtime is not supported for polyalgorithm caches "
+                    "(the ladder runs as one compiled program); set "
+                    "maxiters or use a single-algorithm cache")
             return self._polyalg_solve()
         # A previous MaxTime stop is a host-level budget, not solver state:
         # clear it so a later solve()/solve(maxtime=...) resumes iterating.

@@ -97,6 +97,9 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
     n = tree_size(b)
     leaves, _ = jax.tree_util.tree_flatten(b)
     dtype = leaves[0].dtype
+    if basis_dtype is not None and any(jnp.iscomplexobj(l) for l in leaves):
+        raise ValueError("basis_dtype narrowing stores a REAL basis; "
+                         "complex systems must keep the working dtype")
     m = min(restart, n)
     if maxiter is None:
         maxiter = min(10 * max(1, n // m), 1000) * m

@@ -143,28 +143,9 @@ def brusselator_jvp_scaled(U, T, p, inv_scale):
     from VMEM and the output's absmax is reduced to an SMEM scalar — the
     whole chain step is a single 3-in/2-out HBM round-trip.
     """
-    A, B, alpha, dx = p[0], p[1], p[2], p[3]
-    al = alpha / dx ** 2
-    N = U.shape[0]
-    dtype = U.dtype
-    pdtype = jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
-    params = jnp.stack([al.astype(pdtype), (A + 1.0).astype(pdtype),
-                        A.astype(pdtype),
-                        jnp.asarray(inv_scale, pdtype)]).reshape(1, 4)
-    u, v = U[..., 0], U[..., 1]
-    tu, tv = T[..., 0], T[..., 1]
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    ou, ov, mx = pl.pallas_call(
-        _brusselator_jvp_scaled_kernel,
-        out_shape=(jax.ShapeDtypeStruct((N, N), dtype),
-                   jax.ShapeDtypeStruct((N, N), dtype),
-                   jax.ShapeDtypeStruct((1, 1), pdtype)),
-        in_specs=[spec, spec, spec, spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(spec, spec, pl.BlockSpec(memory_space=pltpu.SMEM)),
-        interpret=_interpret(),
-    )(u, v, tu, tv, params)
-    return jnp.stack([ou, ov], axis=-1), mx[0, 0]
+    ou, ov, mx = brusselator_jvp_scaled_pair(
+        U[..., 0], U[..., 1], T[..., 0], T[..., 1], p, inv_scale)
+    return jnp.stack([ou, ov], axis=-1), mx
 
 
 @functools.partial(jax.jit, static_argnames=())

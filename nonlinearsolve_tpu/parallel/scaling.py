@@ -54,7 +54,7 @@ def weak_scaling_report(device_counts: Sequence[int], base_n: int = 32,
             while base_n % bz_k:
                 bz_k //= 2
             jvp = sharded_rd3d_jvp_pallas_factory(
-                mesh, 0.01, N0, bz=max(bz_k, 1))
+                mesh, float(p[0]), N0, bz=max(bz_k, 1))
             lin = lambda t: jvp(u, t)
         else:
             _, lin = jax.linearize(lambda x: reaction_diffusion_3d(x, p), u)

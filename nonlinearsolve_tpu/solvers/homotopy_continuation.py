@@ -179,6 +179,15 @@ def solve_homotopy_continuation(prob, alg, *, abstol=None, maxiters=100,
     from .multistart import solve_multistart
     from .poly_homotopy import PolynomialHomotopy, solve_polynomial
 
+    import jax
+    if not jax.config.read("jax_enable_x64"):
+        raise RuntimeError(
+            "HomotopyContinuationJL / TaylorHomotopyContinuationJL track "
+            "paths in complex128 and need float64 enabled: run on the CPU "
+            "backend with jax.config.update('jax_enable_x64', True) "
+            "(complex128 is unsupported on TPU; see "
+            "examples/06_all_roots_rational.py)")
+
     inner = prob.f.f if isinstance(prob.f, NonlinearFunction) else prob.f
     hf = inner if isinstance(inner, HomotopyNonlinearFunction) else \
         HomotopyNonlinearFunction(f=prob.f)
@@ -236,8 +245,8 @@ def solve_homotopy_continuation(prob, alg, *, abstol=None, maxiters=100,
         valid_arr = valid_arr[..., 0]
 
     if alg.all_roots:
-        resids = jnp.stack([jnp.max(jnp.abs(_resid_user(v)))
-                            for v in valid_arr])
+        resids = jax.vmap(lambda v: jnp.max(jnp.abs(_resid_user(v))))(
+            valid_arr)
         return NonlinearSolution(
             u=valid_arr, resid=resids,
             retcode=jnp.int32(ReturnCode.Success), stats=stats,

@@ -425,12 +425,20 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     tr_state = carry.tr_state
     tr_accepted = jnp.bool_(True)
     shrink_exceeded = jnp.bool_(False)
+    fu_secant = None
     if alg.trustregion is not None:
         tr_accepted, u_cand, fu_cand, tr_state = trg.tr_solve(
             alg.trustregion, tr_state, ctx, J, fu, u, du, tr_result)
         stats = stats.incr(nf=1)
         u_new = jnp.where(tr_accepted, u_cand, u)
         fu_new = jnp.where(tr_accepted, fu_cand, fu)
+        # The TRIAL residual f(u+du) is valid secant data even when the
+        # step is rejected (u_new = u, fu_new = fu): updating with
+        # (du, fu_new − fu_prev) = (du, 0) would force J·du → 0 and make
+        # the stored Jacobian numerically singular.  Use the candidate
+        # pair instead; the secant base point stays at u (see the
+        # update_fu_prev handling below).
+        fu_secant = fu_cand
         counter = trg.tr_shrink_counter(tr_state)
         if counter is not None:
             shrink_exceeded = counter > alg.max_shrink_times
@@ -482,9 +490,15 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     # --- jacobian update (skipped on force_stop / pending reinit) --------
     do_update = ((~stop) & (~force_reinit_next) & linsolve_ok
                  & (~resets_exhausted) & (~shrink_exceeded))
-    J_updated = _update_jacobian(alg, J, fu_new, update_fu_prev, u_new, du)
+    J_updated = _update_jacobian(
+        alg, J, fu_new if fu_secant is None else fu_secant,
+        update_fu_prev, u_new, du)
     J_next = tree_where(do_update, J_updated, J)
-    update_fu_prev = tree_where(do_update, fu_new, update_fu_prev)
+    # Secant base residual: advances to fu_new only when the iterate
+    # actually moved (TR rejection keeps the base at fu == update_fu_prev).
+    committed = tr_accepted if alg.trustregion is not None else jnp.bool_(True)
+    update_fu_prev = tree_where(do_update & committed, fu_new,
+                                update_fu_prev)
 
     retcode = jnp.int32(ReturnCode.Default)
     retcode = jnp.where(shrink_exceeded,

@@ -59,7 +59,7 @@ def _broyden_tr():
                                 name="BroydenTR")
 
 
-CASES.append(("Broyden-TrustRegion", _broyden_tr(), {1, 3, 5, 15, 16, 21}))
+CASES.append(("Broyden-TrustRegion", _broyden_tr(), {3, 5, 11, 15, 16, 21}))
 
 
 @pytest.fixture(autouse=True)

@@ -10,6 +10,14 @@ import pytest
 import nonlinearsolve_tpu as nls
 
 
+from nonlinearsolve_tpu.core.autodiff import JacobianPolicy
+from nonlinearsolve_tpu.ops import krylov
+from nonlinearsolve_tpu.ops.coloring import (detect_sparsity,
+                                             greedy_column_coloring)
+from nonlinearsolve_tpu.ops.sparse import CSR, DIA
+from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
+
+
 def test_gmres_bf16_basis():
     """bfloat16 Krylov basis: same iteration count at loose rtol, and a
     Newton outer loop still converges fully (the inexact-Newton pairing).
@@ -41,12 +49,6 @@ def test_gmres_bf16_basis():
     sol = nls.solve(prob, alg)
     assert bool(sol.success)
     assert float(jnp.max(jnp.abs(sol.resid))) < 1e-10
-from nonlinearsolve_tpu.core.autodiff import JacobianPolicy
-from nonlinearsolve_tpu.ops import krylov
-from nonlinearsolve_tpu.ops.coloring import (detect_sparsity,
-                                             greedy_column_coloring)
-from nonlinearsolve_tpu.ops.sparse import CSR, DIA
-from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
 
 
 def tridiag_f(x, p=None):
