@@ -49,7 +49,7 @@ from .core.initialization import InitializationData
 from .solvers.anderson import AndersonAcceleration
 from .solvers.multistart import polynomialize, solve_multistart
 from .core.cache import NonlinearSolveCache, init
-from .core.ensemble import solve_ensemble
+from .core.ensemble import EnsembleProblem, solve_ensemble
 from .core.tracing import (TraceAll, TraceConfig, TraceMinimal,
                            TraceWithJacobianConditionNumber)
 from .solvers.wrappers import (CMINPACK, KINSOL, PETScSNES,

@@ -10,13 +10,66 @@ batch axis distributes across devices (ensemble = data parallelism).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+import dataclasses
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .problems import NonlinearProblem
 from .solution import NonlinearSolution
+
+
+@dataclasses.dataclass(frozen=True)
+class EnsembleProblem:
+    """Family of problems generated from a base problem — the
+    SciMLBase.EnsembleProblem contract the reference's ensemble tests use
+    (test/PolyAlgorithms "Ensemble Nonlinear Problems").
+
+    ``prob_func(prob, i) -> prob_i`` builds trajectory ``i``'s problem
+    (typically ``prob.remake(u0=...)``); identity when omitted.  Solve
+    with ``nls.solve(eprob, alg, trajectories=N)`` — when every
+    trajectory shares the base structure (same shapes/treedefs), the
+    batch runs as ONE vmapped solve (lockstep on the VPU/MXU lanes;
+    optionally sharded over a mesh), else trajectories run sequentially
+    and a list of solutions is returned.
+    """
+
+    prob: Any
+    prob_func: Optional[Callable] = None
+
+
+def solve_ensemble_problem(eprob: EnsembleProblem, alg=None, *,
+                           trajectories: int, mesh=None,
+                           batch_axis: str = "batch", **kwargs):
+    """__solve for EnsembleProblem: materialize per-trajectory problems
+    host-side, then batch (vmap) when uniform, else loop."""
+    base = eprob.prob
+    pf = eprob.prob_func or (lambda prob, i: prob)
+    probs = [pf(base, i) for i in range(int(trajectories))]
+
+    def leafshapes(tree):
+        return jax.tree_util.tree_structure(tree), [
+            jnp.shape(l) for l in jax.tree_util.tree_leaves(tree)]
+
+    uniform = (
+        all(p_i.f is base.f for p_i in probs)
+        and all(leafshapes(p_i.u0) == leafshapes(base.u0) for p_i in probs)
+        and all(leafshapes(p_i.p) == leafshapes(base.p) for p_i in probs)
+    )
+    if uniform:
+        u0s = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls),
+                                     *[p_i.u0 for p_i in probs])
+        if base.p is None:
+            return solve_ensemble(base, alg, u0s=u0s, mesh=mesh,
+                                  batch_axis=batch_axis, **kwargs)
+        ps = jax.tree_util.tree_map(lambda *ls: jnp.stack(
+            [jnp.asarray(l) for l in ls]), *[p_i.p for p_i in probs])
+        return solve_ensemble(base, alg, u0s=u0s, ps=ps, mesh=mesh,
+                              batch_axis=batch_axis, **kwargs)
+
+    from .solve import solve
+    return [solve(p_i, alg, **kwargs) for p_i in probs]
 
 
 def solve_ensemble(prob, alg=None, *, u0s=None, ps=None, mesh=None,

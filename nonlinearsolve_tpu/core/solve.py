@@ -64,6 +64,9 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
     kwargs: abstol, reltol, maxiters, termination_condition — merged over
     problem-level kwargs (solve.jl:174-177: call-site kwargs win).
     """
+    from .ensemble import EnsembleProblem, solve_ensemble_problem
+    if isinstance(prob, EnsembleProblem):
+        return solve_ensemble_problem(prob, alg, **kwargs)
     if isinstance(prob, SteadyStateProblem):
         prob = prob.to_nonlinear()
     merged = {**prob.kwargs, **kwargs}

@@ -64,6 +64,37 @@ def test_checkpoint_resume_iterator(tmp_path):
     assert int(sol.stats.nsteps) >= 2
 
 
+def test_ensemble_problem_vmapped():
+    """EnsembleProblem(prob, prob_func) + solve(trajectories=N) runs one
+    vmapped solve when trajectories share the base structure."""
+    base = nls.NonlinearProblem(lambda u, p: u ** 2 - p,
+                                jnp.array([1.0]), 2.0)
+    eprob = nls.EnsembleProblem(
+        base, prob_func=lambda prob, i: prob.remake(p=jnp.asarray(i + 1.0)))
+    sol = nls.solve(eprob, nls.NewtonRaphson(), trajectories=5)
+    assert sol.u.shape == (5, 1)
+    np.testing.assert_allclose(np.asarray(sol.u)[:, 0],
+                               np.sqrt(np.arange(1.0, 6.0)), rtol=1e-10)
+    assert np.all(np.asarray(sol.retcode) == 1)
+
+
+def test_ensemble_problem_heterogeneous_falls_back():
+    """Trajectories with different sizes solve sequentially and return a
+    list of solutions."""
+    base = nls.NonlinearProblem(lambda u, p: u ** 2 - p,
+                                jnp.array([1.0]), 4.0)
+
+    def pf(prob, i):
+        return prob.remake(u0=jnp.ones(i + 1))
+
+    sols = nls.solve(nls.EnsembleProblem(base, prob_func=pf),
+                     nls.NewtonRaphson(), trajectories=3)
+    assert isinstance(sols, list) and len(sols) == 3
+    for i, s in enumerate(sols):
+        assert s.u.shape == (i + 1,)
+        np.testing.assert_allclose(np.asarray(s.u), 2.0, rtol=1e-10)
+
+
 def test_ensemble_at_scale():
     """Kernels-in-kernels: thousands of Simple-tier solves in one vmapped
     executable (the reference's static-array GPU-kernel story, §2.6)."""
