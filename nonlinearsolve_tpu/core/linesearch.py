@@ -100,7 +100,7 @@ def ls_solve(cfg, state, ctx: DescentCtx, u, du, fu, J, nsteps) -> LSResult:
     if isinstance(cfg, BackTracking):
         return _backtracking(cfg, ctx, u, du, fu, J)
     if isinstance(cfg, LiFukushimaLineSearch):
-        return _li_fukushima(cfg, state, ctx, u, du, fu)
+        return _li_fukushima(cfg, state, ctx, u, du, fu, nsteps)
     if isinstance(cfg, RobustNonMonotoneLineSearch):
         return _robust_nonmonotone(cfg, state, ctx, u, du, fu)
     raise ValueError(f"unknown linesearch {cfg!r}")
@@ -140,19 +140,27 @@ def _backtracking(cfg: BackTracking, ctx: DescentCtx, u, du, fu, J) -> LSResult:
 
     alpha, phival, it, done = jax.lax.while_loop(
         cond, body, (alpha0, phi(alpha0), jnp.int32(0), jnp.bool_(False)))
-    success = phival <= phi0 + cfg.c_1 * alpha * slope
-    # Armijo failure still returns the final α (LineSearches.jl behavior);
-    # flag failure only on non-finite α.
-    success = success | jnp.isfinite(phival)
-    return LSResult(alpha=alpha, success=jnp.isfinite(alpha) & success,
-                    state=None, nf=it + 1)
+    # Success requires the Armijo condition to actually hold (exhausting
+    # maxiters without satisfying it is a line-search FAILURE, which the
+    # engines map to InternalLineSearchFailed / a Jacobian reset).
+    success = (phival <= phi0 + cfg.c_1 * alpha * slope) \
+        & jnp.isfinite(alpha) & jnp.isfinite(phival)
+    return LSResult(alpha=alpha, success=success, state=None, nf=it + 1)
 
 
 def _li_fukushima(cfg: LiFukushimaLineSearch, state, ctx: DescentCtx, u, du,
-                  fu) -> LSResult:
+                  fu, nsteps) -> LSResult:
+    """Li & Fukushima (2000) derivative-free line search, two-condition
+    form: the strong test ``‖F(x+λd)‖ ≤ ρ‖F(x)‖ − σ₂λ²‖d‖²`` accepts the
+    (nan-guarded) full step; failed full steps backtrack under the RELAXED
+    nonmonotone condition ``‖F(x+λd)‖ ≤ (1+η_k)‖F(x)‖ − σ₁λ²‖d‖²`` with
+    the summable sequence η_k = η/(k+1)² (k = outer iteration).
+    Exhausting maxiters (or the NaN guard) is a FAILURE."""
     dtype = _real_dtype(jax.tree_util.tree_leaves(u)[0])
     fu_norm = l2_norm(fu)
     d_norm2 = tree_dot(du, du)
+    k = jnp.asarray(nsteps, dtype)
+    eta_k = cfg.eta / (k + 1.0) ** 2
 
     # NaN guard: shrink λ until f(u + λ d) is finite (nan_maxiters rounds).
     def nan_cond(carry):
@@ -166,6 +174,11 @@ def _li_fukushima(cfg: LiFukushimaLineSearch, state, ctx: DescentCtx, u, du,
 
     lam0, nan_iters = jax.lax.while_loop(
         nan_cond, nan_body, (jnp.asarray(cfg.lambda_0, dtype), jnp.int32(0)))
+    nan_ok = jnp.all(jnp.isfinite(ctx.f_flat(u + lam0 * du)))
+
+    # Strong full-step test (ρ, σ₂).
+    f_full = l2_norm(ctx.f_flat(u + lam0 * du))
+    full_ok = f_full <= cfg.rho * fu_norm - cfg.sigma_2 * lam0 * lam0 * d_norm2
 
     def cond(carry):
         lam, it, done = carry
@@ -174,14 +187,18 @@ def _li_fukushima(cfg: LiFukushimaLineSearch, state, ctx: DescentCtx, u, du,
     def body(carry):
         lam, it, done = carry
         fnew = l2_norm(ctx.f_flat(u + lam * du))
-        ok = fnew <= cfg.rho * fu_norm - cfg.sigma_2 * lam * lam * d_norm2
+        ok = fnew <= (1.0 + eta_k) * fu_norm \
+            - cfg.sigma_1 * lam * lam * d_norm2
         lam_next = jnp.where(ok, lam, lam * cfg.beta)
         return lam_next, it + 1, done | ok
 
-    lam, it, done = jax.lax.while_loop(
-        cond, body, (lam0, jnp.int32(0), jnp.bool_(False)))
-    return LSResult(alpha=lam, success=jnp.bool_(True), state=state,
-                    nf=it + nan_iters + 1)
+    lam_bt, it, bt_ok = jax.lax.while_loop(
+        cond, body, (lam0 * cfg.beta, jnp.int32(0), jnp.bool_(False)))
+    lam = jnp.where(full_ok, lam0, lam_bt)
+    it = jnp.where(full_ok, jnp.int32(0), it)
+    success = nan_ok & (full_ok | bt_ok)
+    return LSResult(alpha=lam, success=success, state=state,
+                    nf=it + nan_iters + 2)
 
 
 def _robust_nonmonotone(cfg: RobustNonMonotoneLineSearch, state: RNMLSState,
@@ -225,8 +242,10 @@ def _robust_nonmonotone(cfg: RobustNonMonotoneLineSearch, state: RNMLSState,
     return LSResult(alpha=alpha, success=found, state=state, nf=2 * it)
 
 
-def ls_post_step(cfg, state, fu_new, *, accepted=None):
-    """Push the accepted iterate's merit into the nonmonotone history ring."""
+def ls_post_step(cfg, state, fu_new):
+    """Push the accepted iterate's merit into the nonmonotone history ring.
+    Callers invoke this only at commit points, so every merit pushed
+    belongs to an accepted iterate."""
     if isinstance(cfg, RobustNonMonotoneLineSearch) and state is not None:
         merit = l2_norm(fu_new) ** cfg.n_exp
         nsteps = state.nsteps + 1

@@ -127,8 +127,14 @@ class TermState:
 def _objective(cfg: TerminationCondition, fu, u, reltol):
     nrm = apply_norm(cfg.norm, fu)
     if cfg.mode in REL_NORM_MODES:
-        eps = jnp.asarray(jnp.finfo(jnp.asarray(reltol).dtype).eps, nrm.dtype)
-        return nrm / (apply_norm(cfg.norm, fu, u) + eps)
+        # Denominator guard is eps(reltol) — the ulp AT the reltol value
+        # (termination_conditions.jl:258: `+ eps(reltol)`), i.e.
+        # eps(T)·reltol, NOT machine epsilon: for problems whose root sits
+        # near the origin the guard must stay far below the scale reltol
+        # compares against.
+        reltol = jnp.asarray(reltol, nrm.dtype)
+        eps_at = jnp.finfo(nrm.dtype).eps * reltol
+        return nrm / (apply_norm(cfg.norm, fu, u) + eps_at)
     return nrm
 
 

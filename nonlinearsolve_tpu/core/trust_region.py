@@ -161,13 +161,15 @@ def tr_init(cfg, ctx: DescentCtx, fu, u):
         itr = jnp.ones((), dtype)
     elif cfg.method == "fan":
         itr = (fu_norm ** 0.99) / 10.0
-    elif cfg.method == "yuan":
-        # p1 * ‖Jᵀfu‖ at u0 via one VJP (trust_region.jl:235-239).
+    else:
+        itr = mtr / 11.0
+    if cfg.method == "yuan":
+        # Yuan ALWAYS starts from p1·‖Jᵀfu‖ at u0 — the reference
+        # overrides even a user-supplied initial radius
+        # (trust_region.jl:234-240, after the default resolution).
         _, vjp_fn = jax.vjp(ctx.f_flat, u)
         jtfu = vjp_fn(fu)[0]
         itr = p1 * l2_norm(jtfu)
-    else:
-        itr = mtr / 11.0
 
     return TRState(
         trust_region=itr, max_trust_radius=mtr, p1=p1, p2=p2, p3=p3, p4=p4,
@@ -196,6 +198,9 @@ def tr_solve(cfg, state, ctx: DescentCtx, J, fu, u, du,
     fu_new = ctx.f_flat(u_new)
 
     # ρ = (‖fu_new‖² - ‖fu‖²)/2 / (⟨δu, Jᵀfu⟩ + δuᵀJᵀJδu/2)
+    # NaN is a *dynamic* not-provided sentinel: Dogleg supplies δuᵀJᵀJδu
+    # only on its radius-clipped branch (descent.py:385-388), so which
+    # branch ran is data-dependent and a static None cannot express it.
     Jdu = mv(J, du)
     duJtJdu = jnp.where(jnp.isnan(descent_result.duJtJdu),
                         tree_dot(Jdu, Jdu), descent_result.duJtJdu)
@@ -246,11 +251,14 @@ def tr_solve(cfg, state, ctx: DescentCtx, J, fu, u, du,
                        jnp.where(rho > et, jnp.minimum(p1 * p3, p4), p1))
         tr = p1 * (l2_norm(fu_new) ** jnp.asarray(0.99, dtype))
     elif method == "bastin":
-        # Re-estimate ρ with operator products at u_new
-        # (trust_region.jl Bastin branch); expand to p1·‖δu‖ when good.
-        jtfu_new2 = rmv(J, fu_new)
+        # Re-estimate ρ with jvp/vjp operators at u_NEW — the reference
+        # binds StatefulJacobianOperators at u_cache = u+δu
+        # (trust_region.jl:491-499), not the stale J at u.
+        _, vjp_new = jax.vjp(ctx.f_flat, u_new)
+        _, Jdu_new = jax.jvp(ctx.f_flat, (u_new,), (du,))
+        jtfu_new2 = vjp_new(fu_new)[0]
         denom_1 = tree_dot(jtfu_new2, jtfu_new2)
-        jt_jdu = rmv(J, Jdu)
+        jt_jdu = vjp_new(Jdu_new)[0]
         denom_2 = tree_dot(jt_jdu, jt_jdu)
         rho_b = num / (denom_1 + denom_2 / 2.0)
         tr = jnp.where(accepted,
