@@ -29,6 +29,8 @@ from .solvers import (Broyden, DFSane, FastShortcutNLLSPolyalg,
                       QuasiNewtonAlgorithm, RobustMultiNewton, TrustRegion)
 from .core.linesearch import (BackTracking, LiFukushimaLineSearch,
                               RobustNonMonotoneLineSearch)
+from .core.wolfe_linesearch import (HagerZhang, LineSearchesJL, MoreThuente,
+                                    StaticLineSearch, StrongWolfe)
 from .solvers.simple import (SimpleBroyden, SimpleDFSane, SimpleGaussNewton,
                              SimpleHalley, SimpleKlement,
                              SimpleLimitedMemoryBroyden, SimpleNewtonRaphson,

@@ -103,6 +103,9 @@ def ls_solve(cfg, state, ctx: DescentCtx, u, du, fu, J, nsteps) -> LSResult:
         return _li_fukushima(cfg, state, ctx, u, du, fu, nsteps)
     if isinstance(cfg, RobustNonMonotoneLineSearch):
         return _robust_nonmonotone(cfg, state, ctx, u, du, fu)
+    from .wolfe_linesearch import _WOLFE_TYPES, wolfe_ls_solve
+    if isinstance(cfg, _WOLFE_TYPES):
+        return wolfe_ls_solve(cfg, ctx, u, du, fu)
     raise ValueError(f"unknown linesearch {cfg!r}")
 
 
