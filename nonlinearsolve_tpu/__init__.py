@@ -49,6 +49,7 @@ from .solvers.poly_homotopy import PolynomialHomotopy, solve_polynomial
 from .core.autodiff import JacobianPolicy, pickchunksize
 from .core.initialization import InitializationData
 from .solvers.anderson import AndersonAcceleration
+from .solvers.steady_state import DynamicSS, SSRootfind
 from .solvers.multistart import polynomialize, solve_multistart
 from .core.cache import NonlinearSolveCache, init
 from .core.ensemble import EnsembleProblem, solve_ensemble

@@ -71,6 +71,17 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
         prob = prob.to_nonlinear()
     merged = {**prob.kwargs, **kwargs}
 
+    from ..solvers.steady_state import DynamicSS, SSRootfind
+    if isinstance(alg, SSRootfind):
+        alg = alg.alg            # rootfind on the converted problem
+    elif isinstance(alg, DynamicSS):
+        # The reference's DynamicSS termination defaults (derivative test):
+        # abstol=1e-8, reltol=1e-6 — not the rootfinder eps^(4/5) defaults.
+        if merged.get("abstol") is None:
+            merged["abstol"] = 1e-8
+        if merged.get("reltol") is None:
+            merged["reltol"] = 1e-6
+
     # DAE-style initialization hook (initialization.jl:3-38): solve the
     # consistent-initialization sub-problem first; abort on failure.
     init_data = getattr(getattr(prob, "f", None), "initialization_data", None)

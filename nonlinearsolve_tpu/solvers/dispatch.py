@@ -33,6 +33,10 @@ def run_algorithm(alg, ctx, term_cfg, jac_spec, u0_flat, abstol, reltol,
     if isinstance(alg, NonlinearSolvePolyAlgorithm):
         return run_polyalg(alg, ctx, term_cfg, jac_spec, u0_flat, abstol,
                            reltol, maxiters)
+    from .steady_state import DynamicSS, run_dynamic_ss
+    if isinstance(alg, DynamicSS):
+        return run_dynamic_ss(alg, ctx, term_cfg, u0_flat, abstol, reltol,
+                              maxiters)
     from .simple import is_simple_alg, run_simple
     if is_simple_alg(alg):
         return run_simple(alg, ctx, term_cfg, analytic_jac, u0_flat, abstol,
