@@ -12,10 +12,17 @@ Available here:
   (numpy), outside jit — exactly like the reference's PythonCall bridge;
   useful for cross-validation and benchmarking against the native engines.
 * The reference's other bridges (PETSc SNES, Sundials KINSOL, MINPACK,
-  NLsolve.jl, …) wrap binaries that do not exist in this image; requesting
-  them raises a clear error naming the native replacement
-  (``native_alternative``), mirroring how the reference errors when an
-  extension package is not loaded.
+  NLsolve.jl, NLSolvers.jl, SIAMFANLEquations.jl, LeastSquaresOptim.jl,
+  FastLevenbergMarquardt.jl, SpeedMapping.jl, FixedPointAcceleration.jl)
+  wrap external binaries that do not exist in this image.  Their
+  constructors accept the reference's signatures
+  (/root/reference/src/extension_algs.jl) and **delegate to the native
+  TPU algorithm implementing the same method** — e.g.
+  ``CMINPACK(method=:hybr)`` is Powell's hybrid = dogleg trust region →
+  ``TrustRegion()``; ``NLsolveJL(method=:anderson, m=8)`` →
+  ``AndersonAcceleration(m=8)``.  The returned object IS the native
+  config, so solves jit/vmap and report native stats; the per-method
+  mapping is documented on each constructor.
 """
 
 from __future__ import annotations
@@ -69,42 +76,185 @@ def SciPyLeastSquaresDogbox(**kwargs):
     return SciPyLeastSquares(method="dogbox", **kwargs)
 
 
-_UNAVAILABLE = {
-    "PETScSNES": "NewtonRaphson(linsolve=LinearSolver(method='gmres')) with "
-                 "parallel.distributed_solve — the TPU-native distributed "
-                 "Newton-Krylov replacing PETSc's MPI SNES",
-    "KINSOL": "NewtonRaphson / TrustRegion (line-search and fixed-point "
-              "strategies map to linesearch=BackTracking())",
-    "CMINPACK": "TrustRegion() (hybr) / LevenbergMarquardt() (lm)",
-    "NLsolveJL": "NewtonRaphson / TrustRegion",
-    "NLSolversJL": "NewtonRaphson(linesearch=BackTracking())",
-    "SIAMFANLEquationsJL": "NewtonRaphson / PseudoTransient / Broyden",
-    "LeastSquaresOptimJL": "LevenbergMarquardt / GaussNewton",
-    "FastLevenbergMarquardtJL": "LevenbergMarquardt",
-    "SpeedMappingJL": "DFSane (spectral fixed-point acceleration)",
-    "FixedPointAccelerationJL": "DFSane / Broyden",
-}
+# ---------------------------------------------------------------------------
+# Reference extension-algorithm constructors → native delegation.
+# Signatures follow /root/reference/src/extension_algs.jl; each returns the
+# native config implementing the requested method, so the reference user's
+# `solve(prob, NLsolveJL(method=:newton))` runs unchanged — natively.
+# Symbols may be passed as Julia-style strings with or without a leading
+# colon (":newton" or "newton").
+# ---------------------------------------------------------------------------
+
+def _sym(x, default):
+    if x is None:
+        return default
+    s = str(x).lstrip(":").lower()
+    return s or default
 
 
-def _unavailable(name):
-    def ctor(*a, **k):
-        raise NotImplementedError(
-            f"{name} wraps an external binary not present in this "
-            f"environment. Native TPU replacement: {_UNAVAILABLE[name]}.")
-    ctor.__name__ = name
-    return ctor
+def CMINPACK(*, method=None, autodiff=None, **_ignored):
+    """MINPACK bridge (extension_algs.jl; ext/NonlinearSolveMINPACKExt.jl).
+
+    Mapping: ``hybr``/``hybrd`` (Powell hybrid = dogleg trust region) →
+    ``TrustRegion()``; ``lm``/``lmdif`` → ``LevenbergMarquardt()``;
+    ``auto`` → ``TrustRegion()`` (MINPACK's hybr default; LM is selected
+    for NLLS problems by the solve-level default polyalgorithm anyway).
+    """
+    del autodiff
+    from .first_order import LevenbergMarquardt, TrustRegion
+    m = _sym(method, "auto")
+    if m in ("lm", "lmdif"):
+        return LevenbergMarquardt()
+    return TrustRegion()
 
 
-PETScSNES = _unavailable("PETScSNES")
-KINSOL = _unavailable("KINSOL")
-CMINPACK = _unavailable("CMINPACK")
-NLsolveJL = _unavailable("NLsolveJL")
-NLSolversJL = _unavailable("NLSolversJL")
-SIAMFANLEquationsJL = _unavailable("SIAMFANLEquationsJL")
-LeastSquaresOptimJL = _unavailable("LeastSquaresOptimJL")
-FastLevenbergMarquardtJL = _unavailable("FastLevenbergMarquardtJL")
-SpeedMappingJL = _unavailable("SpeedMappingJL")
-FixedPointAccelerationJL = _unavailable("FixedPointAccelerationJL")
+def NLsolveJL(*, method=None, linesearch=None, m=10, beta=1.0, **_ignored):
+    """NLsolve.jl bridge.  ``trust_region`` → ``TrustRegion`` with the
+    NLsolve radius-update scheme; ``newton`` → ``NewtonRaphson`` (with the
+    requested line search); ``anderson`` → ``AndersonAcceleration(m, beta)``;
+    ``broyden`` → ``Broyden``."""
+    from .anderson import AndersonAcceleration
+    from .first_order import NewtonRaphson, TrustRegion
+    from .quasi_newton import Broyden
+    meth = _sym(method, "trust_region")
+    if meth == "newton":
+        return NewtonRaphson(linesearch=linesearch)
+    if meth == "anderson":
+        return AndersonAcceleration(m=int(m), beta=float(beta))
+    if meth == "broyden":
+        return Broyden()
+    return TrustRegion(radius_update_scheme="nlsolve")
+
+
+def NLSolversJL(method=None, **_ignored):
+    """NLSolvers.jl bridge.  The reference passes an NLSolvers method
+    object; here a string preset: ``newton`` → ``NewtonRaphson``;
+    ``newton_hagerzhang``/``newton_backtracking``/``newton_strongwolfe``/
+    ``newton_morethuente`` → Newton with that line search."""
+    from ..core.linesearch import BackTracking
+    from ..core.wolfe_linesearch import (HagerZhang, MoreThuente,
+                                         StrongWolfe)
+    from .first_order import NewtonRaphson
+    meth = _sym(method, "newton")
+    ls = {"newton": None,
+          "newton_backtracking": BackTracking(),
+          "newton_hagerzhang": HagerZhang(),
+          "newton_strongwolfe": StrongWolfe(),
+          "newton_morethuente": MoreThuente()}.get(meth)
+    return NewtonRaphson(linesearch=ls)
+
+
+def SIAMFANLEquationsJL(*, method=None, delta=1e-3, m=0, beta=1.0,
+                        **_ignored):
+    """SIAMFANLEquations.jl bridge: ``newton`` → ``NewtonRaphson``;
+    ``pseudotransient`` → ``PseudoTransient(alpha_initial=delta)``;
+    ``secant``/``broyden`` → ``Broyden``; ``anderson`` →
+    ``AndersonAcceleration(m, beta)``."""
+    from .anderson import AndersonAcceleration
+    from .first_order import NewtonRaphson, PseudoTransient
+    from .quasi_newton import Broyden
+    meth = _sym(method, "newton")
+    if meth == "pseudotransient":
+        return PseudoTransient(alpha_initial=float(delta))
+    if meth in ("secant", "broyden"):
+        return Broyden()
+    if meth == "anderson":
+        return AndersonAcceleration(m=max(int(m), 1), beta=float(beta))
+    return NewtonRaphson()
+
+
+def LeastSquaresOptimJL(alg=None, *, linsolve=None, autodiff=None,
+                        **_ignored):
+    """LeastSquaresOptim.jl bridge: ``lm`` → ``LevenbergMarquardt``;
+    ``dogleg`` → ``TrustRegion`` (dogleg descent)."""
+    del linsolve, autodiff
+    from .first_order import LevenbergMarquardt, TrustRegion
+    if _sym(alg, "lm") == "dogleg":
+        return TrustRegion()
+    return LevenbergMarquardt()
+
+
+def FastLevenbergMarquardtJL(linsolve=None, **kwargs):
+    """FastLevenbergMarquardt.jl bridge → ``LevenbergMarquardt`` with the
+    reference's damping factors when given."""
+    del linsolve
+    from .first_order import LevenbergMarquardt
+    lm_kwargs = {}
+    if "factor" in kwargs:
+        lm_kwargs["damping_initial"] = float(kwargs["factor"])
+    return LevenbergMarquardt(**lm_kwargs)
+
+
+def SpeedMappingJL(**_ignored):
+    """SpeedMapping.jl bridge (ACX extrapolation of fixed-point maps) →
+    ``AndersonAcceleration`` (the native accelerated-fixed-point role)."""
+    from .anderson import AndersonAcceleration
+    return AndersonAcceleration()
+
+
+def FixedPointAccelerationJL(*, algorithm=None, m=None, **_ignored):
+    """FixedPointAcceleration.jl bridge: ``Anderson`` →
+    ``AndersonAcceleration(m)``; ``Newton`` → ``NewtonRaphson``; the
+    epsilon-extrapolation variants (``Aitken``/``VEA``/``SEA``/``Simple``)
+    → ``AndersonAcceleration`` with a short window (their natural
+    Anderson-equivalent depth)."""
+    from .anderson import AndersonAcceleration
+    from .first_order import NewtonRaphson
+    algo = _sym(algorithm, "anderson")
+    if algo == "newton":
+        return NewtonRaphson()
+    if algo in ("aitken", "vea", "sea", "simple"):
+        return AndersonAcceleration(m=2 if m is None else int(m))
+    return AndersonAcceleration(m=5 if m is None else int(m))
+
+
+def PETScSNES(*, petsclib=None, autodiff=None, mpi_comm=None,
+              **snes_options):
+    """PETSc SNES bridge.  ``snes_type`` maps to the native engine:
+    ``newtonls`` (SNES default: Newton + cubic backtracking) →
+    ``NewtonRaphson(linesearch=BackTracking())``; ``newtontr`` →
+    ``TrustRegion``; ``anderson``/``ngmres`` → ``AndersonAcceleration``;
+    ``qn`` → ``Broyden``; ``ksponly`` → plain ``NewtonRaphson``.
+
+    PETSc's MPI distribution role (``mpi_comm``) is covered natively by
+    ``parallel.distributed_solve`` (GSPMD row-partitioned Newton–Krylov
+    over a jax Mesh) — pass a mesh there instead of an MPI communicator.
+    """
+    del petsclib, autodiff, mpi_comm
+    from ..core.linesearch import BackTracking
+    from .anderson import AndersonAcceleration
+    from .first_order import NewtonRaphson, TrustRegion
+    from .quasi_newton import Broyden
+    snes_type = _sym(snes_options.get("snes_type"), "newtonls")
+    if snes_type == "newtontr":
+        return TrustRegion()
+    if snes_type in ("anderson", "ngmres"):
+        return AndersonAcceleration()
+    if snes_type == "qn":
+        return Broyden()
+    if snes_type == "ksponly":
+        return NewtonRaphson()
+    return NewtonRaphson(linesearch=BackTracking())
+
+
+def KINSOL(*, linear_solver=None, globalization_strategy=None,
+           strategy=None, m=0, **_ignored):
+    """Sundials KINSOL bridge (ext/NonlinearSolveSundialsExt.jl):
+    ``none`` → ``NewtonRaphson``; ``linesearch`` →
+    ``NewtonRaphson(linesearch=BackTracking())``; ``fixedpoint``/
+    ``picard`` → ``AndersonAcceleration(m)`` (KINSOL's Anderson-accelerated
+    fixed-point mode)."""
+    del linear_solver
+    from ..core.linesearch import BackTracking
+    from .anderson import AndersonAcceleration
+    from .first_order import NewtonRaphson
+    strat = _sym(globalization_strategy if globalization_strategy is not None
+                 else strategy, "none")
+    if strat == "linesearch":
+        return NewtonRaphson(linesearch=BackTracking())
+    if strat in ("fixedpoint", "picard"):
+        return AndersonAcceleration(m=max(int(m), 1))
+    return NewtonRaphson()
 
 WRAPPER_ALGS = (SciPyRoot, SciPyRootScalar, SciPyLeastSquares)
 

@@ -186,10 +186,39 @@ def test_scipy_root_scalar():
     np.testing.assert_allclose(float(sol.u), np.sqrt(2.0), rtol=1e-10)
 
 
-def test_unavailable_wrappers_raise():
-    for ctor in [nls.PETScSNES, nls.KINSOL, nls.CMINPACK]:
-        with pytest.raises(NotImplementedError, match="Native TPU"):
-            ctor()
+def test_extension_alg_constructors_delegate_natively():
+    """The reference's extension-algorithm constructors return the native
+    algorithm implementing the requested method (extension_algs.jl parity —
+    a reference user's solve(prob, NLsolveJL(...)) runs unchanged)."""
+    from nonlinearsolve_tpu.solvers.anderson import AndersonAcceleration
+    from nonlinearsolve_tpu.solvers.first_order import (
+        GeneralizedFirstOrderAlgorithm)
+    from nonlinearsolve_tpu.solvers.quasi_newton import QuasiNewtonAlgorithm
+
+    assert isinstance(nls.CMINPACK(method=":lm"),
+                      GeneralizedFirstOrderAlgorithm)
+    assert nls.CMINPACK(method="hybr").trustregion is not None   # dogleg TR
+    assert nls.NLsolveJL(method=":anderson", m=8).m == 8
+    assert isinstance(nls.NLsolveJL(method="broyden"), QuasiNewtonAlgorithm)
+    assert nls.NLsolveJL().trustregion.method == "nlsolve"
+    assert isinstance(nls.KINSOL(globalization_strategy="fixedpoint", m=3),
+                      AndersonAcceleration)
+    assert isinstance(nls.SpeedMappingJL(), AndersonAcceleration)
+    assert isinstance(nls.FixedPointAccelerationJL(algorithm=":Aitken"),
+                      AndersonAcceleration)
+    from nonlinearsolve_tpu.core.wolfe_linesearch import HagerZhang
+    assert isinstance(nls.NLSolversJL("newton_hagerzhang").linesearch,
+                      HagerZhang)
+
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    for alg in [nls.PETScSNES(), nls.PETScSNES(snes_type="newtontr"),
+                nls.KINSOL(), nls.CMINPACK(), nls.NLsolveJL(),
+                nls.SIAMFANLEquationsJL(method=":pseudotransient"),
+                nls.FastLevenbergMarquardtJL()]:
+        sol = nls.solve(prob, alg)
+        assert int(sol.retcode) == int(nls.ReturnCode.Success)
+        np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0),
+                                   rtol=1e-6)
 
 
 def test_iterator_maxtime():
