@@ -67,6 +67,11 @@ class QuasiNewtonAlgorithm:
     alpha: Optional[float] = None
     linesearch: Any = None
     trustregion: Any = None             # GenericTrustRegionScheme
+    # TR-aware reset: this many CONSECUTIVE trust-region rejections mark
+    # the approximate-Jacobian model as stale and force a reinit (the
+    # reference never exercises QN×TR, so this policy is ours; it pairs
+    # with the secant-from-trial-residual update — see step below).
+    tr_reset_rejects: int = 3
     max_shrink_times: int = 2**31 - 2   # reference default: typemax(Int)
     reinit_rule: Any = NoChangeInStateReset()
     max_resets: int = 100
@@ -177,6 +182,7 @@ class QNCarry:
     update_fu_prev: Any         # fu at the last update (Broyden dfu / Klement fu_cache)
     reset_state: Any
     tr_state: Any = None        # trust-region globalization state
+    tr_rejects: Any = None      # consecutive TR rejections (reset trigger)
     trace_state: Any = None
 
 
@@ -375,6 +381,7 @@ def init_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         stats=NLStats.zeros().incr(nf=1, njacs=njacs),
         term=term, ls_state=ls_state, update_fu_prev=fu0,
         reset_state=reset_state, tr_state=tr_state,
+        tr_rejects=jnp.int32(0),
         trace_state=init_trace(ctx.trace, u0_flat, u0_flat.dtype),
     )
 
@@ -423,6 +430,7 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     force_reinit_next = jnp.bool_(False)
     ls_state = carry.ls_state
     tr_state = carry.tr_state
+    tr_rejects = carry.tr_rejects
     tr_accepted = jnp.bool_(True)
     shrink_exceeded = jnp.bool_(False)
     fu_secant = None
@@ -442,6 +450,16 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         counter = trg.tr_shrink_counter(tr_state)
         if counter is not None:
             shrink_exceeded = counter > alg.max_shrink_times
+        # TR-aware reset: a streak of rejections means the secant model
+        # mispredicts the residual over every radius the scheme tried —
+        # rebuild J instead of shrinking further (a fresh model usually
+        # restores full dogleg steps along curved valleys).
+        tr_rejects = jnp.where(tr_accepted, jnp.int32(0),
+                               carry.tr_rejects + 1)
+        streak = (~tr_accepted) & (tr_rejects >= alg.tr_reset_rejects) \
+            & (steps_since_last_reset > 0)
+        force_reinit_next = force_reinit_next | streak
+        tr_rejects = jnp.where(streak, jnp.int32(0), tr_rejects)
     elif alg.linesearch is not None:
         ls_res = lsr.ls_solve(alg.linesearch, ls_state, ctx, u, du, fu, None,
                               carry.nsteps)
@@ -521,7 +539,7 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         retcode=jnp.where(carry.force_stop, carry.retcode, retcode),
         stats=stats, term=term, ls_state=ls_state,
         update_fu_prev=update_fu_prev, reset_state=reset_state,
-        tr_state=tr_state,
+        tr_state=tr_state, tr_rejects=tr_rejects,
         trace_state=record_trace(ctx.trace, carry.trace_state,
                                  carry.nsteps + 1, fu_new, du, J_next,
                                  u_new),

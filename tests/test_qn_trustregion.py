@@ -53,8 +53,10 @@ def test_qn_tr_quadratic(alg):
 @pytest.mark.parametrize("alg", TR_ALGS, ids=lambda a: a.name)
 def test_qn_tr_rosenbrock(alg):
     prob = nls.NonlinearProblem(rosenbrock_like, jnp.array([-1.2, 1.0]))
-    # KlementTR crawls along the valley (~620 accepted+rejected steps)
-    sol = nls.solve(prob, alg, maxiters=2000)
+    # KlementTR needs ~240 accepted+rejected steps along the valley (the
+    # TR-aware reset — reinit J after tr_reset_rejects consecutive
+    # rejections — brought this down from ~620)
+    sol = nls.solve(prob, alg, maxiters=1000)
     assert bool(sol.success), int(sol.retcode)
     np.testing.assert_allclose(np.asarray(sol.u), [1.0, 1.0], atol=1e-7)
 
@@ -70,6 +72,24 @@ def test_qn_tr_radius_schemes(scheme):
     sol = nls.solve(prob, alg, maxiters=300)
     assert bool(sol.success), (scheme, int(sol.retcode))
     assert float(jnp.max(jnp.abs(sol.resid))) < 1e-8
+
+
+def test_qn_tr_reject_streak_resets_jacobian():
+    """TR-aware reset: 3 consecutive rejections reinitialize J.  On the
+    Rosenbrock valley this cuts KlementTR from ~620 steps (radius
+    shrinking alone) to ~240, with fewer jacobian rebuilds."""
+    base = dict(update_rule="klement", structure="full",
+                init_jacobian="true_jacobian",
+                reinit_rule=NoChangeInStateReset(check_dfu=False),
+                trustregion=nls.GenericTrustRegionScheme())
+    prob = nls.NonlinearProblem(rosenbrock_like, jnp.array([-1.2, 1.0]))
+    fast = nls.solve(prob, QuasiNewtonAlgorithm(**base), maxiters=2000)
+    slow = nls.solve(prob, QuasiNewtonAlgorithm(tr_reset_rejects=10**6,
+                                                **base), maxiters=2000)
+    assert bool(fast.success)
+    assert int(fast.stats.nsteps) < 350
+    assert int(fast.stats.nsteps) < int(slow.stats.nsteps) // 2
+    assert int(fast.stats.njacs) < int(slow.stats.njacs)
 
 
 def test_qn_tr_rejection_keeps_iterate_monotone():
