@@ -118,8 +118,7 @@ def LineSearchesJL(method: Any = None, **kwargs):
     return method
 
 
-def _real_dtype(x):
-    return jnp.zeros((), jnp.asarray(x).dtype).real.dtype
+from .linesearch import _real_dtype
 
 
 def _phi_dphi_fn(ctx, u, du):
@@ -165,18 +164,18 @@ def _strong_wolfe(cfg: StrongWolfe, ctx, u, du, fu):
         return p <= phi0 + c1 * a * dphi0
 
     # carry: mode, trial α, previous (α, φ) [bracketing], zoom interval
-    # (lo: α/φ/φ', hi: α/φ/φ'), accepted α, it, first-iteration flag
+    # (lo: α/φ/φ', hi: α/φ/φ'), accepted (α, φ), it, first-iteration flag
     init = (jnp.int32(0), jnp.asarray(cfg.alpha_0, dtype),
             zero, phi0, zero, phi0, dphi0, zero, phi0, dphi0,
-            zero, jnp.int32(0), jnp.bool_(True))
+            zero, phi0, jnp.int32(0), jnp.bool_(True))
 
     def cond(c):
-        mode, it = c[0], c[11]
+        mode, it = c[0], c[12]
         return (mode != 2) & (it < cfg.maxiters)
 
     def body(c):
         (mode, a, a_prev, phi_prev, a_lo, phi_lo, dphi_lo,
-         a_hi, phi_hi, dphi_hi, a_star, it, first) = c
+         a_hi, phi_hi, dphi_hi, a_star, phi_star, it, first) = c
 
         # Zoom trial: safeguarded cubic between lo and hi.
         a_mid = 0.5 * (a_lo + a_hi)
@@ -189,12 +188,16 @@ def _strong_wolfe(cfg: StrongWolfe, ctx, u, du, fu):
         trial = jnp.where(mode == 0, a, a_c)
         p, dp = ev(trial)
 
-        # --- bracketing-phase updates (Alg 3.5) ---
+        # --- bracketing-phase updates (Alg 3.5, in the algorithm's order:
+        # Armijo-violation zoom → curvature ACCEPT → dp≥0 reverse zoom →
+        # expand; testing dp≥0 before acceptance would throw away trials
+        # that already satisfy the strong Wolfe conditions) ---
         to_zoom_hi = ~armijo(trial, p) | ((p >= phi_prev) & ~first)
         curv_ok = jnp.abs(dp) <= -c2 * dphi0
-        to_zoom_rev = dp >= 0.0
+        accept_b = ~to_zoom_hi & curv_ok
+        to_zoom_rev = ~to_zoom_hi & ~curv_ok & (dp >= 0.0)
         b_mode = jnp.where(to_zoom_hi | to_zoom_rev, jnp.int32(1),
-                           jnp.where(curv_ok, jnp.int32(2), jnp.int32(0)))
+                           jnp.where(accept_b, jnp.int32(2), jnp.int32(0)))
         # zoom(a_prev → lo, trial → hi); φ'(a_prev): unknown on the first
         # iteration only when a_prev = 0 where it is dphi0 — afterwards
         # a_prev was itself evaluated, and the reverse zoom (dp ≥ 0) puts
@@ -223,15 +226,20 @@ def _strong_wolfe(cfg: StrongWolfe, ctx, u, du, fu):
                              jnp.where(z_flip, phi_lo, phi_hi))
         z_dphi_hi = jnp.where(z_shrink_hi, dp,
                               jnp.where(z_flip, dphi_lo, dphi_hi))
-        # Interval collapse → terminate on the lo endpoint (Armijo point).
+        # Interval collapse → terminate on the lo endpoint (an Armijo point
+        # by the zoom invariant; LineSearches.jl likewise returns the best
+        # bracketed point when the interval degenerates).
         tiny = jnp.abs(z_hi - z_lo) <= 1e-12 * jnp.maximum(1.0, z_hi)
-        z_mode = jnp.where(z_done, jnp.int32(2),
-                           jnp.where(tiny, jnp.int32(2), jnp.int32(1)))
+        z_mode = jnp.where(z_done | tiny, jnp.int32(2), jnp.int32(1))
         z_star = jnp.where(z_done, trial, z_lo)
+        z_phi_star = jnp.where(z_done, p, z_phi_lo)
 
         is_b = mode == 0
         mode_n = jnp.where(is_b, b_mode, z_mode)
-        a_star_n = jnp.where(is_b, jnp.where(curv_ok, trial, a_star), z_star)
+        a_star_n = jnp.where(is_b, jnp.where(accept_b, trial, a_star),
+                             z_star)
+        phi_star_n = jnp.where(is_b, jnp.where(accept_b, p, phi_star),
+                               z_phi_star)
         return (mode_n,
                 jnp.where(is_b, b_a_next, a),
                 jnp.where(is_b, trial, a_prev),
@@ -242,16 +250,14 @@ def _strong_wolfe(cfg: StrongWolfe, ctx, u, du, fu):
                 jnp.where(is_b, b_hi, z_hi),
                 jnp.where(is_b, b_phi_hi, z_phi_hi),
                 jnp.where(is_b, b_dphi_hi, z_dphi_hi),
-                a_star_n, it + 1, jnp.bool_(False))
+                a_star_n, phi_star_n, it + 1, jnp.bool_(False))
 
     out = jax.lax.while_loop(cond, body, init)
-    mode, a_star, it = out[0], out[10], out[11]
-    phi_s, dphi_s = ev(a_star)
-    # Accept an Armijo point from zoom-collapse too (LineSearches.jl returns
-    # the best bracketed point when the zoom interval degenerates).
-    success = (mode == 2) & (a_star > 0.0) & armijo(a_star, phi_s) \
-        & jnp.isfinite(phi_s)
-    return a_star, success, it + 2
+    mode, a_star, phi_star, it = out[0], out[10], out[11], out[12]
+    # φ(a_star) was recorded at the accepting iteration — no extra eval.
+    success = (mode == 2) & (a_star > 0.0) & armijo(a_star, phi_star) \
+        & jnp.isfinite(phi_star)
+    return a_star, success, it + 1
 
 
 # --------------------------------------------------------------------------
@@ -274,23 +280,26 @@ def _hager_zhang(cfg: HagerZhang, ctx, u, du, fu):
             & (p <= phi0 + eps_k)
         return (a > 0.0) & ((wolfe1 & wolfe2) | approx)
 
-    # carry: mode, a (interval left), da, b (right), db, trial, it, a_star,
-    # prev interval width (γ-forced bisection bookkeeping)
+    # carry: mode, a (interval left), φ(a), φ'(a), b (right), φ'(b),
+    # trial, it, accepted (α, φ, φ'), prev interval width (γ bookkeeping)
     big = jnp.asarray(cfg.alpha_max, dtype)
-    init = (jnp.int32(0), zero, dphi0, big, jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(cfg.alpha_0, dtype), jnp.int32(0), zero, big)
+    init = (jnp.int32(0), zero, phi0, dphi0, big,
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(cfg.alpha_0, dtype),
+            jnp.int32(0), zero, phi0, dphi0, big)
 
     def cond(c):
-        return (c[0] != 2) & (c[6] < cfg.maxiters)
+        return (c[0] != 2) & (c[7] < cfg.maxiters)
 
     def body(c):
-        mode, a, da, b, db, trial, it, a_star, width = c
+        (mode, a, pa, da, b, db, trial, it,
+         a_star, p_star, dp_star, width) = c
         p, dp = ev(trial)
         ok = accept(trial, p, dp)
 
         # --- bracket phase: expand until φ' ≥ 0 or merit above slack ---
         hi_found = (dp >= 0.0) | (p > phi0 + eps_k)
         nb_a = jnp.where(hi_found, a, trial)
+        nb_pa = jnp.where(hi_found, pa, p)
         nb_da = jnp.where(hi_found, da, dp)
         nb_b = jnp.where(hi_found, trial, b)
         nb_db = jnp.where(hi_found, dp, db)
@@ -307,17 +316,23 @@ def _hager_zhang(cfg: HagerZhang, ctx, u, du, fu):
         b_mode = jnp.where(hi_found, jnp.int32(1), jnp.int32(0))
 
         # --- refine phase: interval update (HZ U1-U3) + next secant ---
-        # invariant: φ'(a) < 0, φ(a) ≤ φ0+ε; φ'(b) ≥ 0
+        # invariant: φ'(a) < 0, φ(a) ≤ φ0+ε; φ'(b) ≥ 0 OR φ(b) > φ0+ε.
+        # The dp<0 & merit-too-high case shrinks b := trial (HZ U3's inner
+        # θ-bisection unrolled across outer iterations: the invalid-secant
+        # guard below then forces bisection).  Convergence: with
+        # φ(a) ≤ φ0+ε < φ(b) the bisection limit is the left ε-level
+        # crossing, where φ' ≥ 0 and φ ≤ φ0+ε — an approximate-Wolfe
+        # point, so a sufficiently close trial triggers accept().
         inside = (trial > a) & (trial < b)
         lo_ok = (p <= phi0 + eps_k)
         move_b = inside & (dp >= 0.0)
         move_a = inside & (dp < 0.0) & lo_ok
-        # dp < 0 but merit too high: θ-bisect into [a, trial]
+        shrink_b = inside & ~lo_ok & (dp < 0.0)
         r_a = jnp.where(move_a, trial, a)
+        r_pa = jnp.where(move_a, p, pa)
         r_da = jnp.where(move_a, dp, da)
-        r_b = jnp.where(move_b, trial,
-                        jnp.where(inside & ~lo_ok & (dp < 0.0), trial, b))
-        r_db = jnp.where(move_b | (inside & ~lo_ok & (dp < 0.0)), dp, db)
+        r_b = jnp.where(move_b | shrink_b, trial, b)
+        r_db = jnp.where(move_b | shrink_b, dp, db)
         new_width = r_b - r_a
         # γ-forced bisection when the interval fails to shrink enough.
         secant = (r_a * r_db - r_b * r_da) / jnp.where(
@@ -331,18 +346,24 @@ def _hager_zhang(cfg: HagerZhang, ctx, u, du, fu):
         is_b = mode == 0
         mode_n = jnp.where(ok, jnp.int32(2),
                            jnp.where(is_b, b_mode, r_mode))
+        # Accepted-point record: the accepting trial, or the left endpoint
+        # (whose φ, φ' are carried) on interval collapse.
+        collapse = ~ok & ~is_b & tiny
+        a_star_n = jnp.where(ok, trial, jnp.where(collapse, r_a, a_star))
+        p_star_n = jnp.where(ok, p, jnp.where(collapse, r_pa, p_star))
+        dp_star_n = jnp.where(ok, dp, jnp.where(collapse, r_da, dp_star))
         return (mode_n,
-                jnp.where(is_b, nb_a, r_a), jnp.where(is_b, nb_da, r_da),
+                jnp.where(is_b, nb_a, r_a), jnp.where(is_b, nb_pa, r_pa),
+                jnp.where(is_b, nb_da, r_da),
                 jnp.where(is_b, nb_b, r_b), jnp.where(is_b, nb_db, r_db),
                 jnp.where(is_b, nb_trial, r_trial), it + 1,
-                jnp.where(ok, trial, jnp.where(is_b, a, r_a)),
+                a_star_n, p_star_n, dp_star_n,
                 jnp.where(is_b, width, new_width))
 
     out = jax.lax.while_loop(cond, body, init)
-    mode, it, a_star = out[0], out[6], out[7]
-    p_s, dp_s = ev(a_star)
+    mode, it, a_star, p_s, dp_s = out[0], out[7], out[8], out[9], out[10]
     success = (mode == 2) & accept(a_star, p_s, dp_s) & jnp.isfinite(p_s)
-    return a_star, success, it + 2
+    return a_star, success, it + 1
 
 
 # --------------------------------------------------------------------------
@@ -485,7 +506,13 @@ def _more_thuente(cfg: MoreThuente, ctx, u, du, fu):
         warn_min = (stp == cfg.alpha_min) & ((fp > ftest) | (dp >= gtest))
         new_done = conv | warn_round | warn_xtol | warn_max | warn_min \
             | ~jnp.isfinite(fp)
-        new_success = conv
+        # dcsrch's WARN exits return the best step found; count them
+        # successful only with sufficient decrease at the frozen stp.
+        # Exhausting maxiters WITHOUT done is a line-search failure
+        # (module contract), as is stalling at alpha_min (warn_min).
+        new_success = conv | ((warn_round | warn_xtol | warn_max)
+                              & (fp <= ftest) & jnp.isfinite(fp)
+                              & (stp > 0.0))
 
         # Stage switch: ψ(stp) ≤ 0 and φ'(stp) ≥ 0 → stage 2.
         stage_n = jnp.where((stage == 1) & (fp <= ftest)
@@ -532,14 +559,8 @@ def _more_thuente(cfg: MoreThuente, ctx, u, du, fu):
                 new_done, new_success, it + 1)
 
     out = jax.lax.while_loop(cond, body, init)
-    stp, done, success, it = out[7], out[13], out[14], out[15]
-    # Exhausted maxiters without the curvature test: accept an Armijo point
-    # the way dcsrch's WARN exits return the best step found, but report
-    # success only if sufficient decrease holds.
-    fp, dp = ev(stp)
-    armijo_ok = fp <= phi0 + stp * gtest
-    success = (success | armijo_ok) & jnp.isfinite(fp) & (stp > 0.0)
-    return stp, success, it + 2
+    stp, success, it = out[7], out[14], out[15]
+    return stp, success, it + 1
 
 
 def wolfe_ls_solve(cfg, ctx, u, du, fu):

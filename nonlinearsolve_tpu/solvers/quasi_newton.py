@@ -430,7 +430,9 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     force_reinit_next = jnp.bool_(False)
     ls_state = carry.ls_state
     tr_state = carry.tr_state
-    tr_rejects = carry.tr_rejects
+    # A reinit (any trigger) starts a fresh model: clear the rejection
+    # streak so the TR-aware reset gives the new J its full allowance.
+    tr_rejects = jnp.where(reinit, jnp.int32(0), carry.tr_rejects)
     tr_accepted = jnp.bool_(True)
     shrink_exceeded = jnp.bool_(False)
     fu_secant = None
@@ -454,8 +456,7 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         # mispredicts the residual over every radius the scheme tried —
         # rebuild J instead of shrinking further (a fresh model usually
         # restores full dogleg steps along curved valleys).
-        tr_rejects = jnp.where(tr_accepted, jnp.int32(0),
-                               carry.tr_rejects + 1)
+        tr_rejects = jnp.where(tr_accepted, jnp.int32(0), tr_rejects + 1)
         streak = (~tr_accepted) & (tr_rejects >= alg.tr_reset_rejects) \
             & (steps_since_last_reset > 0)
         force_reinit_next = force_reinit_next | streak

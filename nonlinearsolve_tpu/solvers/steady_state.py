@@ -57,6 +57,15 @@ class DynamicSS:
     method: str = "tsit5"          # "tsit5" | "rosenbrock23"
     tspan: float = float("inf")    # simulated-time budget
     dt: Optional[float] = None     # initial step (Hairer-style guess if None)
+    # Derivative-test (TerminateSteadyState) tolerance OVERRIDES.  None →
+    # the solve-level abstol/reltol (solve() defaults those to the
+    # reference's 1e-8/1e-6 for DynamicSS, while an explicit solve(...,
+    # abstol=...) wins).  Set these when composing DynamicSS inside a
+    # polyalgorithm or the iterator cache, where the solve-level values
+    # are the rootfinder eps^(4/5) defaults — far below what an
+    # integrator's derivative test can reach.
+    term_abstol: Optional[float] = None
+    term_reltol: Optional[float] = None
     ode_abstol: float = 1e-6       # step-error control, not termination
     ode_reltol: float = 1e-3
     safety: float = 0.9
@@ -163,9 +172,12 @@ def run_dynamic_ss(alg: DynamicSS, ctx, term_cfg, u0_flat, abstol, reltol,
     dt0 = jnp.minimum(dt0, tspan)
     dt_min = jnp.asarray(jnp.finfo(dtype).eps * 1e3, dtype)
 
-    # The solve-level tolerances drive TERMINATION (TerminateSteadyState).
-    term_abstol = jnp.asarray(abstol, dtype)
-    term_reltol = jnp.asarray(reltol, dtype)
+    # Termination tolerances (TerminateSteadyState): config overrides win,
+    # else the solve-level values.
+    term_abstol = jnp.asarray(
+        abstol if alg.term_abstol is None else alg.term_abstol, dtype)
+    term_reltol = jnp.asarray(
+        reltol if alg.term_reltol is None else alg.term_reltol, dtype)
 
     carry0 = SSCarry(
         u=u0_flat, fu=f0, t=jnp.zeros((), dtype), dt=dt0,
@@ -225,10 +237,13 @@ def run_dynamic_ss(alg: DynamicSS, ctx, term_cfg, u0_flat, abstol, reltol,
         u_next = jnp.where(accept, u_new, c.u)
         f_next = jnp.where(accept, f_new, c.fu)
 
-        # TerminateSteadyState on the accepted derivative.
+        # TerminateSteadyState on the accepted derivative: the test is
+        # ELEMENTWISE-or (each component may pass either the absolute or
+        # the relative criterion — DiffEqCallbacks' allDerivPass), so
+        # mixed-scale systems terminate.
         du = f_next
-        steady = jnp.all(jnp.abs(du) <= term_abstol) \
-            | jnp.all(jnp.abs(du) <= term_reltol * jnp.abs(u_next))
+        steady = jnp.all((jnp.abs(du) <= term_abstol)
+                         | (jnp.abs(du) <= term_reltol * jnp.abs(u_next)))
         steady = accept & steady
         out_of_time = accept & (t_new >= tspan) & ~steady
         dead = (dt_new < dt_min) | (~finite & (h <= dt_min))

@@ -136,12 +136,15 @@ def NLSolversJL(method=None, **_ignored):
                                          StrongWolfe)
     from .first_order import NewtonRaphson
     meth = _sym(method, "newton")
-    ls = {"newton": None,
-          "newton_backtracking": BackTracking(),
-          "newton_hagerzhang": HagerZhang(),
-          "newton_strongwolfe": StrongWolfe(),
-          "newton_morethuente": MoreThuente()}.get(meth)
-    return NewtonRaphson(linesearch=ls)
+    presets = {"newton": None,
+               "newton_backtracking": BackTracking(),
+               "newton_hagerzhang": HagerZhang(),
+               "newton_strongwolfe": StrongWolfe(),
+               "newton_morethuente": MoreThuente()}
+    if meth not in presets:
+        raise ValueError(f"unknown NLSolversJL method {method!r}; "
+                         f"expected one of {sorted(presets)}")
+    return NewtonRaphson(linesearch=presets[meth])
 
 
 def SIAMFANLEquationsJL(*, method=None, delta=1e-3, m=0, beta=1.0,
