@@ -163,10 +163,14 @@ int32_t ell_plan(
 int32_t band_offsets(
     const int32_t* indptr, const int32_t* indices, int32_t n,
     int32_t* offsets, int32_t n_offsets_cap) {
+  if (n <= 0) return n == 0 ? 0 : -1;
   std::vector<char> seen(2 * static_cast<int64_t>(n) - 1, 0);
   for (int32_t i = 0; i < n; ++i)
-    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
-      seen[static_cast<int64_t>(indices[k]) - i + (n - 1)] = 1;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j < 0 || j >= n) return -1;  // malformed pattern: no OOB scatter
+      seen[static_cast<int64_t>(j) - i + (n - 1)] = 1;
+    }
   int32_t count = 0;
   for (int64_t d = 0; d < 2 * static_cast<int64_t>(n) - 1; ++d)
     if (seen[d]) {

@@ -105,12 +105,26 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
         maxiter = min(10 * max(1, n // m), 1000) * m
     M = M or _identity_precond
 
+    x0_is_zero = x0 is None
     x0 = _zeros_like(b) if x0 is None else x0
-    b_norm = l2_norm(M(b))
+    mb = M(b)
+    b_norm = l2_norm(mb)
     tol = jnp.maximum(rtol * b_norm, atol)
 
+    # Basis storage is padded to a whole number of CHUNK-slot chunks so the
+    # orthogonalization sweeps can contract against only the occupied prefix
+    # (lax.switch over ⌈(k+1)/CHUNK⌉ static prefix sizes, one branch
+    # executed).  Without this, every Arnoldi iteration reads the FULL
+    # (m+1)-vector basis from HBM — the dominant traffic — even at k = 0;
+    # chunked prefixes cut the per-cycle basis traffic nearly in half and
+    # make early iterations ~(m/CHUNK)× cheaper.  (Under vmap the switch
+    # degrades to compute-all-and-select, i.e. back to the full sweep.)
+    CHUNK = min(4, m + 1)
+    nch = -(-(m + 1) // CHUNK)
+    mp = nch * CHUNK
+
     def basis_alloc():
-        return _tmap(lambda l: jnp.zeros((m + 1,) + l.shape,
+        return _tmap(lambda l: jnp.zeros((mp,) + l.shape,
                                          basis_dtype or l.dtype), b)
 
     def basis_set(V, k, w):
@@ -119,25 +133,53 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
     def basis_read(V, k):
         return _tmap(lambda Vl, bl: Vl[k].astype(bl.dtype), V, b)
 
-    def basis_dots(V, w):
-        """(m+1,) vector of ⟨V[i], w⟩ per leading index (accumulated in
-        the working dtype — bf16 basis entries upcast in registers)."""
-        def leaf(Vl, wl):
-            axes = tuple(range(1, Vl.ndim))
-            Vl = Vl.astype(wl.dtype)
-            return jnp.sum(Vl * wl[None], axis=axes) if axes else Vl * wl
-        parts = [leaf(Vl, wl) for Vl, wl in zip(
-            jax.tree_util.tree_leaves(V), jax.tree_util.tree_leaves(w))]
-        return sum(parts)
+    def basis_dots(V, w, k):
+        """(m+1,) vector of ⟨V[i], w⟩ for the occupied prefix i ≤ k
+        (accumulated in the working dtype — bf16 basis entries upcast in
+        registers); entries beyond the prefix are zero."""
+        Vls = jax.tree_util.tree_leaves(V)
+        wls = jax.tree_util.tree_leaves(w)
 
-    def basis_comb(V, coeffs):
-        """Σ_i coeffs[i] V[i] as a b-shaped tree."""
-        def leaf(Vl):
-            return jnp.tensordot(coeffs, Vl.astype(coeffs.dtype), axes=1)
-        return _tmap(leaf, V)
+        def make_branch(nslots):
+            def branch():
+                tot = jnp.zeros((nslots,), dtype)
+                for Vl, wl in zip(Vls, wls):
+                    Vc = Vl[:nslots].astype(wl.dtype)
+                    axes = tuple(range(1, Vc.ndim))
+                    tot = tot + (jnp.sum(Vc * wl[None], axis=axes)
+                                 if axes else Vc * wl)
+                return jnp.pad(tot, (0, mp - nslots))
+            return branch
 
-    def arnoldi_cycle(x):
-        r = M(_sub(b, matvec(x)))
+        out = jax.lax.switch(jnp.minimum(k // CHUNK, nch - 1),
+                             [make_branch((i + 1) * CHUNK)
+                              for i in range(nch)])
+        return out[:m + 1]
+
+    def basis_comb(V, coeffs, last):
+        """Σ_i coeffs[i] V[i] as a b-shaped tree; ``coeffs[i]`` is zero for
+        ``i > last`` (``last`` may be -1 → only the first chunk is read,
+        contracting zero coefficients)."""
+        c = jnp.pad(coeffs, (0, mp - coeffs.shape[0]))
+        Vls = jax.tree_util.tree_leaves(V)
+        tdef = jax.tree_util.tree_structure(b)
+
+        def make_branch(nslots):
+            def branch():
+                return [jnp.tensordot(c[:nslots], Vl[:nslots].astype(c.dtype),
+                                      axes=1) for Vl in Vls]
+            return branch
+
+        idx = jnp.minimum(jnp.maximum(last, 0) // CHUNK, nch - 1)
+        out = jax.lax.switch(idx, [make_branch((i + 1) * CHUNK)
+                                   for i in range(nch)])
+        return jax.tree_util.tree_unflatten(tdef, out)
+
+    def arnoldi_cycle(x, r):
+        # ``r`` is the PRECONDITIONED residual M(b - A x), threaded through
+        # the restart carry so each cycle start doesn't redundantly pay a
+        # matvec + preconditioner application (for the common x0 = 0 Newton
+        # path the initial residual is M(b), already in hand).
         beta = l2_norm(r)
         safe_beta = jnp.where(beta == 0, 1.0, beta)
         V = basis_set(basis_alloc(), 0, _scale(1.0 / safe_beta, r))
@@ -146,8 +188,8 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
         sn = jnp.zeros((m,), dtype)
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
 
-        def body(k, carry):
-            V, H, cs, sn, g, done, niters = carry
+        def body(carry):
+            k, V, H, cs, sn, g, done, niters = carry
             w = M(matvec(basis_read(V, k)))
             # Classical Gram-Schmidt against the first k+1 basis vectors in
             # one batched reduction (masked; static shapes).  A second pass
@@ -158,13 +200,13 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
             # trigger.
             mask = (jnp.arange(m + 1) <= k).astype(dtype)
             w_norm0 = l2_norm(w)
-            h = basis_dots(V, w) * mask
-            w = _sub(w, basis_comb(V, h))
+            h = basis_dots(V, w, k) * mask
+            w = _sub(w, basis_comb(V, h, k))
 
             def reorth(args):
                 w, h = args
-                h2 = basis_dots(V, w) * mask
-                return _sub(w, basis_comb(V, h2)), h + h2
+                h2 = basis_dots(V, w, k) * mask
+                return _sub(w, basis_comb(V, h2, k)), h + h2
 
             w, h = jax.lax.cond(
                 l2_norm(w) < 0.7071 * w_norm0, reorth,
@@ -194,13 +236,21 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
             h = h.at[k].set(ck * h[k] + sk * h[k + 1]).at[k + 1].set(0.0)
             gk1 = -sk * g[k]
             g = g.at[k + 1].set(gk1).at[k].set(ck * g[k])
-            H = H.at[:, k].set(jnp.where(done, H[:, k], h))
+            H = H.at[:, k].set(h)
             converged = jnp.abs(gk1) <= tol
-            niters = niters + jnp.where(done, 0, 1)
-            return V, H, cs, sn, g, done | converged | happy, niters
+            return (k + 1, V, H, cs, sn, g, done | converged | happy,
+                    niters + 1)
 
-        V, H, cs, sn, g, done, k_eff = jax.lax.fori_loop(
-            0, m, body, (V, H, cs, sn, g, beta <= tol, jnp.int32(0)))
+        # Early-exit Arnoldi: a while_loop stops the cycle at convergence or
+        # happy breakdown instead of running all m iterations with masked
+        # results — each skipped iteration saves a matvec + preconditioner
+        # application + a full-basis orthogonalization sweep, the three
+        # dominant costs.  (The per-iteration work is large, so the dynamic
+        # loop's lost pipelining is noise by comparison.)
+        _, V, H, cs, sn, g, done, k_eff = jax.lax.while_loop(
+            lambda c: (c[0] < m) & ~c[6],
+            body,
+            (jnp.int32(0), V, H, cs, sn, g, beta <= tol, jnp.int32(0)))
 
         # Solve the (masked) upper-triangular system for the first k_eff cols.
         R = H[:m, :m]
@@ -208,21 +258,29 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
         R = R + jnp.diag(jnp.where(jnp.diagonal(R) == 0, 1.0, 0.0))
         y = jax.scipy.linalg.solve_triangular(R, jnp.where(mask, g[:m], 0.0))
         y = jnp.where(mask, y, 0.0)
-        dx = basis_comb(_tmap(lambda Vl: Vl[:m], V), y)
-        return _tmap(lambda a, d: a + d, x, dx), jnp.abs(g[m]), k_eff
+        dx = basis_comb(V, y, k_eff - 1)
+        # Residual of the cycle lives at g[k_eff] (the rotated RHS entry the
+        # exited iteration produced); g[m] is only reached when all m
+        # iterations ran.
+        return _tmap(lambda a, d: a + d, x, dx), jnp.abs(g[k_eff]), k_eff
 
     def cond(carry):
-        x, rnorm, it, cycles = carry
+        x, r, rnorm, it, cycles = carry
         return (rnorm > tol) & (it < maxiter)
 
     def body(carry):
-        x, rnorm, it, cycles = carry
-        x, rnorm, k_eff = arnoldi_cycle(x)
-        return x, rnorm, it + k_eff, cycles + 1
+        x, r, rnorm, it, cycles = carry
+        x, rnorm, k_eff = arnoldi_cycle(x, r)
+        # The restart residual is only needed if another cycle runs; skip
+        # the matvec + preconditioner when this cycle converged.
+        r = jax.lax.cond(rnorm > tol,
+                         lambda xc: M(_sub(b, matvec(xc))),
+                         lambda xc: _zeros_like(b), x)
+        return x, r, rnorm, it + k_eff, cycles + 1
 
-    r0 = M(_sub(b, matvec(x0)))
-    x, rnorm, iters, _ = jax.lax.while_loop(
-        cond, body, (x0, l2_norm(r0), jnp.int32(0), jnp.int32(0)))
+    r0 = mb if x0_is_zero else M(_sub(b, matvec(x0)))
+    x, _, rnorm, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, l2_norm(r0), jnp.int32(0), jnp.int32(0)))
     return KrylovResult(x=x, residual_norm=rnorm, iterations=iters,
                         success=(rnorm <= tol) & _all_finite(x))
 

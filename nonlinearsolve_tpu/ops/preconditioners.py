@@ -58,6 +58,26 @@ def fft_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
     TPU-native replacement for the reference's ILU/AMG recommendation.
     """
     grid_shape = tuple(int(s) for s in grid_shape)
+    last = grid_shape[-1]
+
+    # Precompute the half-spectrum RECIPROCAL symbol per dtype when the
+    # coefficients are concrete: it then enters jitted callers as a constant
+    # instead of being re-derived (cos/broadcast chain) inside every
+    # preconditioner application — XLA does not reliably hoist it out of the
+    # Krylov while_loop body.  Multiplying by the reciprocal also replaces a
+    # complex-by-real divide with a multiply in the hot path.
+    _traced = any(isinstance(x, jax.core.Tracer) for x in (alpha, h, shift))
+    _inv_sym_cache: dict = {}
+
+    def _inv_sym_r(real_dt):
+        key = jnp.dtype(real_dt).name
+        if _traced:
+            sym = fft_poisson_symbol(grid_shape, alpha, h, shift, real_dt)
+            return 1.0 / sym[..., : last // 2 + 1]
+        if key not in _inv_sym_cache:
+            sym = fft_poisson_symbol(grid_shape, alpha, h, shift, real_dt)
+            _inv_sym_cache[key] = 1.0 / sym[..., : last // 2 + 1]
+        return _inv_sym_cache[key]
 
     def apply(v):
         dtype = v.dtype
@@ -68,14 +88,11 @@ def fft_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
         else:
             w = v.reshape(grid_shape)[None]
         real_dt = jnp.float64 if dtype == jnp.float64 else jnp.float32
-        sym = fft_poisson_symbol(grid_shape, alpha, h, shift, real_dt)
         axes = tuple(range(1, 1 + len(grid_shape)))
         # Real-input FFT halves the spectral work: the symbol is sliced to
         # the rfft half-spectrum on the last grid axis.
         what = jnp.fft.rfftn(w, axes=axes)
-        last = grid_shape[-1]
-        sym_r = sym[..., : last // 2 + 1]
-        what = what / sym_r[None]
+        what = what * _inv_sym_r(real_dt)[None]
         out = jnp.fft.irfftn(what, s=grid_shape, axes=axes).astype(dtype)
         if n_components > 1:
             out = jnp.moveaxis(out, 0, -1)

@@ -181,6 +181,11 @@ def test_pickchunksize_and_chunked_jacfwd():
 def test_randomized_wellposed_systems():
     """Property sweep: random diagonally-dominant nonlinear systems all
     solve through the default polyalgorithm."""
+    # Each trial compiles a fresh full-polyalg program (fresh closure +
+    # fresh n); at the tail of a long xdist worker the accumulated
+    # compiler state has segfaulted XLA's CPU backend here.  Clear the
+    # jit caches first, as the 23-problem sweep does per case.
+    jax.clear_caches()
     rng = np.random.default_rng(42)
     for trial in range(10):
         n = int(rng.integers(2, 12))
