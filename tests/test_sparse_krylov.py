@@ -198,6 +198,30 @@ def test_gmres_cgs2_ill_conditioned():
     assert rel < 1e-9, rel
 
 
+def test_gmres_early_exit_iteration_economy():
+    """The Arnoldi cycle exits at convergence: a well-conditioned system
+    with a huge restart reports iterations << m, the reported residual
+    norm matches the TRUE residual, and a nonzero-x0 restart works."""
+    from nonlinearsolve_tpu.ops.krylov import gmres
+    rng = np.random.default_rng(3)
+    n = 64
+    A = jnp.asarray(rng.standard_normal((n, n)) * 0.1 + np.eye(n) * 5.0)
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A @ xstar
+    res = gmres(lambda v: A @ v, b, restart=n, rtol=1e-10)
+    assert bool(res.success)
+    assert int(res.iterations) < n // 2, int(res.iterations)
+    true_r = float(jnp.linalg.norm(A @ res.x - b))
+    # reported Givens estimate tracks the true residual
+    assert abs(true_r - float(res.residual_norm)) < 1e-8 * float(
+        jnp.linalg.norm(b))
+    # warm start close to the solution: few iterations, same answer
+    res2 = gmres(lambda v: A @ v, b, x0=xstar + 1e-3, restart=8, rtol=1e-10)
+    assert bool(res2.success)
+    assert int(res2.iterations) <= int(res.iterations)
+    assert float(jnp.max(jnp.abs(res2.x - xstar))) < 1e-8
+
+
 class TestExactSparsityTracer:
     """jaxpr-interpretation sparsity detection (ops/sparsity_trace.py) —
     the SparseConnectivityTracer role, exact for the supported primitives."""
