@@ -1,0 +1,94 @@
+"""3D reaction-diffusion steady state on one TPU chip — config 5's
+single-chip half (BASELINE.md; the multi-host layer rides parallel/).
+
+Solves F(u) = D*lap(u) + u - u^3 + g = 0 on an N^3 periodic grid with
+matrix-free Newton-GMRES: the Jacobian is applied as a jax.jvp of the
+stencil (optionally the grid-blocked Pallas kernel,
+ops/pallas_stencil3d.py) and preconditioned by the exact FFT inverse of
+its stiff part D*lap + (1 - 3*u0^2)|_mean (ops/preconditioners.py).
+
+Run on the real chip:  python examples/07_3d_reaction_diffusion_tpu.py [N]
+(N defaults to 128; 256 fits one v5e chip: 64 MB per f32 field).
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(N: int = 128):
+    import nonlinearsolve_tpu as nls
+    from nonlinearsolve_tpu.models import reaction_diffusion
+    from nonlinearsolve_tpu.ops.preconditioners import (
+        fft_poisson_preconditioner)
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+    from nonlinearsolve_tpu.utils.profiling import chained_solve_time
+
+    dtype = jnp.float32
+    D = 0.01
+    on_tpu = jax.default_backend() != "cpu"
+    prob = reaction_diffusion.make_problem(N, D=D, dtype=dtype,
+                                           pallas_jvp=on_tpu and N % 8 == 0)
+
+    # Stiff-part spectral preconditioner: alpha*lap - shift with
+    # shift ~ -(1 - 3*mean(u0^2)) ~ -1 (the reaction linearization at the
+    # flat u0 = 0.1 start); sign convention matches (alpha*lap - shift*I).
+    h = 1.0 / N
+    pm = fft_poisson_preconditioner((N, N, N), D, h, shift=-0.9)
+
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=16,
+                                  krylov_maxiter=200, precond_fn=pm),
+        forcing=EisenstatWalkerForcing(eta_0=1e-3, eta_max=1e-2))
+
+    abstol = 1e-5 * N  # ~f32 floor for the h^-2-scaled residual
+    sol = nls.solve(prob, alg, abstol=abstol, maxiters=30)
+    jax.block_until_ready(sol.u)
+    resid = float(jnp.max(jnp.abs(sol.resid)))
+    print(f"N={N}^3 retcode={int(sol.retcode)} |resid|_inf={resid:.3e} "
+          f"nsteps={int(sol.stats.nsteps)}")
+
+    t = chained_solve_time(prob, alg, k=2, reps=2, abstol=abstol,
+                           maxiters=30)
+    dof = N ** 3
+    print(f"time-to-solve: {t:.3f}s  ({dof/1e6:.1f} MDoF, "
+          f"{dof / t / 1e6:.0f} MDoF/s)")
+
+    # Pure matvec throughput of the stencil JVP (8 nnz per grid point:
+    # 6 neighbors + diagonal + cubic-reaction diagonal term).  Uses the
+    # problem's analytic jvp (the Pallas kernel when attached), falling
+    # back to jax.linearize of the raw residual.
+    u0 = prob.u0
+    p = prob.p
+    jvp_fn = getattr(prob.f, "jvp", None)
+    if jvp_fn is not None:
+        lin = lambda t: jvp_fn(t, u0, p)
+    else:
+        f = lambda u: reaction_diffusion.reaction_diffusion_3d(u, p)
+        _, lin = jax.linearize(f, u0)
+
+    @jax.jit
+    def spmv_scan(v):
+        def body(c, _):
+            w = lin(c)
+            return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
+        out, _ = jax.lax.scan(body, v, None, length=50)
+        return out
+
+    v0 = jnp.ones_like(u0)
+    spmv_scan(v0).block_until_ready()
+    t0 = time.perf_counter()
+    out = spmv_scan(v0)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / 50
+    nnz = 8 * dof
+    print(f"jvp matvec: {dt*1e6:.0f} us, {nnz/dt/1e9:.1f} Gnnz/s")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)

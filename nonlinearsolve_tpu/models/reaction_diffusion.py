@@ -34,8 +34,26 @@ def reaction_diffusion_3d(u, p):
     return D * lap + u - u ** 3 + g
 
 
-def make_problem(N: int = 32, D: float = 0.01, dtype=jnp.float64):
-    from ..core.problems import NonlinearProblem
+def make_problem(N: int = 32, D: float = 0.01, dtype=jnp.float64,
+                 pallas_jvp: bool = False, bz: int = 4):
+    """``pallas_jvp=True`` attaches the grid-blocked, double-buffered
+    Pallas JVP kernel (ops/pallas_stencil3d.py) as the analytic ``jvp``:
+    ~2x the XLA-fused roll pipeline's matvec throughput at 256³ on one
+    v5e chip (68 → 136 Gnnz/s).  bz=4 slabs keep the scoped-VMEM
+    footprint ~7 MB so the kernel also fits inside larger jitted
+    programs (the Newton-GMRES while_loop); bz=8 peaks at 152 Gnnz/s
+    standalone but brushes the 16 MB limit.  Requires ``bz | N``."""
+    from ..core.problems import NonlinearFunction, NonlinearProblem
     u0 = jnp.full((N, N, N), 0.1, dtype)
     p = (jnp.asarray(D, dtype), forcing(N, dtype))
-    return NonlinearProblem(reaction_diffusion_3d, u0, p)
+    f = reaction_diffusion_3d
+    if pallas_jvp:
+        if N % bz:
+            raise ValueError(f"pallas_jvp needs bz ({bz}) | N ({N})")
+        from ..ops.pallas_stencil3d import rd3d_jvp_blocked
+
+        def jvp(v, U, pp):
+            return rd3d_jvp_blocked(U, v, pp[0], bz=bz, double_buffer=True)
+
+        f = NonlinearFunction(f=reaction_diffusion_3d, jvp=jvp)
+    return NonlinearProblem(f, u0, p)
