@@ -60,24 +60,18 @@ def fft_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
     grid_shape = tuple(int(s) for s in grid_shape)
     last = grid_shape[-1]
 
-    # Precompute the half-spectrum RECIPROCAL symbol per dtype when the
-    # coefficients are concrete: it then enters jitted callers as a constant
-    # instead of being re-derived (cos/broadcast chain) inside every
-    # preconditioner application — XLA does not reliably hoist it out of the
-    # Krylov while_loop body.  Multiplying by the reciprocal also replaces a
-    # complex-by-real divide with a multiply in the hot path.
-    _traced = any(isinstance(x, jax.core.Tracer) for x in (alpha, h, shift))
-    _inv_sym_cache: dict = {}
-
+    # The reciprocal half-spectrum symbol is staged IN-GRAPH per
+    # application (a cos/broadcast chain XLA constant-folds or hoists;
+    # measured equal to a precomputed constant inside a scan at 512²).
+    # Deliberately NOT precomputed on the host: a large closed-over
+    # constant is embedded in the executable and re-shipped per execution
+    # over remote-dispatch tunnels (measured 2.5× on the chained-solve
+    # bench), and lazy caching would leak a tracer across jit traces.
+    # Multiplying by the reciprocal replaces a complex-by-real divide in
+    # the hot path.
     def _inv_sym_r(real_dt):
-        key = jnp.dtype(real_dt).name
-        if _traced:
-            sym = fft_poisson_symbol(grid_shape, alpha, h, shift, real_dt)
-            return 1.0 / sym[..., : last // 2 + 1]
-        if key not in _inv_sym_cache:
-            sym = fft_poisson_symbol(grid_shape, alpha, h, shift, real_dt)
-            _inv_sym_cache[key] = 1.0 / sym[..., : last // 2 + 1]
-        return _inv_sym_cache[key]
+        sym = fft_poisson_symbol(grid_shape, alpha, h, shift, real_dt)
+        return 1.0 / sym[..., : last // 2 + 1]
 
     def apply(v):
         dtype = v.dtype
