@@ -108,3 +108,24 @@ def test_rd3d_jvp_blocked():
                                        atol=1e-11)
     with pytest.raises(ValueError, match="must divide"):
         rd3d_jvp_blocked(u, t, D, bz=5)
+
+
+def test_rd3d_make_problem_pallas_jvp_solves():
+    """make_problem(pallas_jvp=True) attaches the blocked kernel as the
+    analytic jvp; the Newton-GMRES solve through it (interpret mode on
+    CPU) matches the plain-jvp solve."""
+    import nonlinearsolve_tpu as nls
+    from nonlinearsolve_tpu.models import reaction_diffusion as rd
+
+    N = 16
+    alg = nls.NewtonRaphson(linsolve=nls.LinearSolver(method="gmres",
+                                                      restart=20))
+    sols = []
+    for pallas in (False, True):
+        prob = rd.make_problem(N, dtype=jnp.float64, pallas_jvp=pallas)
+        sol = nls.solve(prob, alg, abstol=1e-9, maxiters=30)
+        assert int(sol.retcode) == 1, int(sol.retcode)
+        sols.append(np.asarray(sol.u))
+    np.testing.assert_allclose(sols[0], sols[1], atol=1e-7)
+    with pytest.raises(ValueError, match="bz"):
+        rd.make_problem(10, pallas_jvp=True)
