@@ -346,12 +346,16 @@ def _hager_zhang(cfg: HagerZhang, ctx, u, du, fu):
         is_b = mode == 0
         mode_n = jnp.where(ok, jnp.int32(2),
                            jnp.where(is_b, b_mode, r_mode))
-        # Accepted-point record: the accepting trial, or the left endpoint
-        # (whose φ, φ' are carried) on interval collapse.
-        collapse = ~ok & ~is_b & tiny
-        a_star_n = jnp.where(ok, trial, jnp.where(collapse, r_a, a_star))
-        p_star_n = jnp.where(ok, p, jnp.where(collapse, r_pa, p_star))
-        dp_star_n = jnp.where(ok, dp, jnp.where(collapse, r_da, dp_star))
+        # Returned-point record: the accepting trial, else the CURRENT
+        # left endpoint (bracket: last expansion point; refine: interval
+        # left — both with carried φ, φ').  Updated every iteration so
+        # maxiters exhaustion still returns a usable step, not the α = 0
+        # init: callers step with the returned α even on failure (e.g.
+        # the quasi-Newton burn-in), and α = 0 there freezes fu while du
+        # moves — a dfu = 0 secant that corrupts the Broyden update.
+        a_star_n = jnp.where(ok, trial, jnp.where(is_b, nb_a, r_a))
+        p_star_n = jnp.where(ok, p, jnp.where(is_b, nb_pa, r_pa))
+        dp_star_n = jnp.where(ok, dp, jnp.where(is_b, nb_da, r_da))
         return (mode_n,
                 jnp.where(is_b, nb_a, r_a), jnp.where(is_b, nb_pa, r_pa),
                 jnp.where(is_b, nb_da, r_da),

@@ -189,7 +189,7 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
 
         def body(carry):
-            k, V, H, cs, sn, g, done, niters = carry
+            k, V, H, cs, sn, g, done = carry
             w = M(matvec(basis_read(V, k)))
             # Classical Gram-Schmidt against the first k+1 basis vectors in
             # one batched reduction (masked; static shapes).  A second pass
@@ -238,19 +238,19 @@ def gmres(matvec: Callable, b, x0=None, *, restart: int = 20,
             g = g.at[k + 1].set(gk1).at[k].set(ck * g[k])
             H = H.at[:, k].set(h)
             converged = jnp.abs(gk1) <= tol
-            return (k + 1, V, H, cs, sn, g, done | converged | happy,
-                    niters + 1)
+            return k + 1, V, H, cs, sn, g, done | converged | happy
 
         # Early-exit Arnoldi: a while_loop stops the cycle at convergence or
         # happy breakdown instead of running all m iterations with masked
         # results — each skipped iteration saves a matvec + preconditioner
         # application + a full-basis orthogonalization sweep, the three
         # dominant costs.  (The per-iteration work is large, so the dynamic
-        # loop's lost pipelining is noise by comparison.)
-        _, V, H, cs, sn, g, done, k_eff = jax.lax.while_loop(
+        # loop's lost pipelining is noise by comparison.)  The exit value of
+        # k counts the iterations actually run.
+        k_eff, V, H, cs, sn, g, done = jax.lax.while_loop(
             lambda c: (c[0] < m) & ~c[6],
             body,
-            (jnp.int32(0), V, H, cs, sn, g, beta <= tol, jnp.int32(0)))
+            (jnp.int32(0), V, H, cs, sn, g, beta <= tol))
 
         # Solve the (masked) upper-triangular system for the first k_eff cols.
         R = H[:m, :m]
