@@ -39,45 +39,48 @@ def main():
     # --- SpMV (jvp matvec) throughput --------------------------------------
     # Shape-native Pallas kernel: the (N, N, 2) stencil layout is preserved
     # end-to-end (raveled layout costs a relayout per matvec: 24x slower)
-    # and the whole fused JVP runs VMEM-resident (ops/pallas_stencil.py,
-    # ~10% over the XLA-fused roll pipeline; VPU-bound on the shifts).
-    from nonlinearsolve_tpu.ops.pallas_stencil import (brusselator_jvp,
-                                                       brusselator_jvp_scaled)
-    lin = lambda t: brusselator_jvp(u0, t, p)
-    n_iters = 200
+    # and the whole fused JVP + state stay VMEM-resident across the scan
+    # (ops/pallas_stencil.py).
+    #
+    # Timing: chain-length SLOPE with a forced scalar fetch.  The tunnel-
+    # attached chip pays a ~25 ms round-trip per dispatch+fetch and
+    # block_until_ready can acknowledge before completion, so a single
+    # absolute wall clock lies by an order of magnitude; the difference of
+    # two scan lengths cancels every fixed term and leaves pure device
+    # time per matvec (docs/tpu_tuning.md §8).
+    from nonlinearsolve_tpu.ops.pallas_stencil import brusselator_jvp_scaled
+    L1, L2 = 50, 1050
 
-    @jax.jit
-    def spmv_scan(v):
-        # Fused chain step: scale-on-read + in-kernel absmax — one
-        # 3-in/2-out HBM round-trip per matvec, no separate normalize pass.
-        def body(carry, _):
-            c, s = carry
-            w, m = brusselator_jvp_scaled(u0, c, p, 1.0 / s)
-            return (w, jnp.maximum(m, jnp.float32(1.0))), None
+    def make_scan(length):
+        @jax.jit
+        def spmv_scan(u0a, pa, v):
+            # Fused chain step: scale-on-read + in-kernel absmax — one
+            # 3-in/2-out VMEM round-trip per matvec, no normalize pass.
+            def body(carry, _):
+                c, s = carry
+                w, m = brusselator_jvp_scaled(u0a, c, pa, 1.0 / s)
+                return (w, jnp.maximum(m, jnp.float32(1.0))), None
 
-        (out, _), _ = jax.lax.scan(body, (v, jnp.float32(1.0)), None,
-                                   length=n_iters)
-        return out
-
-    @jax.jit
-    def _spmv_scan_unfused(v):
-        def body(carry, _):
-            w = lin(carry)
-            # cheap normalization keeps values finite without leaving the VPU
-            return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
-
-        out, _ = jax.lax.scan(body, v, None, length=n_iters)
-        return out
+            (out, _), _ = jax.lax.scan(body, (v, jnp.float32(1.0)), None,
+                                       length=length)
+            return jnp.sum(jnp.abs(out))       # scalar fetch ⇒ completion
+        return spmv_scan
 
     v0 = jnp.ones_like(u0)
-    spmv_scan(v0).block_until_ready()          # compile
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        out = spmv_scan(v0)
-    out.block_until_ready()
-    spmv_time = (time.perf_counter() - t0) / reps
-    nnz_per_s = n_iters * nnz / spmv_time
+    u0d, pd = jax.device_put(u0), jax.device_put(p)
+    s1, s2 = make_scan(L1), make_scan(L2)
+    float(s1(u0d, pd, v0))                     # compile + warm
+    float(s2(u0d, pd, v0))
+    t1 = t2 = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(s1(u0d, pd, v0))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(s2(u0d, pd, v0))
+        t2 = min(t2, time.perf_counter() - t0)
+    spmv_time = max(t2 - t1, 1e-9) / (L2 - L1)
+    nnz_per_s = nnz / spmv_time
 
     # --- Newton-GMRES time-to-solve ----------------------------------------
     prob = brusselator.make_problem(N, dtype, pallas_jvp=True)

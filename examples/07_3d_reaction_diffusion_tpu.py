@@ -72,20 +72,29 @@ def main(N: int = 128):
         f = lambda u: reaction_diffusion.reaction_diffusion_3d(u, p)
         _, lin = jax.linearize(f, u0)
 
-    @jax.jit
-    def spmv_scan(v):
-        def body(c, _):
-            w = lin(c)
-            return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
-        out, _ = jax.lax.scan(body, v, None, length=50)
-        return out
+    # Chain-length slope with forced fetch (docs/tpu_tuning.md §8): the
+    # tunnel round-trip and constant shipping cancel in the difference.
+    def make_scan(L):
+        @jax.jit
+        def spmv_scan(v):
+            def body(c, _):
+                w = lin(c)
+                return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
+            out, _ = jax.lax.scan(body, v, None, length=L)
+            return jnp.sum(jnp.abs(out))
+        return spmv_scan
 
     v0 = jnp.ones_like(u0)
-    spmv_scan(v0).block_until_ready()
-    t0 = time.perf_counter()
-    out = spmv_scan(v0)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / 50
+    L1, L2 = 10, 110
+    s1, s2 = make_scan(L1), make_scan(L2)
+    float(s1(v0)), float(s2(v0))
+    t1 = t2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); float(s1(v0))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(s2(v0))
+        t2 = min(t2, time.perf_counter() - t0)
+    dt = max(t2 - t1, 1e-9) / (L2 - L1)
     nnz = 8 * dof
     print(f"jvp matvec: {dt*1e6:.0f} us, {nnz/dt/1e9:.1f} Gnnz/s")
 

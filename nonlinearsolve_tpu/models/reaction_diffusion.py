@@ -38,11 +38,12 @@ def make_problem(N: int = 32, D: float = 0.01, dtype=jnp.float64,
                  pallas_jvp: bool = False, bz: int = 4):
     """``pallas_jvp=True`` attaches the grid-blocked, double-buffered
     Pallas JVP kernel (ops/pallas_stencil3d.py) as the analytic ``jvp``:
-    ~2x the XLA-fused roll pipeline's matvec throughput at 256³ on one
-    v5e chip (68 → 136 Gnnz/s).  bz=4 slabs keep the scoped-VMEM
-    footprint ~7 MB so the kernel also fits inside larger jitted
-    programs (the Newton-GMRES while_loop); bz=8 peaks at 152 Gnnz/s
-    standalone but brushes the 16 MB limit.  Requires ``bz | N``."""
+    3.3x the XLA-fused roll pipeline's matvec throughput at 256³ on one
+    v5e chip (91 → 299 Gnnz/s, chain-length-slope timing — see
+    docs/tpu_tuning.md §8).  bz=4 slabs keep the scoped-VMEM footprint
+    ~7 MB so the kernel also fits inside larger jitted programs (the
+    Newton-GMRES while_loop); bz=8 is ~3% faster standalone but brushes
+    the 16 MB scoped limit at 256³.  Requires ``bz | N``."""
     from ..core.problems import NonlinearFunction, NonlinearProblem
     u0 = jnp.full((N, N, N), 0.1, dtype)
     p = (jnp.asarray(D, dtype), forcing(N, dtype))

@@ -42,23 +42,47 @@ def profile_solve(prob, alg=None, trace_dir: str = "/tmp/nls_trace",
 
 def chained_solve_time(prob, alg=None, k: int = 4, reps: int = 3,
                        **solve_kwargs) -> float:
-    """Min-of-``reps`` per-solve seconds over a ``k``-chained jitted run."""
+    """Per-solve DEVICE seconds, measured as a chain-length slope.
+
+    Remote-dispatch tunnels make two naive timings lie: dispatch ships
+    program constants every execution (tens of ms for MB-scale embedded
+    arrays), and ``block_until_ready`` can acknowledge before the work
+    completes.  So: build two jitted chains of 1 and ``k`` data-dependent
+    solves, force completion of each by FETCHING a scalar reduced from
+    the result (a host transfer cannot be acknowledged early), take
+    min-of-``reps`` wall times, and return ``(T_k − T_1)/(k − 1)`` — the
+    dispatch, shipping, and fetch-latency terms are identical in both
+    chains and cancel in the difference."""
     from ..core.solve import solve
 
+    if k < 2:
+        raise ValueError("slope timing needs k >= 2")
     u0 = prob.u0
 
-    @jax.jit
-    def chained(u0arr):
-        def body(_, acc):
-            s = solve(prob.remake(u0=jax.tree_util.tree_map(
-                lambda a, b: a + 0.0 * b, u0arr, acc)), alg, **solve_kwargs)
-            return s.u
-        return jax.lax.fori_loop(0, k, body, u0arr)
+    def make(n):
+        @jax.jit
+        def chained(u0arr):
+            def body(_, acc):
+                s = solve(prob.remake(u0=jax.tree_util.tree_map(
+                    lambda a, b: a + 0.0 * b, u0arr, acc)), alg,
+                    **solve_kwargs)
+                return s.u
+            out = jax.lax.fori_loop(0, n, body, u0arr)
+            return sum(jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+                       for leaf in jax.tree_util.tree_leaves(out))
+        return chained
 
-    jax.block_until_ready(chained(u0))            # compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chained(u0))
-        best = min(best, (time.perf_counter() - t0) / k)
-    return best
+    c1, ck = make(1), make(k)
+    float(c1(u0))                                 # compile + warm
+    float(ck(u0))
+
+    def best_of(fn):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(u0))                         # fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tk = best_of(c1), best_of(ck)
+    return max(tk - t1, 0.0) / (k - 1)
