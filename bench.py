@@ -49,7 +49,7 @@ def main():
     # two scan lengths cancels every fixed term and leaves pure device
     # time per matvec (docs/tpu_tuning.md §8).
     from nonlinearsolve_tpu.ops.pallas_stencil import brusselator_jvp_scaled
-    L1, L2 = 50, 1050
+    L1, L2 = 50, 4050
 
     def make_scan(length):
         @jax.jit
@@ -71,15 +71,22 @@ def main():
     s1, s2 = make_scan(L1), make_scan(L2)
     float(s1(u0d, pd, v0))                     # compile + warm
     float(s2(u0d, pd, v0))
-    t1 = t2 = float("inf")
-    for _ in range(5):
+    # Pair L1/L2 back-to-back within each round so the two share the same
+    # chip-load window, and take the MEDIAN round slope: the shared chip
+    # time-slices across tenants, so individual differences can be skewed
+    # either way (even negative when load drops mid-pair) — the median is
+    # robust where a min would chase those artifacts.
+    slopes = []
+    for _ in range(7):
         t0 = time.perf_counter()
         float(s1(u0d, pd, v0))
-        t1 = min(t1, time.perf_counter() - t0)
+        t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(s2(u0d, pd, v0))
-        t2 = min(t2, time.perf_counter() - t0)
-    spmv_time = max(t2 - t1, 1e-9) / (L2 - L1)
+        t2 = time.perf_counter() - t0
+        slopes.append((t2 - t1) / (L2 - L1))
+    slopes.sort()
+    spmv_time = max(slopes[len(slopes) // 2], 1e-9)
     nnz_per_s = nnz / spmv_time
 
     # --- Newton-GMRES time-to-solve ----------------------------------------
