@@ -66,27 +66,16 @@ def main():
             return jnp.sum(jnp.abs(out))       # scalar fetch ⇒ completion
         return spmv_scan
 
+    from nonlinearsolve_tpu.utils.profiling import slope_time
+
     v0 = jnp.ones_like(u0)
     u0d, pd = jax.device_put(u0), jax.device_put(p)
     s1, s2 = make_scan(L1), make_scan(L2)
     float(s1(u0d, pd, v0))                     # compile + warm
     float(s2(u0d, pd, v0))
-    # Pair L1/L2 back-to-back within each round so the two share the same
-    # chip-load window, and take the MEDIAN round slope: the shared chip
-    # time-slices across tenants, so individual differences can be skewed
-    # either way (even negative when load drops mid-pair) — the median is
-    # robust where a min would chase those artifacts.
-    slopes = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        float(s1(u0d, pd, v0))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(s2(u0d, pd, v0))
-        t2 = time.perf_counter() - t0
-        slopes.append((t2 - t1) / (L2 - L1))
-    slopes.sort()
-    spmv_time = max(slopes[len(slopes) // 2], 1e-9)
+    spmv_time = max(slope_time(lambda: float(s1(u0d, pd, v0)),
+                               lambda: float(s2(u0d, pd, v0)),
+                               span=L2 - L1, rounds=7), 1e-9)
     nnz_per_s = nnz / spmv_time
 
     # --- Newton-GMRES time-to-solve ----------------------------------------
@@ -103,9 +92,9 @@ def main():
     jax.block_until_ready(sol.u)
     resid = float(jnp.max(jnp.abs(sol.resid)))
 
-    # Device-amortized solve cost (utils/profiling.py): chain k solves in
-    # ONE jitted program with zero-weighted data dependencies, so the
-    # remote-tunnel dispatch overhead is paid once, not per solve.
+    # Per-solve marginal device seconds via the chain-length slope
+    # (utils/profiling.py): chains of 1 and k data-dependent solves,
+    # paired-median difference — dispatch/shipping/fetch terms cancel.
     from nonlinearsolve_tpu.utils.profiling import chained_solve_time
     solve_time = chained_solve_time(prob, alg, k=4, reps=3,
                                     abstol=5.0, maxiters=30)

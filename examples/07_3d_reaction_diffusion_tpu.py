@@ -73,7 +73,10 @@ def main(N: int = 128):
         _, lin = jax.linearize(f, u0)
 
     # Chain-length slope with forced fetch (docs/tpu_tuning.md §8): the
-    # tunnel round-trip and constant shipping cancel in the difference.
+    # tunnel round-trip and constant shipping cancel in the paired-median
+    # difference (utils/profiling.slope_time).
+    from nonlinearsolve_tpu.utils.profiling import slope_time
+
     def make_scan(L):
         @jax.jit
         def spmv_scan(v):
@@ -88,13 +91,8 @@ def main(N: int = 128):
     L1, L2 = 10, 110
     s1, s2 = make_scan(L1), make_scan(L2)
     float(s1(v0)), float(s2(v0))
-    t1 = t2 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter(); float(s1(v0))
-        t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter(); float(s2(v0))
-        t2 = min(t2, time.perf_counter() - t0)
-    dt = max(t2 - t1, 1e-9) / (L2 - L1)
+    dt = max(slope_time(lambda: float(s1(v0)), lambda: float(s2(v0)),
+                        span=L2 - L1, rounds=3), 1e-9)
     nnz = 8 * dof
     print(f"jvp matvec: {dt*1e6:.0f} us, {nnz/dt/1e9:.1f} Gnnz/s")
 

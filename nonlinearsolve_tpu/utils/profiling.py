@@ -9,10 +9,13 @@ host round-trip, so naive wall clocks lie twice over.  Two honest tools
   ("nls.jacobian", "nls.descent"), so XProf/TensorBoard attributes kernel
   time to solver stages — the device-side analogue of the reference's
   TimerOutputs regions (timer_outputs.jl:3-55).
-* ``chained_solve_time`` — per-solve device cost with dispatch amortized:
-  chain k solves inside one jitted ``fori_loop``, threading a
-  zero-weighted dependency of each u0 on the previous result so XLA
-  cannot parallelize or elide the repeats.
+* ``chained_solve_time`` — per-solve marginal DEVICE seconds via the
+  chain-length-slope method: two jitted chains of 1 and k data-dependent
+  solves, completion forced by fetching a scalar, and the paired-median
+  slope ``(T_k − T_1)/(k − 1)`` taken so every fixed term (dispatch,
+  constant shipping, fetch latency) cancels.
+* ``slope_time`` — the shared paired-median slope estimator both of the
+  above and ``bench.py`` build on.
 """
 
 from __future__ import annotations
@@ -40,19 +43,39 @@ def profile_solve(prob, alg=None, trace_dir: str = "/tmp/nls_trace",
     return sol, trace_dir
 
 
+def slope_time(run_short, run_long, span: int, rounds: int = 5) -> float:
+    """Paired-median chain-length slope: seconds of marginal device work
+    per unit of ``span``.
+
+    Remote-dispatch tunnels make naive timings lie three ways: dispatch
+    ships program constants every execution (tens of ms for MB-scale
+    embedded arrays), ``block_until_ready`` can acknowledge before the
+    work completes, and each dispatch+fetch pays a ~25 ms round-trip.
+    ``run_short``/``run_long`` must execute the SAME computation at two
+    chain lengths differing by ``span`` and force completion internally
+    (fetch a scalar — a host transfer cannot be acknowledged early).
+    Each round times the pair back-to-back so both share a chip-load
+    window; the MEDIAN round slope is kept because time-slicing bursts
+    skew individual differences in either direction (a min chases rounds
+    where load dropped mid-pair — observed as absurd or zero slopes)."""
+    slopes = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        run_short()
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_long()
+        tl = time.perf_counter() - t0
+        slopes.append((tl - ts) / span)
+    slopes.sort()
+    return max(slopes[len(slopes) // 2], 0.0)
+
+
 def chained_solve_time(prob, alg=None, k: int = 4, reps: int = 3,
                        **solve_kwargs) -> float:
-    """Per-solve DEVICE seconds, measured as a chain-length slope.
-
-    Remote-dispatch tunnels make two naive timings lie: dispatch ships
-    program constants every execution (tens of ms for MB-scale embedded
-    arrays), and ``block_until_ready`` can acknowledge before the work
-    completes.  So: build two jitted chains of 1 and ``k`` data-dependent
-    solves, force completion of each by FETCHING a scalar reduced from
-    the result (a host transfer cannot be acknowledged early), take
-    min-of-``reps`` wall times, and return ``(T_k − T_1)/(k − 1)`` — the
-    dispatch, shipping, and fetch-latency terms are identical in both
-    chains and cancel in the difference."""
+    """Per-solve marginal DEVICE seconds: ``slope_time`` over jitted
+    chains of 1 and ``k`` data-dependent solves (every fixed dispatch/
+    shipping/fetch term appears in both chains and cancels)."""
     from ..core.solve import solve
 
     if k < 2:
@@ -75,14 +98,5 @@ def chained_solve_time(prob, alg=None, k: int = 4, reps: int = 3,
     c1, ck = make(1), make(k)
     float(c1(u0))                                 # compile + warm
     float(ck(u0))
-
-    def best_of(fn):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(u0))                         # fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, tk = best_of(c1), best_of(ck)
-    return max(tk - t1, 0.0) / (k - 1)
+    return slope_time(lambda: float(c1(u0)), lambda: float(ck(u0)),
+                      span=k - 1, rounds=reps)
