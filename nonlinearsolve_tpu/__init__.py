@@ -42,8 +42,9 @@ from .solvers.homotopy import (ArcLengthContinuation,
                                FastShortcutHomotopyPolyalg,
                                HomotopyPolyAlgorithm, HomotopySweep,
                                KantorovichHomotopy, SimpleHomotopySweep)
-from .solvers.scc import LinearSCCBlock
-from .solvers.first_order import EisenstatWalkerForcing
+from .solvers.scc import LinearSCCBlock, scc_solve_up
+from .solvers.first_order import (EisenstatWalkerForcing,
+                                  EisenstatWalkerForcing2)
 from .core.conditioning import PostconditionSpecifier
 from .solvers.poly_homotopy import PolynomialHomotopy, solve_polynomial
 from .core.autodiff import JacobianPolicy, pickchunksize

@@ -436,6 +436,7 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     tr_accepted = jnp.bool_(True)
     shrink_exceeded = jnp.bool_(False)
     fu_secant = None
+    du_taken = du        # secant Δu: the step actually applied to u
     if alg.trustregion is not None:
         tr_accepted, u_cand, fu_cand, tr_state = trg.tr_solve(
             alg.trustregion, tr_state, ctx, J, fu, u, du, tr_result)
@@ -470,6 +471,22 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
         ls_reset = ls_failed & (steps_since_last_reset > 5)
         alpha = jnp.where(ls_reset, jnp.zeros_like(ls_res.alpha), ls_res.alpha)
         u_new = u + alpha * du
+        # Secant step for Broyden-family (inverse-stored / low-rank)
+        # updates = the step actually taken.  The reference feeds the RAW
+        # direction δu to the update rule while dfu is measured from the
+        # α-scaled step (QN solve.jl:475-478 with :409 axpy!(α, δu, u)) —
+        # for α ≪ 1 that mismatched pair makes good-Broyden satisfy
+        # J⁻¹(αAδu) = δu, inflating J⁻¹ by 1/α every backtracked step
+        # until ‖δu‖ → ∞ and the reset ladder exhausts (observed on a 4×4
+        # LINEAR system: ‖δu‖ ×10³/step).  Using α·δu restores the exact
+        # secant equation; identical when α = 1.  Klement keeps the
+        # reference's raw-δu semantics: its DIRECT-stored J has no
+        # inversion blow-up mechanism (the α-bias only shortens J, and
+        # the line search absorbs the longer directions) and the raw
+        # form measurably converges deeper on tridiagonal fixtures.
+        # Documented deviation (NOTES_ROUND2.md).
+        if alg.update_rule != "klement":
+            du_taken = alpha * du
         fu_new = ctx.f_flat(u_new)
         stats = stats.incr(nf=ls_res.nf + 1)
         ls_state = lsr.ls_post_step(alg.linesearch, ls_res.state, fu_new)
@@ -511,7 +528,7 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
                  & (~resets_exhausted) & (~shrink_exceeded))
     J_updated = _update_jacobian(
         alg, J, fu_new if fu_secant is None else fu_secant,
-        update_fu_prev, u_new, du)
+        update_fu_prev, u_new, du_taken)
     J_next = tree_where(do_update, J_updated, J)
     # Secant base residual: advances to fu_new only when the iterate
     # actually moved (TR rejection keeps the base at fu == update_fu_prev).

@@ -99,3 +99,22 @@ def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
     return NonlinearSolution(
         u=jnp.concatenate(us), resid=jnp.concatenate(resids),
         retcode=retcode, stats=stats, original=tuple(sols))
+
+
+def scc_solve_up(prob: SCCNonlinearProblem, sensealg=None, u0=None, p=None,
+                 alg=None, **kwargs) -> NonlinearSolution:
+    """AD-hookable SCC solve entry (reference:
+    lib/SCCNonlinearSolve/src/SCCNonlinearSolve.jl:66-72, exported at :209).
+
+    In the reference this indirection exists so ChainRulesCore can attach an
+    rrule; here JAX differentiates straight through ``solve_scc`` (each block
+    solve carries the IFT custom-jvp), so this is a signature-parity shim.
+    ``sensealg`` is accepted and ignored; ``u0`` is AD-hook-only in the
+    reference too (SCC subproblems own their u0). A non-None ``p`` overrides
+    ``prob.p``.
+    """
+    del sensealg, u0
+    if p is not None:
+        prob = SCCNonlinearProblem(probs=prob.probs,
+                                   explicitfuns=prob.explicitfuns, p=p)
+    return solve_scc(prob, alg, **kwargs)

@@ -192,18 +192,23 @@ def run_simple_broyden(alg: SimpleBroyden, ctx, term_cfg, x0, abstol, reltol,
         Jinv, fprev = c.extra
         dx = -(Jinv @ fprev)
         if ls_cfg is not None:
-            ls = lsr._li_fukushima(ls_cfg, None, ctx, c.u, dx, fprev)
+            ls = lsr._li_fukushima(ls_cfg, None, ctx, c.u, dx, fprev,
+                                   c.nsteps)
             alpha_s, nf_ls = ls.alpha, ls.nf
         else:
             alpha_s, nf_ls = jnp.ones((), x0.dtype), 0
         x = c.u + alpha_s * dx
         fx = ctx.f_flat(x)
         df = fx - fprev
+        # Secant Δu = α·dx, the step actually taken (same exact-secant fix
+        # as the full-tier engine — see solvers/quasi_newton.py; identical
+        # when α = 1, i.e. whenever the line search is off).
+        s = alpha_s * dx
         Jdf = Jinv @ df
-        d = jnp.dot(dx, Jdf)
+        d = jnp.dot(s, Jdf)
         d = jnp.where(d == 0, 1e-5, d)
-        row = dx @ Jinv
-        Jinv_new = Jinv + jnp.outer((dx - Jdf) / d, row)
+        row = s @ Jinv
+        Jinv_new = Jinv + jnp.outer((s - Jdf) / d, row)
         return x, fx, (Jinv_new, fx), 1 + nf_ls, 0, 1, jnp.bool_(False)
 
     return _run_simple(ctx, term_cfg, abstol, reltol, maxiters, x0,
@@ -371,18 +376,20 @@ def run_simple_lbroyden(alg: SimpleLimitedMemoryBroyden, ctx, term_cfg, x0,
         U, V, fo, dx = c.extra
         i = c.nsteps  # 0-based iteration counter
         if ls_cfg is not None:
-            ls = lsr._li_fukushima(ls_cfg, None, ctx, c.u, dx, fo)
+            ls = lsr._li_fukushima(ls_cfg, None, ctx, c.u, dx, fo, c.nsteps)
             alpha_s, nf_ls = ls.alpha, ls.nf
         else:
             alpha_s, nf_ls = jnp.ones((), x0.dtype), 0
         x = c.u + alpha_s * dx
         fx = ctx.f_flat(x)
         df = fx - fo
-        vT = rmatvec(U, V, i, dx)
+        # Secant Δu = α·dx (exact-secant fix, see solvers/quasi_newton.py).
+        s = alpha_s * dx
+        vT = rmatvec(U, V, i, s)
         mvec = matvec(U, V, i, df)
         d = jnp.dot(vT, df)
         d = jnp.where(d == 0, 1e-5, d)
-        dx_upd = (dx - mvec) / d
+        dx_upd = (s - mvec) / d
         slot = jnp.mod(i, eta)
         U = U.at[slot].set(dx_upd)
         V = V.at[slot].set(vT)

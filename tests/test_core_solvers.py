@@ -320,3 +320,40 @@ def test_complex_nlls():
     sol = nls.solve(prob, nls.GaussNewton())
     assert bool(sol.success)
     np.testing.assert_allclose(complex(sol.u[0]), 2.0 + 1.0j, rtol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 3])
+def test_broyden_linesearch_secant_uses_actual_step(seed):
+    """Regression: globalized Broyden must feed the α-scaled step (the step
+    actually taken) to the secant update.  The reference passes the raw
+    direction δu while dfu comes from the α-step (QN solve.jl:475-478 with
+    :409) — on backtracked steps that inflates J⁻¹ by 1/α each iteration
+    until ‖δu‖ → ∞ and the reset ladder exhausts (ConvergenceFailure on a
+    4×4 LINEAR system).  With the exact secant pair the solve converges on
+    every seed; mirrors the residual assertion of the reference's GPU test
+    (test/gpu/cuda_tests__item1.jl:52-59)."""
+    rng = np.random.RandomState(seed)
+    A = jnp.asarray(rng.rand(4, 4), jnp.float32)
+    u0 = jnp.asarray(rng.rand(4), jnp.float32)
+    b = jnp.asarray(rng.rand(4), jnp.float32)
+    prob = nls.NonlinearProblem(lambda u, p: A @ u + b, u0)
+    sol = nls.solve(prob, nls.Broyden(linesearch=nls.LiFukushimaLineSearch()),
+                    abstol=1e-5, reltol=1e-5)
+    assert float(jnp.linalg.norm(A @ sol.u + b)) < 1e-4
+
+
+def test_simple_tier_linesearch_paths():
+    """SimpleBroyden/SimpleLimitedMemoryBroyden with the Li-Fukushima line
+    search enabled (reference: SimpleNonlinearSolve broyden.jl / lbroyden.jl
+    linesearch=Val(true) variants).  Previously uncovered — the call sites
+    dropped the line search's ``nsteps`` argument (TypeError) and fed the
+    raw direction to the secant update; both fixed."""
+    rng = np.random.RandomState(1)
+    A = jnp.asarray(rng.rand(4, 4), jnp.float32)
+    u0 = jnp.asarray(rng.rand(4), jnp.float32)
+    b = jnp.asarray(rng.rand(4), jnp.float32)
+    prob = nls.NonlinearProblem(lambda u, p: A @ u + b, u0)
+    for alg in (nls.SimpleBroyden(linesearch=True),
+                nls.SimpleLimitedMemoryBroyden(linesearch=True)):
+        sol = nls.solve(prob, alg, abstol=1e-5, reltol=1e-5, maxiters=1000)
+        assert float(jnp.linalg.norm(A @ sol.u + b)) < 1e-4

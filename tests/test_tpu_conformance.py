@@ -1,0 +1,88 @@
+"""Real-TPU solver conformance — the reference's GPU-array test, TPU-native.
+
+Mirrors /root/reference/test/gpu/cuda_tests__item1.jl:1-60: the same ten
+solver configurations solve the affine residual ``f(u) = A u + b`` on device
+arrays at ``abstol = reltol = 1e-5`` in float32, plus the Broyden
+inverse-initialization residual check (‖A u* + b‖ < 1e-4).
+
+Assertion strength follows the reference: its ten-config sweep is
+``@test_nowarn`` — the solve must complete cleanly (here: finite iterate, a
+retcode from the documented taxonomy), with the residual asserted only in
+the Broyden-inverse-init testset.  We additionally assert the residual for
+the configs that do converge on this fixture (Newton/TR/LM/DFSane/Broyden
+tiers); PseudoTransient (SER ramp from α=1e-3 needs ≫1000 iterations when
+min Re λ(A) is small), diagonal Klement and threshold-2 L-Broyden stall on
+dense random systems — in the reference too, which is why it never asserts
+their residuals.
+
+Like the reference (gated on ``CUDA.functional()``), this file only runs on
+real hardware: launch with ``NLS_TPU_TESTS=1 python -m pytest
+tests/test_tpu_conformance.py`` on a TPU-attached host; under the CPU CI
+conftest it skips.  No mock backend — skipping without hardware is the
+reference's own policy (SURVEY.md §4.5).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import nonlinearsolve_tpu as nls
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="real-TPU conformance test (set NLS_TPU_TESTS=1 on TPU hardware)")
+
+
+def _fixture():
+    rng = np.random.RandomState(0)           # StableRNG(0) analogue
+    A = jnp.asarray(rng.rand(4, 4), jnp.float32)
+    u0 = jnp.asarray(rng.rand(4), jnp.float32)
+    b = jnp.asarray(rng.rand(4), jnp.float32)
+    prob = nls.NonlinearProblem(lambda u, p: A @ u + b, u0)
+    return A, b, prob
+
+
+def _solvers():
+    qr = nls.LinearSolver(method="qr")
+    gmres = nls.LinearSolver(method="gmres")
+    # (name, alg, assert_residual) — residual asserted where this fixture
+    # genuinely converges; the rest mirror the reference's @test_nowarn.
+    return [
+        ("NewtonRaphson", nls.NewtonRaphson(), True),
+        ("LM-QR", nls.LevenbergMarquardt(linsolve=qr), True),
+        ("LM-GMRES", nls.LevenbergMarquardt(linsolve=gmres), True),
+        ("PseudoTransient", nls.PseudoTransient(), False),
+        ("Klement", nls.Klement(), False),
+        ("Broyden-LiFukushima",
+         nls.Broyden(linesearch=nls.LiFukushimaLineSearch()), True),
+        ("LBroyden-LiFukushima",
+         nls.LimitedMemoryBroyden(threshold=2,
+                                  linesearch=nls.LiFukushimaLineSearch()),
+         False),
+        ("DFSane", nls.DFSane(), True),
+        ("TrustRegion-QR", nls.TrustRegion(linsolve=qr), True),
+        ("TrustRegion-GMRES",
+         nls.TrustRegion(linsolve=gmres,
+                         autodiff=nls.JacobianPolicy(mode="forward")), True),
+    ]
+
+
+@pytest.mark.parametrize("name,alg,check_resid", _solvers(),
+                         ids=[s[0] for s in _solvers()])
+def test_tpu_solvers(name, alg, check_resid):
+    A, b, prob = _fixture()
+    sol = nls.solve(prob, alg, abstol=1e-5, reltol=1e-5)
+    assert bool(jnp.all(jnp.isfinite(sol.u))), f"{name}: non-finite iterate"
+    assert int(sol.retcode) in {int(c) for c in nls.ReturnCode}
+    if check_resid:
+        resid = float(jnp.linalg.norm(A @ sol.u + b))
+        assert resid < 1e-4, f"{name}: |Au*+b| = {resid:.2e}"
+
+
+def test_broyden_inverse_initialization():
+    A, b, prob = _fixture()
+    sol = nls.solve(prob, nls.Broyden(linesearch=nls.LiFukushimaLineSearch()),
+                    abstol=1e-5, reltol=1e-5)
+    assert float(jnp.linalg.norm(A @ sol.u + b)) < 1e-4
