@@ -10,6 +10,16 @@ import nonlinearsolve_tpu as nls
 from nonlinearsolve_tpu.core.conditioning import PostconditionSpecifier
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """grad/hessian-of-solve tests compile whole engines repeatedly; under
+    pytest-xdist the accumulated XLA CPU executables can segfault the
+    worker (same failure mode as the 23-problem sweep — see
+    tests/test_23_problems.py).  Drop them between tests."""
+    yield
+    jax.clear_caches()
+
+
 def sqrt_root(alg=None):
     def g(p):
         prob = nls.NonlinearProblem(lambda u, q: u * u - q, jnp.array([1.0]),
