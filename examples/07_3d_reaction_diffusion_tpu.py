@@ -41,10 +41,13 @@ def main(N: int = 128):
     h = 1.0 / N
     pm = fft_poisson_preconditioner((N, N, N), D, h, shift=-0.9)
 
+    # Loose forcing + short restart: the 3D FFT preconditioner dominates
+    # per-iteration cost even more than in 2D, and matrix-free Newton
+    # steps are nearly free — same operating-point logic as bench.py.
     alg = nls.NewtonRaphson(
-        linsolve=nls.LinearSolver(method="gmres", restart=16,
+        linsolve=nls.LinearSolver(method="gmres", restart=8,
                                   krylov_maxiter=200, precond_fn=pm),
-        forcing=EisenstatWalkerForcing(eta_0=1e-3, eta_max=1e-2))
+        forcing=EisenstatWalkerForcing(eta_0=0.1, eta_max=0.1))
 
     abstol = 1e-5 * N  # ~f32 floor for the h^-2-scaled residual
     sol = nls.solve(prob, alg, abstol=abstol, maxiters=30)
