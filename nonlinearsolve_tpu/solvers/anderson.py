@@ -28,6 +28,7 @@ from ..core import termination as trm
 from ..core.tracing import init_trace, record_trace
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats
+from ..ops.linear_solve import _square_solve
 from ..utils.pytree import pytree_dataclass, static_config
 
 
@@ -70,7 +71,7 @@ def _anderson_gamma(dF, fu, hist_mask, reg):
     G = jnp.where((hist_mask[:, None] * hist_mask[None, :]) > 0, G,
                   jnp.eye(m, dtype=G.dtype))
     rhs = (dFm @ fu) * hist_mask
-    gamma = jnp.linalg.solve(G, rhs)
+    gamma = _square_solve(G, rhs)
     return jnp.where(jnp.isfinite(gamma), gamma, 0.0)
 
 

@@ -490,3 +490,56 @@ def test_minres_symmetric_indefinite():
     b2 = jnp.asarray(rng.standard_normal((N, N)))
     r2 = minres(Aop, b2, rtol=1e-8, maxiter=3000)
     assert bool(r2.success)
+
+
+def test_gauss_jordan_solve():
+    """Vectorized small-system path (ops/linear_solve.gauss_jordan_solve):
+    matches LU on well-conditioned systems (real + complex, under vmap),
+    needs pivoting (zero leading pivot), and surfaces exact singularity as
+    non-finite output — the contract solve_dense's fallback keys on."""
+    import numpy as np
+    from nonlinearsolve_tpu.ops.linear_solve import (gauss_jordan_solve,
+                                                     solve_dense)
+
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 4, 7, 17, 32):
+        A = jnp.asarray(rng.standard_normal((n, n)) + 3.0 * np.eye(n))
+        b = jnp.asarray(rng.standard_normal(n))
+        x = gauss_jordan_solve(A, b)
+        np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b),
+                                   atol=1e-10)
+
+    # complex (the vmapped polynomial path-tracker regime)
+    A = jnp.asarray(rng.standard_normal((5, 5))
+                    + 1j * rng.standard_normal((5, 5)) + 4.0 * np.eye(5))
+    b = jnp.asarray(rng.standard_normal(5) + 1j * rng.standard_normal(5))
+    x = gauss_jordan_solve(A, b)
+    np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), atol=1e-10)
+
+    # pivoting: zero in the leading position
+    A = jnp.asarray([[0.0, 1.0], [1.0, 0.0]])
+    np.testing.assert_allclose(
+        np.asarray(gauss_jordan_solve(A, jnp.asarray([2.0, 3.0]))),
+        [3.0, 2.0], atol=1e-14)
+
+    # matrix right-hand side (the quasi-Newton J^-1 seed inversion path)
+    A = jnp.asarray(rng.standard_normal((6, 6)) + 4.0 * np.eye(6))
+    X = gauss_jordan_solve(A, jnp.eye(6))
+    np.testing.assert_allclose(np.asarray(A @ X), np.eye(6), atol=1e-10)
+
+    # vmapped batch agrees with per-matrix LU
+    As = jnp.asarray(rng.standard_normal((64, 4, 4)) + 3.0 * np.eye(4))
+    bs = jnp.asarray(rng.standard_normal((64, 4)))
+    xs = jax.vmap(gauss_jordan_solve)(As, bs)
+    ref = jnp.linalg.solve(As, bs[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-10)
+
+    # exact singularity -> non-finite (raw), finite via solve_dense fallback
+    S = jnp.asarray([[1.0, 2.0], [2.0, 4.0]])
+    raw = gauss_jordan_solve(S, jnp.asarray([1.0, 2.0]))
+    assert not bool(jnp.all(jnp.isfinite(raw)))
+    x, ok = solve_dense(S, jnp.asarray([1.0, 2.0]))
+    assert bool(jnp.all(jnp.isfinite(x))) and bool(ok)
+    # the damped-normal-equation fallback approximates the minimum-norm
+    # least-squares solution
+    np.testing.assert_allclose(np.asarray(x), [0.2, 0.4], rtol=1e-4)
