@@ -92,6 +92,17 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
         if not ok:
             return initial_failure_solution(prob, init_sol)
 
+    # Null-u0 fast path (solve.jl:202-203, build_null_solution :1028-1063):
+    # an empty state vector solves trivially — Success for rootfinding; for
+    # NLLS the (possibly non-empty) residual at the empty point decides.
+    # The reference defines this for NonlinearProblem / NLLS /
+    # SteadyStateProblem (already converted above) only.
+    if isinstance(prob, (NonlinearProblem, NonlinearLeastSquaresProblem)):
+        u0 = prob.u0
+        if u0 is None or sum(
+                jnp.size(l) for l in jax.tree_util.tree_leaves(u0)) == 0:
+            return _build_null_solution(prob, merged)
+
     if isinstance(prob, IntervalNonlinearProblem):
         from ..solvers.wrappers import SciPyRootScalar, solve_wrapper
         if isinstance(alg, SciPyRootScalar):
@@ -118,6 +129,27 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
     if alg is None:
         alg = _default_algorithm(prob)
     return solve_nonlinear(prob, alg, **merged)
+
+
+def _build_null_solution(prob, merged) -> NonlinearSolution:
+    """Empty-state solution (reference build_null_solution,
+    solve.jl:1028-1063): rootfinding succeeds vacuously; least squares
+    evaluates the residual at the empty point and succeeds iff
+    ``‖resid‖ < abstol`` (reference default 1e-6 on this path)."""
+    u0 = prob.u0 if prob.u0 is not None else jnp.zeros((0,))
+    stats = NLStats()
+    if prob.is_least_squares:
+        resid = prob.f(u0, prob.p)
+        abstol = merged.get("abstol") or 1e-6
+        r_flat, _ = ravel_pytree(resid)
+        ok = True if r_flat.size == 0 else \
+            bool(jnp.linalg.norm(r_flat) < abstol)
+        retcode = ReturnCode.Success if ok else ReturnCode.Failure
+    else:
+        resid = u0
+        retcode = ReturnCode.Success
+    return NonlinearSolution(u=u0, resid=resid,
+                             retcode=jnp.int32(retcode), stats=stats)
 
 
 def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,

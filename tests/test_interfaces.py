@@ -387,3 +387,23 @@ def test_scipy_root_method_conformance(method):
     assert bool(wrapped.success), method
     np.testing.assert_allclose(np.asarray(wrapped.u), np.asarray(native.u),
                                rtol=1e-6)
+
+
+def test_null_u0_solutions():
+    """Empty-state problems return a null solution without running a solver
+    (reference solve.jl:202-203 + build_null_solution :1028-1063)."""
+    prob = nls.NonlinearProblem(lambda u, p: u * u - p, jnp.zeros((0,)), 2.0)
+    s = nls.solve(prob)
+    assert int(s.retcode) == int(nls.ReturnCode.Success)
+    assert s.u.shape == (0,)
+
+    s = nls.solve(nls.NonlinearProblem(lambda u, p: u * u - p, None, 2.0))
+    assert int(s.retcode) == int(nls.ReturnCode.Success)
+
+    # NLLS: residual at the empty point decides (reference abstol 1e-6)
+    big = nls.NonlinearLeastSquaresProblem(
+        lambda u, p: jnp.array([3.0]), jnp.zeros((0,)), None)
+    assert int(nls.solve(big).retcode) == int(nls.ReturnCode.Failure)
+    tiny = nls.NonlinearLeastSquaresProblem(
+        lambda u, p: jnp.array([1e-9]), jnp.zeros((0,)), None)
+    assert int(nls.solve(tiny).retcode) == int(nls.ReturnCode.Success)
