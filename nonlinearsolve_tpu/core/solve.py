@@ -140,16 +140,21 @@ def _build_null_solution(prob, merged) -> NonlinearSolution:
     stats = NLStats()
     if prob.is_least_squares:
         resid = prob.f(u0, prob.p)
-        abstol = merged.get("abstol") or 1e-6
+        abstol = merged.get("abstol")
+        abstol = 1e-6 if abstol is None else abstol
         r_flat, _ = ravel_pytree(resid)
-        ok = True if r_flat.size == 0 else \
-            bool(jnp.linalg.norm(r_flat) < abstol)
-        retcode = ReturnCode.Success if ok else ReturnCode.Failure
+        if r_flat.size == 0:
+            retcode = jnp.int32(ReturnCode.Success)
+        else:
+            # keep traceable: solve() may run under jit/vmap/grad
+            retcode = jnp.where(jnp.linalg.norm(r_flat) < abstol,
+                                jnp.int32(ReturnCode.Success),
+                                jnp.int32(ReturnCode.Failure))
     else:
         resid = u0
-        retcode = ReturnCode.Success
-    return NonlinearSolution(u=u0, resid=resid,
-                             retcode=jnp.int32(retcode), stats=stats)
+        retcode = jnp.int32(ReturnCode.Success)
+    return NonlinearSolution(u=u0, resid=resid, retcode=retcode,
+                             stats=stats)
 
 
 def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,

@@ -133,7 +133,7 @@ def solve_dense(A: jnp.ndarray, b: jnp.ndarray, cfg: LinearSolver = LinearSolver
     elif method == "qr":
         if m == n:
             q, r = jnp.linalg.qr(A)
-            x = jax.scipy.linalg.solve_triangular(r, q.T @ b)
+            x = jax.scipy.linalg.solve_triangular(r, q.conj().T @ b)
         else:
             x = _lstsq(A, b)
     elif method == "lu":
@@ -171,11 +171,13 @@ def _ridge_fallback(A, b):
     """Damped normal equations ``(AᵀA + λI) x = Aᵀ b`` with
     ``λ = √eps · max(diag(AᵀA))`` — the vmap-cheap rank-deficient
     fallback for square systems (see solve_dense)."""
-    G = A.T @ A
-    lam = (jnp.sqrt(jnp.finfo(A.dtype).eps) * jnp.max(jnp.diagonal(G))
-           + jnp.finfo(A.dtype).tiny)
+    Ah = A.conj().T
+    G = Ah @ A                       # Gram matrix (Hermitian PSD)
+    eps = jnp.finfo(jnp.zeros((), A.dtype).real.dtype).eps
+    lam = (jnp.sqrt(eps) * jnp.max(jnp.real(jnp.diagonal(G)))
+           + jnp.finfo(jnp.zeros((), A.dtype).real.dtype).tiny)
     n = A.shape[-1]
-    return _square_solve(G + lam * jnp.eye(n, dtype=A.dtype), A.T @ b)
+    return _square_solve(G + lam * jnp.eye(n, dtype=A.dtype), Ah @ b)
 
 
 def solve_spd(A: jnp.ndarray, b: jnp.ndarray):

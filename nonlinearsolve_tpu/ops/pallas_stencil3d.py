@@ -30,66 +30,68 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_stencil import _interpret
 
 
-def _rd3d_jvp_kernel(nz: int, bz: int, u_ref, t_hbm, params_ref, out_ref,
-                     scr, sems):
-    i = pl.program_id(0)
-    z0 = i * bz
-    top = (z0 - 1) % nz
-    bot = (z0 + bz) % nz
-
-    body = pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
-                                 scr.at[pl.ds(1, bz)], sems.at[0])
-    cp_t = pltpu.make_async_copy(t_hbm.at[pl.ds(top, 1)],
-                                 scr.at[pl.ds(0, 1)], sems.at[1])
-    cp_b = pltpu.make_async_copy(t_hbm.at[pl.ds(bot, 1)],
-                                 scr.at[pl.ds(bz + 1, 1)], sems.at[2])
-    body.start()
-    cp_t.start()
-    cp_b.start()
-    body.wait()
-    cp_t.wait()
-    cp_b.wait()
-
-    u = u_ref[:]
-    d_h2 = params_ref[0, 0].astype(u.dtype)     # D / h²
-    t_b = scr[pl.ds(1, bz)]
+def _rd3d_stencil(u, t_b, up, down, d_h2):
+    """``D Δt + (1 − 3u²) t`` on one (bz, N, N) slab: in-plane derivatives
+    via lane/sublane rolls, z-derivative from the shifted scratch windows
+    ``up``/``down`` (each the same shape as ``t_b``)."""
     inplane = (pltpu.roll(t_b, 1, 1)
                + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
                + pltpu.roll(t_b, 1, 2)
                + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
                - 6.0 * t_b)
-    up = scr[pl.ds(0, bz)]
-    down = scr[pl.ds(2, bz)]
-    out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
+    return d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
 
 
-def _rd3d_jvp_kernel_db(nz: int, bz: int, u_ref, t_hbm, params_ref,
-                        out_ref, scr, sems):
-    """Double-buffered variant: program i prefetches block i+1's slab and
-    halos into the other scratch slot while computing block i (the DMA
-    for block i was started by program i-1; program 0 bootstraps its
-    own).  TPU Pallas grids execute sequentially on a core, so scratch
-    and semaphores persist across grid steps."""
+def _periodic_dmas(nz, bz, t_hbm, page, sem, block):
+    """The three periodic-wrap DMAs for one z-block: slab body plus one
+    halo plane each side.  ``page(ds)`` maps a z-slice to the target
+    scratch ref (a fixed page of a double-buffered scratch, or the whole
+    scratch); ``sem(j)`` the matching semaphore."""
+    z0 = block * bz
+    top = (z0 - 1) % nz
+    bot = (z0 + bz) % nz
+    return (
+        pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
+                              page(pl.ds(1, bz)), sem(0)),
+        pltpu.make_async_copy(t_hbm.at[pl.ds(top, 1)],
+                              page(pl.ds(0, 1)), sem(1)),
+        pltpu.make_async_copy(t_hbm.at[pl.ds(bot, 1)],
+                              page(pl.ds(bz + 1, 1)), sem(2)),
+    )
+
+
+def _rd3d_jvp_kernel(nz: int, bz: int, u_ref, t_hbm, params_ref, out_ref,
+                     scr, sems):
+    i = pl.program_id(0)
+    dmas = _periodic_dmas(nz, bz, t_hbm, lambda ds: scr.at[ds],
+                          lambda j: sems.at[j], i)
+    for cp in dmas:
+        cp.start()
+    for cp in dmas:
+        cp.wait()
+
+    u = u_ref[:]
+    d_h2 = params_ref[0, 0].astype(u.dtype)
+    out_ref[:] = _rd3d_stencil(u, scr[pl.ds(1, bz)], scr[pl.ds(0, bz)],
+                               scr[pl.ds(2, bz)], d_h2)
+
+
+def _rd3d_db_load(nz: int, bz: int, t_hbm, scr, sems):
+    """Double-buffer scaffolding shared by the db kernels: program i
+    prefetches block i+1's slab and halos into the other scratch page
+    while waiting on block i's (started by program i-1; program 0
+    bootstraps its own).  TPU Pallas grids execute sequentially on a
+    core, so scratch and semaphores persist across grid steps.  Returns
+    the scratch page holding block i."""
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-    def dmas(block, slot_idx):
-        z0 = block * bz
-        top = (z0 - 1) % nz
-        bot = (z0 + bz) % nz
-        return (
-            pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
-                                  scr.at[slot_idx, pl.ds(1, bz)],
-                                  sems.at[slot_idx, 0]),
-            pltpu.make_async_copy(t_hbm.at[pl.ds(top, 1)],
-                                  scr.at[slot_idx, pl.ds(0, 1)],
-                                  sems.at[slot_idx, 1]),
-            pltpu.make_async_copy(t_hbm.at[pl.ds(bot, 1)],
-                                  scr.at[slot_idx, pl.ds(bz + 1, 1)],
-                                  sems.at[slot_idx, 2]),
-        )
+    def dmas(block, page_idx):
+        return _periodic_dmas(nz, bz, t_hbm,
+                              lambda ds: scr.at[page_idx, ds],
+                              lambda j: sems.at[page_idx, j], block)
 
     @pl.when(i == 0)
     def _():
@@ -103,18 +105,17 @@ def _rd3d_jvp_kernel_db(nz: int, bz: int, u_ref, t_hbm, params_ref,
 
     for cp in dmas(i, slot):
         cp.wait()
+    return slot
 
+
+def _rd3d_jvp_kernel_db(nz: int, bz: int, u_ref, t_hbm, params_ref,
+                        out_ref, scr, sems):
+    slot = _rd3d_db_load(nz, bz, t_hbm, scr, sems)
     u = u_ref[:]
     d_h2 = params_ref[0, 0].astype(u.dtype)
-    t_b = scr[slot, pl.ds(1, bz)]
-    inplane = (pltpu.roll(t_b, 1, 1)
-               + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
-               + pltpu.roll(t_b, 1, 2)
-               + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
-               - 6.0 * t_b)
-    up = scr[slot, pl.ds(0, bz)]
-    down = scr[slot, pl.ds(2, bz)]
-    out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
+    out_ref[:] = _rd3d_stencil(u, scr[slot, pl.ds(1, bz)],
+                               scr[slot, pl.ds(0, bz)],
+                               scr[slot, pl.ds(2, bz)], d_h2)
 
 
 def _rd3d_jvp_kernel_db_scaled(nz: int, bz: int, u_ref, t_hbm, params_ref,
@@ -126,51 +127,13 @@ def _rd3d_jvp_kernel_db_scaled(nz: int, bz: int, u_ref, t_hbm, params_ref,
     step; TPU grids run sequentially on the core, so accumulating into it
     across steps is the standard revisited-block reduction pattern."""
     i = pl.program_id(0)
-    nblk = pl.num_programs(0)
-    slot = jax.lax.rem(i, jnp.int32(2))
-    nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
-
-    def dmas(block, slot_idx):
-        z0 = block * bz
-        top = (z0 - 1) % nz
-        bot = (z0 + bz) % nz
-        return (
-            pltpu.make_async_copy(t_hbm.at[pl.ds(z0, bz)],
-                                  scr.at[slot_idx, pl.ds(1, bz)],
-                                  sems.at[slot_idx, 0]),
-            pltpu.make_async_copy(t_hbm.at[pl.ds(top, 1)],
-                                  scr.at[slot_idx, pl.ds(0, 1)],
-                                  sems.at[slot_idx, 1]),
-            pltpu.make_async_copy(t_hbm.at[pl.ds(bot, 1)],
-                                  scr.at[slot_idx, pl.ds(bz + 1, 1)],
-                                  sems.at[slot_idx, 2]),
-        )
-
-    @pl.when(i == 0)
-    def _():
-        for cp in dmas(0, 0):
-            cp.start()
-
-    @pl.when(i + 1 < nblk)
-    def _():
-        for cp in dmas(i + 1, nxt):
-            cp.start()
-
-    for cp in dmas(i, slot):
-        cp.wait()
-
+    slot = _rd3d_db_load(nz, bz, t_hbm, scr, sems)
     u = u_ref[:]
     d_h2 = params_ref[0, 0].astype(u.dtype)
     inv_s = params_ref[0, 1].astype(u.dtype)
-    t_b = scr[slot, pl.ds(1, bz)]
-    inplane = (pltpu.roll(t_b, 1, 1)
-               + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
-               + pltpu.roll(t_b, 1, 2)
-               + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
-               - 6.0 * t_b)
-    up = scr[slot, pl.ds(0, bz)]
-    down = scr[slot, pl.ds(2, bz)]
-    res = (d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b) * inv_s
+    res = _rd3d_stencil(u, scr[slot, pl.ds(1, bz)],
+                        scr[slot, pl.ds(0, bz)],
+                        scr[slot, pl.ds(2, bz)], d_h2) * inv_s
     out_ref[:] = res
     m_blk = jnp.max(jnp.abs(res)).astype(max_ref.dtype)
 
@@ -273,15 +236,8 @@ def _rd3d_jvp_kernel_halo(nz: int, bz: int, u_ref, t_hbm, lo_hbm, hi_hbm,
 
     u = u_ref[:]
     d_h2 = params_ref[0, 0].astype(u.dtype)
-    t_b = scr[pl.ds(1, bz)]
-    inplane = (pltpu.roll(t_b, 1, 1)
-               + pltpu.roll(t_b, (-1) % t_b.shape[1], 1)
-               + pltpu.roll(t_b, 1, 2)
-               + pltpu.roll(t_b, (-1) % t_b.shape[2], 2)
-               - 6.0 * t_b)
-    up = scr[pl.ds(0, bz)]
-    down = scr[pl.ds(2, bz)]
-    out_ref[:] = d_h2 * (inplane + up + down) + (1.0 - 3.0 * u * u) * t_b
+    out_ref[:] = _rd3d_stencil(u, scr[pl.ds(1, bz)], scr[pl.ds(0, bz)],
+                               scr[pl.ds(2, bz)], d_h2)
 
 
 @functools.partial(jax.jit, static_argnames=("bz", "n_global"))

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..core.returncode import ReturnCode
 from ..core.solution import NLStats, NonlinearSolution
-from ..ops.linear_solve import gauss_jordan_solve
+from ..ops.linear_solve import _square_solve
 from ..utils.pytree import pytree_dataclass, static_config
 
 
@@ -93,7 +93,7 @@ def _track_paths(f_cplx: Callable, degrees, alg: PolynomialHomotopy,
             x, ok, dx_norm = carry
             r = H(x, t)
             J = H_x(x, t)
-            dx = gauss_jordan_solve(J, r) if J.shape[-1] <= 32 else jnp.linalg.solve(J, r)
+            dx = _square_solve(J, r)
             finite = jnp.all(jnp.isfinite(dx.real) & jnp.isfinite(dx.imag))
             x = jnp.where(finite, x - dx, x)
             dx_norm = jnp.where(finite, jnp.max(jnp.abs(dx)), dx_norm)
@@ -117,8 +117,7 @@ def _track_paths(f_cplx: Callable, degrees, alg: PolynomialHomotopy,
             t_next = jnp.minimum(t + dt, 1.0)
             # Euler predictor: H_x ẋ = -H_t
             J = H_x(x, t)
-            xdot = -(gauss_jordan_solve(J, H_t(x, t))
-                     if J.shape[-1] <= 32 else jnp.linalg.solve(J, H_t(x, t)))
+            xdot = -_square_solve(J, H_t(x, t))
             finite = jnp.all(jnp.isfinite(xdot.real))
             x_pred = jnp.where(finite, x + (t_next - t) * xdot, x)
             x_corr, ok = corrector(x_pred, t_next)
