@@ -121,3 +121,116 @@ def block_jacobi_preconditioner(blocks):
         return out.reshape(v.shape)
 
     return apply
+
+
+def _dft_matrices(n: int, dtype=jnp.float32):
+    """Real/imag parts of the n-point DFT matrix F[j,k] = e^{-2πi·jk/n},
+    staged in-graph: int32 iota outer product reduced mod n BEFORE the
+    trig (jk up to (n-1)² overflows neither int32 nor the f32 mantissa
+    this way), then one cos/sin pass.  No host constants — over a
+    remote-dispatch tunnel embedded MB-scale constants are re-shipped per
+    execution (docs/tpu_tuning.md §7b), while this chain is generated
+    on-device once per capture point."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    jk = jax.lax.rem(i * j, jnp.int32(n)).astype(jnp.float32)
+    ang = (-2.0 * jnp.pi / n) * jk
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def _dft_apply(xr, xi, mats, axes, inverse=False, precision=None):
+    """Complex N-D DFT of (xr + i·xi) via MXU matmuls along ``axes``,
+    one (C, S) matrix pair per axis.  Inverse uses conj(F)/n per axis."""
+    scale = 1.0
+
+    def td(M, a, axis):
+        return jnp.tensordot(M, a, axes=[[1], [axis]], precision=precision)
+
+    for (C, S), a in zip(mats, axes):
+        Sa = -S if inverse else S
+        yr = td(C, xr, a) - td(Sa, xi, a)
+        yi = td(C, xi, a) + td(Sa, xr, a)
+        xr = jnp.moveaxis(yr, 0, a)
+        xi = jnp.moveaxis(yi, 0, a)
+        if inverse:
+            scale = scale / C.shape[0]
+    return xr * scale if inverse else xr, xi * scale if inverse else xi
+
+
+def mxu_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
+                               shift=1.0, n_components: int = 1,
+                               precision="high"):
+    """Staged MXU matmul-DFT variant of ``fft_poisson_preconditioner``:
+    ``prep(u) -> (v -> M⁻¹v)``.
+
+    XLA's fftn costs ~136 µs per 512² c64 roundtrip on v5e; the same
+    transform as eight 512³ MXU matmuls measures ~22 µs — but ONLY when
+    the DFT matrices live outside the Krylov loop (generated inside the
+    loop body, the cos/sin chain is not hoisted by XLA's while-loop LICM
+    and swamps the matmuls).  This factory therefore follows the
+    two-stage ``LinearSolver.precond_fn`` contract: the outer ``prep(u)``
+    call — traced once per Newton linearization, OUTSIDE the GMRES
+    while_loop — materializes the DFT matrices and the reciprocal symbol,
+    and the returned closure captures them as loop invariants.
+
+    ``precision`` (default 'high'): v5e runs f32 matmuls as bf16 passes
+    under --xla_allow_excess_precision.  Measured at 512² per c64
+    roundtrip: default/bf16 24 µs at 3e-3 relative error; 'high'
+    (bf16x3) 89 µs at 2e-5; 'highest' (bf16x6) 146 µs at 1e-7 — slower
+    than fftn (136 µs), pointless.
+
+    End-to-end caveat (measured on the 512² Brusselator Newton-GMRES at
+    the f32-floor tolerance abstol≈2e-6·|f₀|): the preconditioner's
+    systematic error acts as a nonlinear-residual FLOOR — bf16 stalls at
+    ~1e-4 relative, 'high' at ~3e-6, just above the f32 floor — so the
+    exact 'fft' family remains the default and the bench configuration.
+    The matmul path pays off at loose tolerances (solves targeting
+    ≥1e-4 relative, smoothing, inner preconditioning of an outer flexible
+    method) where its 1.5×-over-fftn apply cost wins and the floor is
+    irrelevant."""
+    grid_shape = tuple(int(s) for s in grid_shape)
+    ndim = len(grid_shape)
+    axes = tuple(range(ndim))
+    prec = {None: None, "default": None,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+
+    def prep(_u=None):
+        mats = [_dft_matrices(n) for n in grid_shape]
+        inv_sym32 = (1.0 / fft_poisson_symbol(grid_shape, alpha, h, shift,
+                                              jnp.float32))
+
+        def apply(v):
+            dtype = v.dtype
+            if n_components == 2 and not jnp.issubdtype(
+                    dtype, jnp.complexfloating):
+                w = v.reshape(grid_shape + (2,))
+                xr = w[..., 0].astype(jnp.float32)
+                xi = w[..., 1].astype(jnp.float32)
+                xr, xi = _dft_apply(xr, xi, mats, axes, precision=prec)
+                xr, xi = xr * inv_sym32, xi * inv_sym32
+                xr, xi = _dft_apply(xr, xi, mats, axes, inverse=True,
+                                    precision=prec)
+                out = jnp.stack([xr, xi], axis=-1).astype(dtype)
+                return out.reshape(v.shape)
+            if n_components > 1:
+                w = jnp.moveaxis(v.reshape(grid_shape + (n_components,)),
+                                 -1, 0)
+            else:
+                w = v.reshape(grid_shape)[None]
+            w32 = w.astype(jnp.float32)
+            caxes = tuple(a + 1 for a in axes)
+            cmats = mats
+            xr, xi = _dft_apply(w32, jnp.zeros_like(w32), cmats, caxes,
+                                precision=prec)
+            xr, xi = xr * inv_sym32[None], xi * inv_sym32[None]
+            xr, _ = _dft_apply(xr, xi, cmats, caxes, inverse=True,
+                               precision=prec)
+            out = xr.astype(dtype)
+            if n_components > 1:
+                out = jnp.moveaxis(out, 0, -1)
+            return out.reshape(v.shape)
+
+        return apply
+
+    return prep
