@@ -213,7 +213,14 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         if cfg.linsolve.precond_fn is not None:
             # Contract: precond_fn(u) -> (v -> M⁻¹v); a plain v -> M⁻¹v
             # callable (u-independent preconditioner) is also accepted.
-            M = cfg.linsolve.precond_fn(u)
+            # A factory marked ``wants_residual = True`` is staged as
+            # precond_fn(u, fu) — the residual lets it gate precision or
+            # strength on solve progress (e.g. the hybrid mixed-precision
+            # spectral preconditioner in ops/preconditioners.py).
+            if getattr(cfg.linsolve.precond_fn, "wants_residual", False):
+                M = cfg.linsolve.precond_fn(u, fu)
+            else:
+                M = cfg.linsolve.precond_fn(u)
             if not callable(M):
                 M = cfg.linsolve.precond_fn
         else:

@@ -234,3 +234,63 @@ def mxu_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
         return apply
 
     return prep
+
+
+def hybrid_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
+                                  shift=1.0, n_components: int = 1,
+                                  switch_abs, loose_precision=None):
+    """Residual-gated mixed-precision spectral preconditioner:
+    ``prep(u, fu) -> (v -> M⁻¹v)`` choosing per Newton linearization
+    between the fast loose-precision MXU matmul-DFT (default: raw bf16
+    MXU passes, ~24 µs per 512² c64 roundtrip) and the exact XLA-FFT
+    inverse (~136 µs).
+
+    Rationale (measured, docs/tpu_tuning.md §4b): a preconditioner's
+    systematic error acts as a nonlinear-residual floor, so loose
+    precision is free while the outer residual is far above that floor
+    and poison below it.  Inexact Newton spends most Krylov iterations
+    in the far-from-floor phase — gating on ``‖fu‖₂ > switch_abs``
+    runs those at bf16-MXU speed and switches to the exact FFT for the
+    endgame.  The gate is a scalar ``lax.cond`` staged at the
+    per-linearization call (loop-invariant inside the Krylov loop, one
+    branch executed per Newton step — note: under ``vmap`` the cond
+    degrades to both-branches-select, losing the saving).
+
+    ``switch_abs``: ∞-norm threshold of the (flattened) residual; it must
+    sit ABOVE the loose path's residual floor or the gate never trips and
+    the solve stalls there (observed).  Exposed because the factory
+    cannot see ‖f₀‖ — it is staged per linearization, not per solve.
+
+    When it pays: only if the loose path's floor is ≥2 decades below
+    ‖f₀‖∞, so several Newton steps run at loose cost.  Measured on the
+    512² f32 Brusselator bench, the bf16 floor is ~3e-2·‖f₀‖∞ (the 3e-3
+    matvec error times the preconditioned conditioning) — a <1 decade
+    loose window, NOT worth it there; the exact FFT family stays the
+    bench configuration.  The gate earns its keep with wider
+    loose/exact quality gaps (Jacobi loose + spectral exact, f32 loose +
+    f64 exact on CPU).
+    """
+    exact = fft_poisson_preconditioner(grid_shape, alpha, h, shift=shift,
+                                       n_components=n_components)
+    loose_prep = mxu_poisson_preconditioner(grid_shape, alpha, h,
+                                            shift=shift,
+                                            n_components=n_components,
+                                            precision=loose_precision)
+
+    def prep(_u, fu):
+        from jax.flatten_util import ravel_pytree
+        loose = loose_prep(_u)
+        fu_flat, _ = ravel_pytree(fu)
+        # ∞-norm gate: the loose path's residual floor is far lower in the
+        # ∞-norm than in l2 (its error concentrates in few entries), so an
+        # l2 gate can sit BELOW the loose floor and never trip — observed
+        # as a permanent stall at the bf16 floor.
+        big = jnp.max(jnp.abs(fu_flat)) > switch_abs
+
+        def apply(v):
+            return jax.lax.cond(big, loose, exact, v)
+
+        return apply
+
+    prep.wants_residual = True
+    return prep

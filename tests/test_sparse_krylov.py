@@ -572,3 +572,41 @@ def test_mxu_poisson_preconditioner_matches_fft():
             np.testing.assert_allclose(np.asarray(pm(vs)),
                                        np.asarray(a).reshape(vs.shape),
                                        rtol=1e-4, atol=1e-7)
+
+
+def test_hybrid_residual_gated_preconditioner():
+    """Residual-gated preconditioning: the engine stages a
+    ``wants_residual`` factory as precond_fn(u, fu); the hybrid chooses
+    the loose MXU path while ‖fu‖∞ is above switch_abs and the exact FFT
+    below, and a full Newton-GMRES solve through it converges."""
+    import numpy as np
+    from nonlinearsolve_tpu.models import brusselator
+    from nonlinearsolve_tpu.ops.preconditioners import (
+        fft_poisson_preconditioner, hybrid_poisson_preconditioner)
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+
+    N = 32
+    pm = hybrid_poisson_preconditioner((N, N), 10.0, 1.0 / (N - 1),
+                                       shift=3.0, n_components=2,
+                                       switch_abs=10.0)
+    assert pm.wants_residual
+    # staging: big residual selects the loose branch, small the exact one
+    exact = fft_poisson_preconditioner((N, N), 10.0, 1.0 / (N - 1),
+                                       shift=3.0, n_components=2)
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(N * N * 2),
+                    jnp.float64)
+    small = pm(None, jnp.zeros(N * N * 2))(v)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(exact(v)),
+                               rtol=1e-12)   # exact branch, bit-level FFT
+    big = pm(None, jnp.full(N * N * 2, 100.0))(v)
+    err = float(jnp.linalg.norm(big - exact(v)) / jnp.linalg.norm(exact(v)))
+    assert err < 1e-5                         # loose branch, matmul-DFT
+
+    prob = brusselator.make_problem(N, jnp.float64)
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=8,
+                                  krylov_maxiter=200, precond_fn=pm),
+        forcing=EisenstatWalkerForcing(eta_0=0.1, eta_max=0.1))
+    sol = nls.solve(prob, alg, abstol=1e-8, maxiters=40)
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-8
