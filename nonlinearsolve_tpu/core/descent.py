@@ -219,10 +219,17 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
             # spectral preconditioner in ops/preconditioners.py).
             if getattr(cfg.linsolve.precond_fn, "wants_residual", False):
                 M = cfg.linsolve.precond_fn(u, fu)
+                if not callable(M):
+                    raise TypeError(
+                        "a wants_residual preconditioner factory must "
+                        "return a v -> M⁻¹v callable from prep(u, fu); "
+                        f"got {type(M).__name__}")
             else:
                 M = cfg.linsolve.precond_fn(u)
-            if not callable(M):
-                M = cfg.linsolve.precond_fn
+                if not callable(M):
+                    # plain v -> M⁻¹v callable (u-independent): calling it
+                    # with u returned an array, so use the fn itself.
+                    M = cfg.linsolve.precond_fn
         else:
             M = _jacobi_precond(cfg.linsolve, J)
         kw = {}

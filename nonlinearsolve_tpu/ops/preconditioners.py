@@ -126,16 +126,42 @@ def block_jacobi_preconditioner(blocks):
 def _dft_matrices(n: int, dtype=jnp.float32):
     """Real/imag parts of the n-point DFT matrix F[j,k] = e^{-2πi·jk/n},
     staged in-graph: int32 iota outer product reduced mod n BEFORE the
-    trig (jk up to (n-1)² overflows neither int32 nor the f32 mantissa
-    this way), then one cos/sin pass.  No host constants — over a
-    remote-dispatch tunnel embedded MB-scale constants are re-shipped per
-    execution (docs/tpu_tuning.md §7b), while this chain is generated
-    on-device once per capture point."""
+    trig (the reduced jk < n is exact in f32), then one cos/sin pass.
+    No host constants — over a remote-dispatch tunnel embedded MB-scale
+    constants are re-shipped per execution (docs/tpu_tuning.md §7b),
+    while this chain is generated on-device once per capture point.
+
+    The i·j product itself is int32, exact only for n ≤ 46340 — far past
+    any practical dense DFT-matrix size (n = 46341 would be a 17 GB
+    matrix pair), but guarded rather than silently wrapped."""
+    if n > 46340:
+        raise ValueError(
+            f"_dft_matrices: n={n} overflows the int32 i*j product "
+            "(max 46340); a dense DFT matrix at this size is impractical "
+            "anyway — use the FFT preconditioner family")
     i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     jk = jax.lax.rem(i * j, jnp.int32(n)).astype(jnp.float32)
     ang = (-2.0 * jnp.pi / n) * jk
     return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def _resolve_precision(precision):
+    """Accept the documented string names, common aliases, None, or a raw
+    ``jax.lax.Precision`` value; fail with the valid options otherwise."""
+    if isinstance(precision, jax.lax.Precision):
+        return precision
+    table = {None: None, "default": None, "bf16": None,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST,
+             "f32": jax.lax.Precision.HIGHEST}
+    key = precision.lower() if isinstance(precision, str) else precision
+    if key not in table:
+        raise ValueError(
+            f"precision={precision!r}: expected one of "
+            "None/'default'/'bf16'/'high'/'highest'/'f32' or a "
+            "jax.lax.Precision value")
+    return table[key]
 
 
 def _dft_apply(xr, xi, mats, axes, inverse=False, precision=None):
@@ -189,51 +215,53 @@ def mxu_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
     method) where its 1.5×-over-fftn apply cost wins and the floor is
     irrelevant."""
     grid_shape = tuple(int(s) for s in grid_shape)
-    ndim = len(grid_shape)
-    axes = tuple(range(ndim))
-    prec = {None: None, "default": None,
-            "high": jax.lax.Precision.HIGH,
-            "highest": jax.lax.Precision.HIGHEST}[precision]
+    prec = _resolve_precision(precision)
 
     def prep(_u=None):
-        mats = [_dft_matrices(n) for n in grid_shape]
+        mats = tuple(_dft_matrices(n) for n in grid_shape)
         inv_sym32 = (1.0 / fft_poisson_symbol(grid_shape, alpha, h, shift,
                                               jnp.float32))
-
-        def apply(v):
-            dtype = v.dtype
-            if n_components == 2 and not jnp.issubdtype(
-                    dtype, jnp.complexfloating):
-                w = v.reshape(grid_shape + (2,))
-                xr = w[..., 0].astype(jnp.float32)
-                xi = w[..., 1].astype(jnp.float32)
-                xr, xi = _dft_apply(xr, xi, mats, axes, precision=prec)
-                xr, xi = xr * inv_sym32, xi * inv_sym32
-                xr, xi = _dft_apply(xr, xi, mats, axes, inverse=True,
-                                    precision=prec)
-                out = jnp.stack([xr, xi], axis=-1).astype(dtype)
-                return out.reshape(v.shape)
-            if n_components > 1:
-                w = jnp.moveaxis(v.reshape(grid_shape + (n_components,)),
-                                 -1, 0)
-            else:
-                w = v.reshape(grid_shape)[None]
-            w32 = w.astype(jnp.float32)
-            caxes = tuple(a + 1 for a in axes)
-            cmats = mats
-            xr, xi = _dft_apply(w32, jnp.zeros_like(w32), cmats, caxes,
-                                precision=prec)
-            xr, xi = xr * inv_sym32[None], xi * inv_sym32[None]
-            xr, _ = _dft_apply(xr, xi, cmats, caxes, inverse=True,
-                               precision=prec)
-            out = xr.astype(dtype)
-            if n_components > 1:
-                out = jnp.moveaxis(out, 0, -1)
-            return out.reshape(v.shape)
-
-        return apply
+        return _make_mxu_apply(grid_shape, n_components, prec, mats,
+                               inv_sym32)
 
     return prep
+
+
+def _make_mxu_apply(grid_shape, n_components, prec, mats, inv_sym32):
+    """Build the ``v -> M⁻¹v`` closure over staged DFT matrices + symbol
+    (shared by the mxu and hybrid factories)."""
+    axes = tuple(range(len(grid_shape)))
+
+    def apply(v):
+        dtype = v.dtype
+        if n_components == 2 and not jnp.issubdtype(
+                dtype, jnp.complexfloating):
+            w = v.reshape(grid_shape + (2,))
+            xr = w[..., 0].astype(jnp.float32)
+            xi = w[..., 1].astype(jnp.float32)
+            xr, xi = _dft_apply(xr, xi, mats, axes, precision=prec)
+            xr, xi = xr * inv_sym32, xi * inv_sym32
+            xr, xi = _dft_apply(xr, xi, mats, axes, inverse=True,
+                                precision=prec)
+            out = jnp.stack([xr, xi], axis=-1).astype(dtype)
+            return out.reshape(v.shape)
+        if n_components > 1:
+            w = jnp.moveaxis(v.reshape(grid_shape + (n_components,)), -1, 0)
+        else:
+            w = v.reshape(grid_shape)[None]
+        w32 = w.astype(jnp.float32)
+        caxes = tuple(a + 1 for a in axes)
+        xr, xi = _dft_apply(w32, jnp.zeros_like(w32), mats, caxes,
+                            precision=prec)
+        xr, xi = xr * inv_sym32[None], xi * inv_sym32[None]
+        xr, _ = _dft_apply(xr, xi, mats, caxes, inverse=True,
+                           precision=prec)
+        out = xr.astype(dtype)
+        if n_components > 1:
+            out = jnp.moveaxis(out, 0, -1)
+        return out.reshape(v.shape)
+
+    return apply
 
 
 def hybrid_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
@@ -249,7 +277,7 @@ def hybrid_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
     systematic error acts as a nonlinear-residual floor, so loose
     precision is free while the outer residual is far above that floor
     and poison below it.  Inexact Newton spends most Krylov iterations
-    in the far-from-floor phase — gating on ``‖fu‖₂ > switch_abs``
+    in the far-from-floor phase — gating on ``‖fu‖∞ > switch_abs``
     runs those at bf16-MXU speed and switches to the exact FFT for the
     endgame.  The gate is a scalar ``lax.cond`` staged at the
     per-linearization call (loop-invariant inside the Krylov loop, one
@@ -270,22 +298,36 @@ def hybrid_poisson_preconditioner(grid_shape: Sequence[int], alpha, h, *,
     loose/exact quality gaps (Jacobi loose + spectral exact, f32 loose +
     f64 exact on CPU).
     """
+    grid_shape = tuple(int(s) for s in grid_shape)
     exact = fft_poisson_preconditioner(grid_shape, alpha, h, shift=shift,
                                        n_components=n_components)
-    loose_prep = mxu_poisson_preconditioner(grid_shape, alpha, h,
-                                            shift=shift,
-                                            n_components=n_components,
-                                            precision=loose_precision)
+    prec = _resolve_precision(loose_precision)
 
     def prep(_u, fu):
         from jax.flatten_util import ravel_pytree
-        loose = loose_prep(_u)
         fu_flat, _ = ravel_pytree(fu)
         # ∞-norm gate: the loose path's residual floor is far lower in the
         # ∞-norm than in l2 (its error concentrates in few entries), so an
         # l2 gate can sit BELOW the loose floor and never trip — observed
         # as a permanent stall at the bf16 floor.
         big = jnp.max(jnp.abs(fu_flat)) > switch_abs
+
+        # Stage the DFT matrices under the same gate: on endgame (exact)
+        # linearizations the cos/sin generation is replaced by cheap zero
+        # fills instead of doing FFT-apply-scale dead work per step.
+        def gen():
+            return tuple(_dft_matrices(n) for n in grid_shape)
+
+        def skip():
+            return tuple((jnp.zeros((n, n), jnp.float32),
+                          jnp.zeros((n, n), jnp.float32))
+                         for n in grid_shape)
+
+        mats = jax.lax.cond(big, gen, skip)
+        inv_sym32 = (1.0 / fft_poisson_symbol(grid_shape, alpha, h, shift,
+                                              jnp.float32))
+        loose = _make_mxu_apply(grid_shape, n_components, prec, mats,
+                                inv_sym32)
 
         def apply(v):
             return jax.lax.cond(big, loose, exact, v)
