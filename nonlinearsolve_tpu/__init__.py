@@ -77,3 +77,4 @@ from .ops.operators import (JacVecOperator, JacobianOperator,
 from .solvers.homotopy_continuation import (HomotopyContinuationJL,
                                             HomotopyNonlinearFunction,
                                             TaylorHomotopyContinuationJL)
+from .utils.aot import deserialize_solver, export_solver

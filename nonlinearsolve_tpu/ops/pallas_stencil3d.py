@@ -176,7 +176,7 @@ def rd3d_jvp_scaled(u, t, D, inv_scale, *, bz: int = 4):
         grid=(nz // bz,),
         in_specs=[
             pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),      # u slab
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # t in HBM
+            pl.BlockSpec(memory_space=pl.ANY),                 # t in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
@@ -262,9 +262,9 @@ def rd3d_jvp_blocked_halo(u, t, lo, hi, D, *, bz: int = 8,
         grid=(nz // bz,),
         in_specs=[
             pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),      # u slab
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # t in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # lo halo
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # hi halo
+            pl.BlockSpec(memory_space=pl.ANY),                 # t in HBM
+            pl.BlockSpec(memory_space=pl.ANY),                 # lo halo
+            pl.BlockSpec(memory_space=pl.ANY),                 # hi halo
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
@@ -301,7 +301,7 @@ def rd3d_jvp_blocked(u, t, D, *, bz: int = 8, double_buffer: bool = False):
         grid=(nz // bz,),
         in_specs=[
             pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),      # u slab
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # t in HBM
+            pl.BlockSpec(memory_space=pl.ANY),                 # t in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),

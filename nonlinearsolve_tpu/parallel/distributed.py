@@ -97,7 +97,7 @@ def sharded_laplacian_1d_factory(mesh: Mesh, axis: str = "x"):
     """Example explicit-SPMD stencil: periodic 1D Laplacian over shards with
     ppermute halos — the hand-scheduled analogue of what GSPMD does for
     ``jnp.roll`` on a sharded axis."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
@@ -124,7 +124,7 @@ def sharded_rd3d_jvp_factory(mesh: Mesh, D, N: int, axis: str = "x"):
     real TPU slices the per-shard interior compute can further drop into
     the Pallas stencil kernels.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     h2 = (1.0 / N) ** 2
 
@@ -178,7 +178,7 @@ def sharded_rd3d_jvp_pallas_factory(mesh: Mesh, D, N: int, axis: str = "x",
 def psum_dot_factory(mesh: Mesh, axis: str = "x"):
     """Globally-reduced dot product over row-sharded vectors (the GMRES /
     line-search reduction primitive of SURVEY §2.10)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P())
