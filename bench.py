@@ -106,13 +106,40 @@ def main():
     solve_time = chained_solve_time(prob, alg, k=4, reps=3,
                                     abstol=5.0, maxiters=30)
 
+    metric = "brusselator512_spmv_nnz_per_s"
+    # vs_baseline: ratio against a published reference number when one
+    # exists in BASELINE.json (the reference publishes none — published={} —
+    # in which case the ratio is reported against our own recorded round-1
+    # result so regressions are visible).
+    vs_baseline = 1.0
+    try:
+        import os
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BASELINE.json")) as fh:
+            published = json.load(fh).get("published", {}) or {}
+        baseline_val = published.get(metric)
+        if baseline_val is None:
+            # driver record: the bench JSON line lives in the "tail" field
+            with open(os.path.join(here, "BENCH_r01.json")) as fh:
+                tail = json.load(fh).get("tail", "")
+            for line in tail.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    if rec.get("metric") == metric:
+                        baseline_val = rec.get("value")
+        if baseline_val:
+            vs_baseline = nnz_per_s / float(baseline_val)
+    except (OSError, ValueError, KeyError):
+        pass
+
     print(json.dumps({
-        "metric": "brusselator512_spmv_nnz_per_s",
+        "metric": metric,
         "value": nnz_per_s,
         "unit": f"nnz/s/chip (secondary: newton_gmres_fft solve "
                 f"{solve_time:.3f}s, |resid|_inf={resid:.2e}, "
                 f"retcode={int(sol.retcode)})",
-        "vs_baseline": 1.0,
+        "vs_baseline": vs_baseline,
     }))
 
 

@@ -48,6 +48,38 @@ class SolveCarry:
     trace_state: Any = None
 
 
+# The reference validates solve kwargs against a single global
+# ``allowedkeywords`` list and raises on anything unknown (checkkwargs,
+# solve.jl:174-179) — a typo'd ``abstoll=`` must not silently solve at the
+# default tolerance.  This is the union over every dispatch path.
+_ALLOWED_KWARGS = frozenset({
+    # common solver options
+    "abstol", "reltol", "maxiters", "maxtime", "termination_condition",
+    # conditioning / bounds hooks
+    "precondition", "postcondition",
+    # observability
+    "show_trace", "store_trace", "trace_level", "verbose", "time_phases",
+    # ensemble path
+    "trajectories", "mesh", "batch_axis",
+})
+
+
+def check_kwargs(kwargs) -> None:
+    """Reject unknown solve kwargs (reference checkkwargs,
+    solve.jl:174-179)."""
+    unknown = sorted(set(kwargs) - _ALLOWED_KWARGS)
+    if unknown:
+        import difflib
+        hints = []
+        for k in unknown:
+            close = difflib.get_close_matches(k, _ALLOWED_KWARGS, n=1)
+            hints.append(f"{k!r}" + (f" (did you mean {close[0]!r}?)"
+                                     if close else ""))
+        raise TypeError(
+            f"unrecognized solve keyword argument(s): {', '.join(hints)}. "
+            f"Allowed: {sorted(_ALLOWED_KWARGS)}")
+
+
 def _default_algorithm(prob):
     from ..solvers.polyalg import (FastShortcutNLLSPolyalg,
                                    FastShortcutNonlinearPolyalg)
@@ -70,6 +102,7 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
     if isinstance(prob, SteadyStateProblem):
         prob = prob.to_nonlinear()
     merged = {**prob.kwargs, **kwargs}
+    check_kwargs(merged)
 
     from ..solvers.steady_state import DynamicSS, SSRootfind
     if isinstance(alg, SSRootfind):
@@ -128,6 +161,19 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
 
     if alg is None:
         alg = _default_algorithm(prob)
+
+    # MaxTime budget (reference step loop, solve.jl:811-819): route through
+    # the chunked-advance iterator machinery (cache.solve(maxtime=...)) so
+    # the budget is enforced at compiled-chunk boundaries on the host clock.
+    maxtime = merged.pop("maxtime", None)
+    if maxtime is not None:
+        from .cache import init as cache_init
+        cache = cache_init(
+            prob, alg,
+            **{k: v for k, v in merged.items()
+               if k in ("abstol", "reltol", "maxiters",
+                        "termination_condition")})
+        return cache.solve(maxtime=float(maxtime))
     return solve_nonlinear(prob, alg, **merged)
 
 

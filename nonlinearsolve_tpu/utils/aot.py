@@ -53,7 +53,10 @@ def export_solver(prob, alg=None, *, platforms=None, batch=None,
         size; one artifact then serves ANY batch size at call time — the
         serving-side EnsembleProblem analogue.
     solve_kwargs :
-        Frozen solve options (abstol, maxiters, ...).
+        Frozen solve options (abstol, maxiters, ...).  Trace-producing
+        options (``store_trace``/``show_trace``/``trace_level``) are
+        rejected: the exported artifact serializes only
+        ``u/resid/retcode/stats`` and would silently drop the trace.
 
     Returns
     -------
@@ -62,6 +65,14 @@ def export_solver(prob, alg=None, *, platforms=None, batch=None,
     else ``f(u0, p)``.
     """
     from ..core.solve import solve
+
+    bad = sorted(k for k in ("store_trace", "show_trace", "trace_level")
+                 if solve_kwargs.get(k))
+    if bad:
+        raise ValueError(
+            f"export_solver does not support trace options {bad}: the "
+            "exported artifact serializes only u/resid/retcode/stats, so "
+            "the trace would be computed and silently dropped")
 
     has_p = prob.p is not None
 

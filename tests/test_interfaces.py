@@ -221,6 +221,32 @@ def test_extension_alg_constructors_delegate_natively():
                                    rtol=1e-6)
 
 
+def test_solve_rejects_unknown_kwargs():
+    """Reference checkkwargs (solve.jl:174-179): a typo'd kwarg must raise,
+    not silently solve at the default tolerance."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    with pytest.raises(TypeError, match="abstol"):
+        nls.solve(prob, nls.NewtonRaphson(), abstoll=1e-8)
+    with pytest.raises(TypeError, match="unrecognized"):
+        nls.solve(prob, maxiter=10)
+    # problem-level kwargs are validated too (they merge into the call)
+    bad_prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0,
+                                    relto=1e-3)
+    with pytest.raises(TypeError, match="relto"):
+        nls.solve(bad_prob)
+
+
+def test_solve_maxtime():
+    """MaxTime budget on the main solve() path (reference MaxTime in the
+    step loop, solve.jl:811-819), via the chunked-advance machinery."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(), maxtime=0.0, maxiters=100000)
+    assert int(sol.retcode) == int(nls.ReturnCode.MaxTime)
+    sol = nls.solve(prob, nls.NewtonRaphson(), maxtime=30.0)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0), rtol=1e-6)
+
+
 def test_iterator_maxtime():
     """MaxTime budget through the iterator interface (solve.jl:811-819)."""
     prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
