@@ -1,0 +1,464 @@
+"""General Pallas SpMV/SpMM kernels for unstructured sparse patterns.
+
+The role of the reference's SuiteSparse/Krylov sparse matvec engine
+(/root/reference/lib/NonlinearSolveBase/src/jacobian.jl:90-102 routes Krylov
+methods over sparse operators; docs/src/tutorials/large_systems.md:227
+recommends that as the large-system path), built TPU-first.
+
+Hardware model
+--------------
+TPUs have no scalar-gather unit.  The one vectorized random-access
+primitive Mosaic exposes is a **dynamic gather within a 2D register tile**:
+``take_along_axis(x, idx, axis=0|1)`` with ``idx.shape == x.shape``
+(lowering to ``tpu.dynamic_gather``; see jax/_src/pallas/mosaic/lowering.py
+``_gather_lowering_rule``).  An arbitrary 1D gather ``x[c]`` therefore has
+to be composed from tile-level gathers.  For one slot of 128 entries with
+packed indices ``c = 128*hi + lo`` against a window ``xw`` of x tiles
+(``xw[r, l] = x[128*(r0+r) + l]``):
+
+    a1 = take_along_axis(xw, broadcast(lo), axis=1)   # a1[r, l] = xw[r, lo[l]]
+    a2 = take_along_axis(a1, broadcast(hi), axis=0)   # a2[r, l] = xw[hi[l], lo[l]]
+
+— every row of ``a2`` equals the desired gathered vector (lane gather MUST
+run first; the reversed order composes to the wrong element).  The cost is
+``2*W`` register-gather element-ops per nonzero for a window of ``W`` x-tile
+rows, so the plan minimizes ``W`` per 128-row group host-side.
+
+Layout
+------
+**Slot-major windowed ELL ("ELL-T")**: ``data[t, j, s, l]`` is the s-th
+nonzero of row ``1024 t + 128 j + l`` — rows ride the 128-lane axis, so the
+final slot reduction is a native cross-sublane sum.  Column indices ship as
+ONE packed int32 per nonzero (window-local ``128*(hi-r0) + lo``), so HBM
+traffic is 8 bytes/nnz (4 data + 4 index).  Padding slots read x[window
+start] with a stored value of 0 — no masking in the inner loop.
+
+The plan is pattern-static: built host-side once per sparsity pattern
+(cached by fingerprint) exactly like the reference reuses its symbolic
+factorization across ``reinit!`` solves.
+
+Feasibility envelope (checked by :func:`pallas_spmv_supported`):
+``x`` VMEM-resident (n_cols <= ~2.5M f32) and per-row-group column window
+``W <= 512`` x-tile rows (= 64k columns).  RCM-banded patterns (the
+realistic "general sparse" case, reordered by ``native.rcm``) have tiny
+windows at any n; fully random patterns are covered up to n_cols ~ 64k and
+fall back to the XLA segment_sum path beyond — at that scale the library
+steers to matrix-free/DIA/distributed operators anyway (see
+``docs/solvers.md``).
+
+BSR matvec reuses the same kernel through a symbolic block->scalar ELL
+expansion (at b <= 8 the blocks are VPU work, not MXU work).
+``bsr_spmm_pallas`` is the genuinely MXU-shaped multi-RHS kernel: per
+block-row, dynamically sliced (b, nrhs) row-blocks of X feed
+(b, b) x (b, nrhs) matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+ROWS_PER_TILE = SUBLANES * LANES  # 1024 rows of A per grid step
+
+# x must be VMEM-resident for the in-kernel window slices.
+MAX_X_ELEMS_VMEM = (10 * 1024 * 1024) // 4
+MAX_WINDOW_ROWS = 512   # per-group column window cap (x-tile rows)
+MAX_SLOTS = 32          # max nnz/row the kernel unrolls
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class EllPlan:
+    """Host-built slot-major windowed gather plan for one pattern.
+
+    Attributes:
+      w        — slot count (max nnz/row)
+      n_pad    — rows padded to a 1024 multiple; ntiles = n_pad // 1024
+      nx_rows  — padded x tile-row count
+      W        — window height in x-tile rows (static, multiple of 8)
+      r0       — (ntiles, 8) int32 window start per 128-row group
+      idx      — (ntiles, 8, w, 128) packed window-local int32 index
+      perm/valid/safe_perm — CSR-order -> slot-layout scatter map
+    """
+
+    def __init__(self, indptr, indices, n_rows, n_cols):
+        indptr = np.asarray(indptr, np.int64)
+        indices = np.asarray(indices, np.int64)
+        self.indptr = indptr
+        self.indices = indices
+        self._transpose = None   # lazy (tindptr, tindices, tperm)
+        counts = np.diff(indptr)
+        w = max(int(counts.max()) if counts.size else 1, 1)
+        n_pad = _round_up(max(n_rows, 1), ROWS_PER_TILE)
+        ntiles = n_pad // ROWS_PER_TILE
+
+        # slot-major dense tables in (w, n_pad) row-major layout
+        hi_t = np.zeros((w, n_pad), np.int64)
+        lo_t = np.zeros((w, n_pad), np.int64)
+        has = np.zeros((w, n_pad), bool)
+        perm = np.full((w, n_pad), -1, np.int64)
+        nnz_pos = np.arange(len(indices), dtype=np.int64)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        slot_ids = nnz_pos - indptr[:-1][row_ids]
+        hi_t[slot_ids, row_ids] = indices // LANES
+        lo_t[slot_ids, row_ids] = indices % LANES
+        has[slot_ids, row_ids] = True
+        perm[slot_ids, row_ids] = nnz_pos
+
+        # (w, n_pad) -> (ntiles, 8, w, 128)
+        def to_tiles(a):
+            return (a.reshape(w, ntiles, SUBLANES, LANES)
+                    .transpose(1, 2, 0, 3).copy())
+
+        hi_t, lo_t, has = to_tiles(hi_t), to_tiles(lo_t), to_tiles(has)
+        self.perm = to_tiles(perm).reshape(-1)
+        self.valid = self.perm >= 0
+        self.safe_perm = np.where(self.valid, self.perm, 0)
+
+        # per-(tile, group) window: [r0, r0 + W) in x-tile rows
+        hi_min = np.where(has, hi_t, np.iinfo(np.int64).max).min(axis=(2, 3))
+        hi_max = np.where(has, hi_t, -1).max(axis=(2, 3))
+        empty = hi_max < 0
+        hi_min = np.where(empty, 0, hi_min)
+        hi_max = np.where(empty, 0, hi_max)
+        r0 = (hi_min // SUBLANES) * SUBLANES
+        span = hi_max - r0 + 1
+        W = _round_up(max(int(span.max()), 1), SUBLANES)
+        nx_rows = max(_round_up(pl.cdiv(max(n_cols, 1), LANES), SUBLANES), W)
+        r0 = np.minimum(r0, nx_rows - W)
+        hi_local = hi_t - r0[:, :, None, None]
+        # padding slots gather window element 0 (value multiplied by 0)
+        hi_local = np.where(has, hi_local, 0)
+        lo_t = np.where(has, lo_t, 0)
+        self.idx = (hi_local * LANES + lo_t).astype(np.int32)
+        self.r0 = r0.astype(np.int32)
+        self.W = W
+        self.w = w
+        self.n_rows = n_rows
+        self.n_cols = n_cols
+        self.n_pad = n_pad
+        self.ntiles = ntiles
+        self.nx_rows = nx_rows
+
+    def pack_data(self, csr_data):
+        """Scatter CSR-ordered nonzeros into the slot-major tile layout
+        (traced; indices static)."""
+        vals = jnp.where(jnp.asarray(self.valid),
+                         jnp.take(csr_data, jnp.asarray(self.safe_perm)),
+                         jnp.zeros((), csr_data.dtype))
+        return vals.reshape(self.ntiles, SUBLANES, self.w, LANES)
+
+    def pack_x(self, x):
+        xp = jnp.zeros((self.nx_rows * LANES,), x.dtype)
+        return xp.at[:x.shape[0]].set(x).reshape(self.nx_rows, LANES)
+
+    @property
+    def supported(self) -> bool:
+        return (self.n_cols <= MAX_X_ELEMS_VMEM
+                and self.W <= MAX_WINDOW_ROWS
+                and self.w <= MAX_SLOTS)
+
+    @property
+    def row_ids(self):
+        return np.repeat(np.arange(self.n_rows, dtype=np.int64),
+                         np.diff(self.indptr))
+
+    def transpose_pattern(self):
+        """(tindptr, tindices, tperm): the CSR pattern of A^T plus the
+        permutation mapping A's data order into A^T's (host, cached)."""
+        if self._transpose is None:
+            rows = self.row_ids
+            order = np.lexsort((rows, self.indices))  # sort by (col, row)
+            counts = np.bincount(self.indices, minlength=self.n_cols)
+            tindptr = np.concatenate([[0], np.cumsum(counts)])
+            self._transpose = (tindptr, rows[order], order)
+        return self._transpose
+
+
+_PLAN_CACHE: dict = {}
+
+
+def ell_plan_for(indptr, indices, n_rows, n_cols) -> EllPlan:
+    """Build (or fetch) the gather plan for a pattern, keyed by a
+    fingerprint of the symbolic structure, so repeated solves and data
+    refreshes reuse the host work and the jit cache."""
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(indptr, np.int64)))
+    h.update(np.ascontiguousarray(np.asarray(indices, np.int64)))
+    key = (h.hexdigest(), int(n_rows), int(n_cols))
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = EllPlan(indptr, indices, int(n_rows), int(n_cols))
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _make_ell_kernel(W: int, w: int):
+    def kernel(r0_ref, idx_ref, data_ref, x_ref, out_ref):
+        # r0_ref: (1, 8) SMEM; idx/data: (1, 8, w, 128);
+        # x_ref: (R, 128) resident; out: (1, 8, 128)
+        for j in range(SUBLANES):
+            xw = x_ref[pl.ds(r0_ref[0, j], W), :]
+            acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
+            for s in range(w):
+                idx = idx_ref[0, j, s:s + 1, :]          # (1, 128) packed
+                hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+                lo = jax.lax.bitwise_and(idx, jnp.int32(127))
+                # lane gather FIRST, then sublane gather (see module doc)
+                a1 = jnp.take_along_axis(
+                    xw, jnp.broadcast_to(lo, (W, LANES)), axis=1)
+                a2 = jnp.take_along_axis(
+                    a1, jnp.broadcast_to(hi, (W, LANES)), axis=0)
+                acc = acc + data_ref[0, j, s:s + 1, :] * a2[0:1, :]
+            out_ref[0, j, :] = acc[0, :]
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ntiles", "w", "W", "interpret"))
+def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, interpret):
+    return pl.pallas_call(
+        _make_ell_kernel(W, w),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+        ],
+        out_specs=pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntiles, SUBLANES, LANES),
+                                       data.dtype),
+        interpret=interpret,
+    )(r0, idx, data, x2d)
+
+
+def _use_interpret(interpret):
+    if interpret is not None:
+        return bool(interpret)
+    return jax.default_backend() != "tpu"
+
+
+def _ell_spmv_core(plan: EllPlan, interpret: bool, csr_data, x):
+    data = plan.pack_data(csr_data)
+    x2d = plan.pack_x(x)
+    out = _ell_spmv_call(jnp.asarray(plan.r0), jnp.asarray(plan.idx), data,
+                         x2d, ntiles=plan.ntiles, w=plan.w, W=plan.W,
+                         interpret=interpret)
+    return out.reshape(plan.n_pad)[:plan.n_rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ell_spmv_ad(plan, interpret, csr_data, x):
+    return _ell_spmv_core(plan, interpret, csr_data, x)
+
+
+def _ell_spmv_fwd(plan, interpret, csr_data, x):
+    return _ell_spmv_core(plan, interpret, csr_data, x), (csr_data, x)
+
+
+def _ell_spmv_bwd(plan, interpret, res, ybar):
+    csr_data, x = res
+    # x-cotangent: A^T ybar — same kernel on the transpose pattern when it
+    # fits the envelope, XLA segment_sum otherwise.
+    tindptr, tindices, tperm = plan.transpose_pattern()
+    tplan = ell_plan_for(tindptr, tindices, plan.n_cols, plan.n_rows)
+    tdata = jnp.take(csr_data, jnp.asarray(tperm))
+    if tplan.supported or interpret:
+        xbar = _ell_spmv_core(tplan, interpret, tdata, ybar)
+    else:
+        prod = tdata * jnp.take(ybar, jnp.asarray(tindices))
+        xbar = jax.ops.segment_sum(
+            prod, jnp.asarray(np.repeat(np.arange(plan.n_cols),
+                                        np.diff(tindptr))),
+            num_segments=plan.n_cols)
+    # data-cotangent: dbar_k = ybar[row_k] * x[col_k] (static-index takes)
+    dbar = (jnp.take(ybar, jnp.asarray(plan.row_ids))
+            * jnp.take(x, jnp.asarray(plan.indices)))
+    return dbar.astype(csr_data.dtype), xbar.astype(x.dtype)
+
+
+_ell_spmv_ad.defvjp(_ell_spmv_fwd, _ell_spmv_bwd)
+
+
+def ell_spmv_pallas(plan: EllPlan, csr_data, x, *, interpret=None):
+    """y = A @ x through the slot-major windowed gather kernel.
+
+    ``csr_data`` is the CSR-ordered nonzero vector (traced), ``plan`` the
+    static pattern plan.  Falls back transparently to interpret mode off
+    TPU so the same code path is exercised in CPU tests.  Reverse-mode
+    differentiable in both ``csr_data`` and ``x`` (custom VJP — the
+    x-cotangent rides the transpose-pattern kernel); forward-mode callers
+    should apply the kernel to the tangent directly (the map is linear).
+    """
+    return _ell_spmv_ad(plan, _use_interpret(interpret), csr_data, x)
+
+
+def pallas_spmv_supported(csr) -> bool:
+    """Cheap host check: is the Pallas gather kernel applicable to this
+    CSR pattern?  (Builds/caches the plan — symbolic work only.)"""
+    try:
+        plan = ell_plan_for(csr.indptr, csr.indices, csr.shape[0],
+                            csr.shape[1])
+    except Exception:  # noqa: BLE001 — malformed pattern: use XLA path
+        return False
+    return plan.supported
+
+
+def csr_spmv_pallas(csr, x, *, interpret=None):
+    """CSR matvec through the Pallas kernel (plan cached by pattern)."""
+    plan = ell_plan_for(csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
+    return ell_spmv_pallas(plan, csr.data, x, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# BSR: block expansion for SpMV; MXU block-row kernel for SpMM
+# ---------------------------------------------------------------------------
+
+
+_BSR_EXPAND_CACHE: dict = {}
+
+
+def bsr_scalar_pattern(bsr) -> tuple:
+    """Expand a BSR block pattern to the equivalent scalar CSR pattern
+    (host, symbolic, cached).  Returns (indptr, indices, take_order) where
+    ``take_order`` maps flattened (nblocks, b, b) data into CSR nonzero
+    order."""
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(bsr.indptr))
+    h.update(np.ascontiguousarray(bsr.indices))
+    key = (h.hexdigest(), bsr.shape, bsr.blocksize)
+    hit = _BSR_EXPAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    b = bsr.blocksize
+    nbr = bsr.shape[0] // b
+    block_counts = np.diff(bsr.indptr)
+    indptr = [0]
+    indices = []
+    order = []
+    for i in range(nbr):
+        blocks = np.arange(bsr.indptr[i], bsr.indptr[i + 1])
+        bcols = bsr.indices[bsr.indptr[i]:bsr.indptr[i + 1]]
+        o = np.argsort(bcols, kind="stable")
+        blocks, bcols = blocks[o], bcols[o]
+        for r in range(b):
+            for k, bc in zip(blocks, bcols):
+                indices.append(np.arange(bc * b, bc * b + b))
+                order.append(k * b * b + r * b + np.arange(b))
+            indptr.append(indptr[-1] + b * int(block_counts[i]))
+    indices = (np.concatenate(indices).astype(np.int64) if indices
+               else np.zeros((0,), np.int64))
+    order = (np.concatenate(order).astype(np.int64) if order
+             else np.zeros((0,), np.int64))
+    out = (np.asarray(indptr, np.int64), indices, order)
+    _BSR_EXPAND_CACHE[key] = out
+    return out
+
+
+def bsr_spmv_pallas(bsr, x, *, interpret=None):
+    """BSR matvec through the scalar ELL gather kernel (symbolic block
+    expansion cached; the data reshuffle is a static take)."""
+    indptr, indices, order = bsr_scalar_pattern(bsr)
+    plan = ell_plan_for(indptr, indices, bsr.shape[0], bsr.shape[1])
+    csr_data = jnp.take(bsr.data.reshape(-1), jnp.asarray(order))
+    return ell_spmv_pallas(plan, csr_data, x, interpret=interpret)
+
+
+def _bsr_spmm_kernel(cols_ref, data_ref, x_ref, out_ref, acc_ref):
+    """One block-row of Y = A @ X.
+
+    cols_ref: (1, wb) SMEM block-column ids (ELL-padded, -1 = pad);
+    data_ref: (1, wb, b, b); x_ref: (nbc*b, nrhs) resident;
+    out: (1, b, nrhs).
+    """
+    _, wb, b, _ = data_ref.shape
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(k, _):
+        bc = cols_ref[0, k]
+
+        @pl.when(bc >= 0)
+        def _():
+            xb = x_ref[pl.ds(bc * b, b), :]
+            acc_ref[...] += jnp.dot(data_ref[0, k], xb,
+                                    preferred_element_type=acc_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, wb, body, 0)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nbr", "wb", "b", "interpret"))
+def _bsr_spmm_call(cols, data, x, *, nbr, wb, b, interpret):
+    nrhs = x.shape[1]
+    return pl.pallas_call(
+        _bsr_spmm_kernel,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((1, wb), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wb, b, b), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, nrhs), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbr, b, nrhs), data.dtype),
+        scratch_shapes=[pltpu.VMEM(
+            (b, nrhs),
+            jnp.float64 if data.dtype == jnp.float64 else jnp.float32)],
+        interpret=interpret,
+    )(cols, data, x)
+
+
+def _bsr_ell_blocks(bsr):
+    """ELL-pad the block pattern: (cols (nbr, wb) int32 with -1 padding,
+    perm block ids, valid mask)."""
+    b = bsr.blocksize
+    nbr = bsr.shape[0] // b
+    counts = np.diff(bsr.indptr)
+    wb = max(int(counts.max()) if counts.size else 1, 1)
+    cols = np.full((nbr, wb), -1, np.int32)
+    perm = np.zeros((nbr, wb), np.int64)
+    valid = np.zeros((nbr, wb), bool)
+    for i in range(nbr):
+        k = counts[i]
+        cols[i, :k] = bsr.indices[bsr.indptr[i]:bsr.indptr[i + 1]]
+        perm[i, :k] = np.arange(bsr.indptr[i], bsr.indptr[i + 1])
+        valid[i, :k] = True
+    return cols, perm, valid
+
+
+def bsr_spmm_pallas(bsr, X, *, interpret=None):
+    """Y = A @ X for BSR A and dense multi-RHS X — the MXU path: each
+    block-row streams its (b, b) blocks against dynamically sliced
+    (b, nrhs) row-blocks of X."""
+    b = bsr.blocksize
+    n, m = bsr.shape
+    cols, perm, valid = _bsr_ell_blocks(bsr)
+    nbr, wb = cols.shape
+    data = jnp.where(jnp.asarray(valid)[:, :, None, None],
+                     jnp.take(bsr.data, jnp.asarray(perm.reshape(-1)),
+                              axis=0).reshape(nbr, wb, b, b),
+                     jnp.zeros((), bsr.data.dtype))
+    nrhs = X.shape[1]
+    nrhs_pad = _round_up(nrhs, LANES)
+    Xp = jnp.zeros((m, nrhs_pad), X.dtype).at[:, :nrhs].set(X)
+    out = _bsr_spmm_call(jnp.asarray(cols), data, Xp, nbr=nbr, wb=wb, b=b,
+                         interpret=_use_interpret(interpret))
+    return out.reshape(n, nrhs_pad)[:, :nrhs]

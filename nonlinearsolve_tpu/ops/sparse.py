@@ -7,8 +7,10 @@ engine; the performant layouts are structure-aware:
 * ``CSR`` — general container (host-built pattern, device data); SpMV via
   XLA ``segment_sum`` (correctness path, CPU-friendly).
 * ``ELL`` — padded rows (n_rows × max_nnz), the gather-based TPU layout;
-  SpMV via ``take`` + masked reduction, or the Pallas kernel in
-  ``pallas_spmv.py``.
+  SpMV via ``take`` + masked reduction on CPU.  On TPU, ``CSR.matvec`` /
+  ``BSR.matvec`` route through the slot-major windowed Pallas gather
+  kernel in ``pallas_spmv.py`` whenever the pattern fits its envelope
+  (x VMEM-resident, bounded per-row-group column window).
 * ``DIA`` — banded/diagonal storage: SpMV is a sum of shifted elementwise
   products — zero gathers, pure VPU, bandwidth-bound at speed-of-light.
   The PDE stencil matrices of the benchmark set (Bratu, Brusselator,
@@ -87,7 +89,19 @@ class CSR:
         return out.at[self.row_ids, self.indices].set(self.data)
 
     def matvec(self, x):
-        """SpMV via segment_sum (XLA path)."""
+        """SpMV.  On TPU dispatches to the Pallas gather kernel
+        (``pallas_spmv.py``) when the pattern fits its envelope; the XLA
+        ``segment_sum`` path is the portable fallback."""
+        if jax.default_backend() == "tpu" and jnp.ndim(self.data) == 1:
+            from .pallas_spmv import csr_spmv_pallas, pallas_spmv_supported
+            if pallas_spmv_supported(self):
+                return csr_spmv_pallas(self, x)
+        prod = self.data * jnp.take(x, jnp.asarray(self.indices), axis=0)
+        return jax.ops.segment_sum(prod, jnp.asarray(self.row_ids),
+                                   num_segments=self.shape[0])
+
+    def matvec_xla(self, x):
+        """SpMV via segment_sum (XLA path; benchmark baseline)."""
         prod = self.data * jnp.take(x, jnp.asarray(self.indices), axis=0)
         return jax.ops.segment_sum(prod, jnp.asarray(self.row_ids),
                                    num_segments=self.shape[0])
@@ -316,6 +330,13 @@ class BSR:
         return BSR(data, ubcol, indptr, csr.shape, b)
 
     def matvec(self, x):
+        if jax.default_backend() == "tpu" and jnp.ndim(self.data) == 3:
+            from .pallas_spmv import (bsr_scalar_pattern, bsr_spmv_pallas,
+                                      ell_plan_for)
+            indptr, indices, _ = bsr_scalar_pattern(self)
+            if ell_plan_for(indptr, indices, self.shape[0],
+                            self.shape[1]).supported:
+                return bsr_spmv_pallas(self, x)
         b = self.blocksize
         xb = x.reshape(-1, b)
         gathered = jnp.take(xb, jnp.asarray(self.indices), axis=0)
