@@ -49,6 +49,13 @@ class DescentCtx:
     # NonlinearVerbosity (core.verbosity) or None — gates @SciMLMessage-
     # style emissions at traced engine sites.
     verbosity: Any = None
+    # core.timer.PhaseTimer or None — opt-in per-phase timing callbacks
+    # (the reference's @static_timeit regions, timer_outputs.jl:3-55).
+    timer: Any = None
+
+    def mark(self, phase: str) -> None:
+        if self.timer is not None:
+            self.timer.mark(phase)
 
     @property
     def square(self) -> bool:
@@ -241,6 +248,16 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         res = solve_krylov(
             method, matvec, b, restart=cfg.linsolve.restart,
             maxiter=cfg.linsolve.krylov_maxiter, rtol=rtol, M=M, **kw)
+        from .verbosity import traced_emit_linear
+        traced_emit_linear(
+            ctx.verbosity, "krylov_unconverged", ~res.success,
+            "Krylov solve did not reach rtol (|r| = {rn} after {it} "
+            "iterations)", rn=res.residual_norm, it=res.iterations)
+        traced_emit_linear(
+            ctx.verbosity, "krylov_breakdown",
+            ~jnp.all(jnp.isfinite(res.x)),
+            "Krylov breakdown: non-finite iterate (|r| = {rn})",
+            rn=res.residual_norm)
         return -res.x, jnp.all(jnp.isfinite(res.x))
 
     if isinstance(J, (CSR, DIA, ELL)):
@@ -259,7 +276,8 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         J = J.todense()
     fu_flat = jnp.ravel(fu)
     if ctx.square:
-        x, ok = solve_dense(J, fu_flat, cfg.linsolve)
+        x, ok = solve_dense(J, fu_flat, cfg.linsolve,
+                            verbosity=ctx.verbosity)
     else:
         x, _, _, _ = jnp.linalg.lstsq(J, fu_flat, rcond=None)
         ok = jnp.all(jnp.isfinite(x))

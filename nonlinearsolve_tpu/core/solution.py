@@ -54,6 +54,9 @@ class NonlinearSolution:
     stats: Any = None
     trace: Any = None
     original: Any = None
+    # per-phase timing dict from solve(..., time_phases=True)
+    # (reference timer_outputs.jl role); None otherwise.
+    timer: Any = None
 
     @property
     def success(self):

@@ -55,6 +55,7 @@ class SolveCarry:
 _ALLOWED_KWARGS = frozenset({
     # common solver options
     "abstol", "reltol", "maxiters", "maxtime", "termination_condition",
+    "alias_u0",
     # conditioning / bounds hooks
     "precondition", "postcondition",
     # observability
@@ -206,8 +207,8 @@ def _build_null_solution(prob, merged) -> NonlinearSolution:
 def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
                     termination_condition=None, precondition=None,
                     postcondition=None, show_trace=False, store_trace=False,
-                    trace_level=None, verbose=None,
-                    **_ignored) -> NonlinearSolution:
+                    trace_level=None, verbose=None, time_phases=False,
+                    alias_u0=False, **_ignored) -> NonlinearSolution:
     u0_flat, _ = ravel_pytree(prob.u0)
     dtype = jnp.zeros((), u0_flat.dtype).real.dtype   # tolerances are real
     abstol_v = jnp.asarray(get_tolerance(abstol, dtype), dtype)
@@ -251,6 +252,20 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
 
     from .verbosity import normalize_verbosity
     verbosity = normalize_verbosity(verbose)
+    if verbosity is not None and alias_u0:
+        # JAX arrays are immutable — aliasing u0 can never mutate the
+        # caller's buffer (the reference warns on immutable u0 the same
+        # way; alias-specifier handling in solve.jl:96-112).
+        verbosity.emit(
+            "alias_u0_immutable",
+            "alias_u0=True has no effect: JAX arrays are immutable, the "
+            "solver always works on fresh buffers")
+    if verbosity is not None and verbosity.enabled("sensitivity_vjp_choice"):
+        verbosity.emit(
+            "sensitivity_vjp_choice",
+            "reverse-mode sensitivities transpose the linear-in-tangent "
+            "IFT custom_jvp (core/sensitivity.py) — no adjoint solver "
+            "selection needed")
     if verbosity is not None and postcondition is not None \
             and getattr(postcondition, "space", "original") == "transformed" \
             and not has_bounds:
@@ -260,11 +275,25 @@ def solve_nonlinear(prob, alg, *, abstol=None, reltol=None, maxiters=1000,
             "problem has no bounds — the corrector runs in the original "
             "coordinates (conditioning.jl:46-66)")
 
+    # Opt-in per-phase timing (the reference's @static_timeit preference,
+    # timer_outputs.jl:3-55): a fresh PhaseTimer keys a fresh compilation —
+    # diagnostic mode, exactly like the reference's pref-gated recompile.
+    timer = None
+    if time_phases:
+        from .timer import PhaseTimer
+        timer = PhaseTimer()
+
     plan = (f, alg, termination_condition, is_lsq, sparse_plan,
-            precondition, postcondition, has_bounds, trace_cfg, verbosity)
+            precondition, postcondition, has_bounds, trace_cfg, verbosity,
+            timer)
     lb, ub = (prob.lb, prob.ub) if has_bounds else (None, None)
-    return _jitted_solve(plan, prob.u0, p_eff, lb, ub, abstol_v, reltol_v,
-                         jnp.int32(maxiters))
+    sol = _jitted_solve(plan, prob.u0, p_eff, lb, ub, abstol_v, reltol_v,
+                        jnp.int32(maxiters))
+    if timer is not None:
+        jax.block_until_ready(sol.u)
+        jax.effects_barrier()
+        sol = sol.replace(timer=timer.summarize())
+    return sol
 
 
 def _closure_captures_tracer(fn, _depth: int = 0) -> bool:
@@ -353,7 +382,7 @@ def _shaped_supported(alg) -> bool:
 def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
                 maxiters) -> NonlinearSolution:
     f, alg, term_cfg, is_lsq, sparse_plan, precondition, postcondition, \
-        has_bounds, trace_cfg, verbosity = plan
+        has_bounds, trace_cfg, verbosity, timer = plan
     fu0_tree = f(u0, p)
 
     u0_leaves, u0_treedef = jax.tree_util.tree_flatten(u0)
@@ -449,7 +478,7 @@ def _solve_impl(plan, u0, p, lb, ub, abstol, reltol,
     ctx = DescentCtx(
         f_flat=f_flat, n_in=int(u0_flat.size), n_out=int(fu0_flat.size),
         is_least_squares=bool(is_lsq), postcondition=post_flat,
-        trace=trace_cfg, verbosity=verbosity,
+        trace=trace_cfg, verbosity=verbosity, timer=timer,
     )
 
     from .jacobian import JacobianSpec

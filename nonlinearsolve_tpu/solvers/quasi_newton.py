@@ -397,6 +397,10 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
     reinit = carry.force_reinit | rule_reset
     nresets = carry.nresets + jnp.where(reinit, jnp.int32(1), jnp.int32(0))
     resets_exhausted = reinit & (nresets >= alg.max_resets)
+    from ..core.verbosity import traced_emit
+    traced_emit(ctx.verbosity, "threshold_state", reinit,
+                "approximate-Jacobian reset #{n} (structure "
+                f"{alg.structure}, threshold {alg.threshold})", n=nresets)
 
     J = jax.lax.cond(
         reinit,

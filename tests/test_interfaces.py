@@ -158,6 +158,92 @@ def test_verbosity_toggles():
         NonlinearVerbosity("bogus")
 
 
+def test_verbosity_full_matrix():
+    """Every message class is individually toggleable on top of every
+    preset (the reference's full matrix, verbosity.jl:1-90)."""
+    from nonlinearsolve_tpu.core.verbosity import (_CLASSES,
+                                                   NonlinearVerbosity)
+    for preset in ("none", "minimal", "standard", "detailed", "all"):
+        for cls in _CLASSES:
+            on = NonlinearVerbosity(preset, **{cls: True})
+            off = NonlinearVerbosity(preset, **{cls: False})
+            assert on.enabled(cls)
+            assert not off.enabled(cls)
+    assert set(_CLASSES) == {
+        "non_enclosing_interval", "alias_u0_immutable",
+        "linsolve_failed_noncurrent", "termination_condition",
+        "threshold_state", "forcing", "sensitivity_vjp_choice",
+        "unsupported_postcondition"}
+
+
+def test_verbosity_group_control():
+    """Group-level settings (error_control/numerical/sensitivity), with
+    individual classes overriding groups (verbosity.jl constructor)."""
+    from nonlinearsolve_tpu.core.verbosity import NonlinearVerbosity
+    v = NonlinearVerbosity("none", numerical=True)
+    assert v.enabled("forcing") and v.enabled("threshold_state")
+    assert not v.enabled("termination_condition")
+    v2 = NonlinearVerbosity("all", error_control=False,
+                            termination_condition=True)
+    assert v2.enabled("termination_condition")   # class beats group
+    assert not v2.enabled("non_enclosing_interval")
+    assert v2.enabled("forcing")                 # untouched by the group
+
+
+def test_verbosity_nested_linear(capfd):
+    """The nested linear_verbosity sub-specifier reaches the Krylov
+    emission sites (the LinearSolve verbosity slot)."""
+    from nonlinearsolve_tpu.core.verbosity import (LinearVerbosity,
+                                                   NonlinearVerbosity)
+    lv = LinearVerbosity("none", krylov_unconverged=True)
+    v = NonlinearVerbosity("none", linear_verbosity=lv)
+    assert v.linear.enabled("krylov_unconverged")
+    assert not v.linear.enabled("krylov_breakdown")
+    # starve GMRES so the unconverged message fires (a non-normal Jacobian:
+    # the quadratic's J = 2uI is solved exactly by one Krylov dim)
+    def skewed(u, p):
+        return jnp.array([4.0 * u[0] + u[1] ** 2 - p,
+                          u[0] ** 3 + 0.5 * u[1] - p])
+
+    prob = nls.NonlinearProblem(skewed, jnp.array([1.0, 2.0]), 2.0)
+    alg = nls.NewtonRaphson(linsolve=nls.LinearSolver(
+        method="gmres", restart=1, krylov_maxiter=1))
+    nls.solve(prob, alg, verbose=v, maxiters=3)
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "krylov_unconverged" in out.out + out.err
+
+
+def test_verbose_alias_u0_immutable(capfd):
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    nls.solve(prob, nls.NewtonRaphson(), alias_u0=True, verbose="all")
+    out = capfd.readouterr()
+    assert "alias_u0_immutable" in out.out + out.err
+    # silent by default
+    nls.solve(prob, nls.NewtonRaphson(), alias_u0=True)
+    out = capfd.readouterr()
+    assert "alias_u0_immutable" not in out.out + out.err
+
+
+def test_time_phases():
+    """solve(..., time_phases=True) -> per-phase timing table whose phases
+    sum to the instrumented total (timer_outputs.jl:3-55 role)."""
+    prob = nls.NonlinearProblem(quadratic, jnp.array([1.0, 1.0]), 2.0)
+    sol = nls.solve(prob, nls.NewtonRaphson(), time_phases=True)
+    assert bool(sol.success)
+    t = sol.timer
+    assert set(t) >= {"jacobian", "descent", "linesearch", "other",
+                      "total"}
+    phase_sum = t["jacobian"] + t["descent"] + t["linesearch"] + t["other"]
+    assert phase_sum == pytest.approx(t["total"], rel=1e-6)
+    assert t["total"] > 0 and t["jacobian"] > 0 and t["descent"] > 0
+    # trust-region variant exercises the linesearch/globalization slot
+    sol2 = nls.solve(prob, nls.TrustRegion(), time_phases=True)
+    assert sol2.timer["linesearch"] > 0
+    # default path carries no timer
+    assert nls.solve(prob, nls.NewtonRaphson()).timer is None
+
+
 @pytest.mark.parametrize("alg", [nls.SciPyRoot(method="hybr"),
                                  nls.SciPyRoot(method="lm"),
                                  nls.SciPyRoot(method="df-sane")],
