@@ -359,8 +359,24 @@ def _update_jacobian(alg: QuasiNewtonAlgorithm, J, fu, fu_prev, u, du):
     return J + corr
 
 
+def resolve_low_rank(alg: QuasiNewtonAlgorithm, n: int):
+    """When the low-rank history is at least as deep as the state, the ring
+    approximation IS a full inverse — run as plain (full) good Broyden.
+    The reference's Simple tier does exactly this ("If the threshold is
+    larger than the problem size, then this method will use SimpleBroyden",
+    SimpleNonlinearSolve/src/lbroyden.jl:9, 81-84); its full tier merely
+    warns that such thresholds "may cause numerical instability"
+    (initialization.jl:181-184) and indeed destabilizes — we adopt the
+    Simple tier's semantics for both."""
+    import dataclasses
+    if alg.structure == "low_rank" and n <= alg.threshold:
+        return dataclasses.replace(alg, structure="full")
+    return alg
+
+
 def init_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
                       u0_flat, reltol):
+    alg = resolve_low_rank(alg, int(u0_flat.size))
     fu0 = ctx.f_flat(u0_flat)
     J0 = _init_J(alg, jac_fn, u0_flat, fu0)
     term = trm.init_termination(term_cfg, fu0, u0_flat, reltol)
@@ -389,6 +405,7 @@ def init_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
 def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
                       carry: QNCarry, abstol, reltol) -> QNCarry:
     """One iteration (solve.jl:293-482)."""
+    alg = resolve_low_rank(alg, int(carry.u.size))
     u, fu = carry.u, carry.fu
 
     # --- reinit decision --------------------------------------------------
@@ -570,6 +587,7 @@ def step_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, jac_fn,
 
 def run_quasi_newton(alg: QuasiNewtonAlgorithm, ctx, term_cfg, analytic_jac,
                      u0_flat, abstol, reltol, maxiters):
+    alg = resolve_low_rank(alg, int(u0_flat.size))
     jac_fn = construct_dense_jacobian_fn(ctx.f_flat, alg.jacobian, ctx.n_in,
                                          ctx.n_out, analytic_jac)
     carry0 = init_quasi_newton(alg, ctx, term_cfg, jac_fn, u0_flat, reltol)
