@@ -21,7 +21,7 @@ from typing import Any
 _GROUPS = {
     "error_control": ("non_enclosing_interval", "alias_u0_immutable",
                       "linsolve_failed_noncurrent", "termination_condition",
-                      "unsupported_postcondition"),
+                      "unsupported_postcondition", "dropped_extension_kwarg"),
     "numerical": ("threshold_state", "forcing"),
     "sensitivity": ("sensitivity_vjp_choice",),
 }
@@ -30,11 +30,13 @@ _CLASSES = tuple(c for grp in _GROUPS.values() for c in grp)
 _PRESETS = {
     "none": frozenset(),
     "minimal": frozenset({"non_enclosing_interval",
-                          "linsolve_failed_noncurrent"}),
+                          "linsolve_failed_noncurrent",
+                          "dropped_extension_kwarg"}),
     "standard": frozenset({"non_enclosing_interval",
                            "linsolve_failed_noncurrent",
                            "termination_condition",
-                           "unsupported_postcondition"}),
+                           "unsupported_postcondition",
+                           "dropped_extension_kwarg"}),
     "detailed": frozenset(set(_CLASSES) - {"forcing"}),
     "all": frozenset(_CLASSES),
 }

@@ -92,7 +92,33 @@ def _sym(x, default):
     return s or default
 
 
-def CMINPACK(*, method=None, autodiff=None, **_ignored):
+def _warn_dropped(constructor: str, dropped):
+    """Emit a visible notice when a delegating bridge constructor is handed
+    reference kwargs the native delegation cannot honor (the reference's
+    wrappers forward these to the external binary; here they'd be silently
+    meaningless).  Routed through the ``dropped_extension_kwarg`` verbosity
+    class (on in the minimal/standard presets) so
+    ``NonlinearVerbosity("none")``-style global silencing stays possible via
+    ``nonlinearsolve_tpu.solvers.wrappers.CONSTRUCTOR_VERBOSITY``."""
+    if isinstance(dropped, dict):
+        dropped = {k: v for k, v in dropped.items() if v is not None}
+    if not dropped:
+        return
+    CONSTRUCTOR_VERBOSITY.emit(
+        "dropped_extension_kwarg",
+        f"{constructor}: native delegation ignores kwargs "
+        f"{sorted(dropped)} (no external binary in this build)")
+
+
+from ..core.verbosity import NonlinearVerbosity as _NV  # noqa: E402
+
+#: verbosity used for constructor-time notices (constructors run before
+#: ``solve()`` sees a ``verbose=`` kwarg).  Reassign to silence:
+#: ``wrappers.CONSTRUCTOR_VERBOSITY = NonlinearVerbosity("none")``.
+CONSTRUCTOR_VERBOSITY = _NV("standard")
+
+
+def CMINPACK(*, method=None, autodiff=None, **ignored):
     """MINPACK bridge (extension_algs.jl; ext/NonlinearSolveMINPACKExt.jl).
 
     Mapping: ``hybr``/``hybrd`` (Powell hybrid = dogleg trust region) →
@@ -100,7 +126,7 @@ def CMINPACK(*, method=None, autodiff=None, **_ignored):
     ``auto`` → ``TrustRegion()`` (MINPACK's hybr default; LM is selected
     for NLLS problems by the solve-level default polyalgorithm anyway).
     """
-    del autodiff
+    _warn_dropped("CMINPACK", dict(ignored, autodiff=autodiff))
     from .first_order import LevenbergMarquardt, TrustRegion
     m = _sym(method, "auto")
     if m in ("lm", "lmdif"):
@@ -108,11 +134,12 @@ def CMINPACK(*, method=None, autodiff=None, **_ignored):
     return TrustRegion()
 
 
-def NLsolveJL(*, method=None, linesearch=None, m=10, beta=1.0, **_ignored):
+def NLsolveJL(*, method=None, linesearch=None, m=10, beta=1.0, **ignored):
     """NLsolve.jl bridge.  ``trust_region`` → ``TrustRegion`` with the
     NLsolve radius-update scheme; ``newton`` → ``NewtonRaphson`` (with the
     requested line search); ``anderson`` → ``AndersonAcceleration(m, beta)``;
     ``broyden`` → ``Broyden``."""
+    _warn_dropped("NLsolveJL", ignored)
     from .anderson import AndersonAcceleration
     from .first_order import NewtonRaphson, TrustRegion
     from .quasi_newton import Broyden
@@ -126,11 +153,12 @@ def NLsolveJL(*, method=None, linesearch=None, m=10, beta=1.0, **_ignored):
     return TrustRegion(radius_update_scheme="nlsolve")
 
 
-def NLSolversJL(method=None, **_ignored):
+def NLSolversJL(method=None, **ignored):
     """NLSolvers.jl bridge.  The reference passes an NLSolvers method
     object; here a string preset: ``newton`` → ``NewtonRaphson``;
     ``newton_hagerzhang``/``newton_backtracking``/``newton_strongwolfe``/
     ``newton_morethuente`` → Newton with that line search."""
+    _warn_dropped("NLSolversJL", ignored)
     from ..core.linesearch import BackTracking
     from ..core.wolfe_linesearch import (HagerZhang, MoreThuente,
                                          StrongWolfe)
@@ -148,11 +176,12 @@ def NLSolversJL(method=None, **_ignored):
 
 
 def SIAMFANLEquationsJL(*, method=None, delta=1e-3, m=0, beta=1.0,
-                        **_ignored):
+                        **ignored):
     """SIAMFANLEquations.jl bridge: ``newton`` → ``NewtonRaphson``;
     ``pseudotransient`` → ``PseudoTransient(alpha_initial=delta)``;
     ``secant``/``broyden`` → ``Broyden``; ``anderson`` →
     ``AndersonAcceleration(m, beta)``."""
+    _warn_dropped("SIAMFANLEquationsJL", ignored)
     from .anderson import AndersonAcceleration
     from .first_order import NewtonRaphson, PseudoTransient
     from .quasi_newton import Broyden
@@ -167,10 +196,11 @@ def SIAMFANLEquationsJL(*, method=None, delta=1e-3, m=0, beta=1.0,
 
 
 def LeastSquaresOptimJL(alg=None, *, linsolve=None, autodiff=None,
-                        **_ignored):
+                        **ignored):
     """LeastSquaresOptim.jl bridge: ``lm`` → ``LevenbergMarquardt``;
     ``dogleg`` → ``TrustRegion`` (dogleg descent)."""
-    del linsolve, autodiff
+    _warn_dropped("LeastSquaresOptimJL",
+                  dict(ignored, linsolve=linsolve, autodiff=autodiff))
     from .first_order import LevenbergMarquardt, TrustRegion
     if _sym(alg, "lm") == "dogleg":
         return TrustRegion()
@@ -180,27 +210,30 @@ def LeastSquaresOptimJL(alg=None, *, linsolve=None, autodiff=None,
 def FastLevenbergMarquardtJL(linsolve=None, **kwargs):
     """FastLevenbergMarquardt.jl bridge → ``LevenbergMarquardt`` with the
     reference's damping factors when given."""
-    del linsolve
     from .first_order import LevenbergMarquardt
     lm_kwargs = {}
     if "factor" in kwargs:
-        lm_kwargs["damping_initial"] = float(kwargs["factor"])
+        lm_kwargs["damping_initial"] = float(kwargs.pop("factor"))
+    _warn_dropped("FastLevenbergMarquardtJL",
+                  dict(kwargs, linsolve=linsolve))
     return LevenbergMarquardt(**lm_kwargs)
 
 
-def SpeedMappingJL(**_ignored):
+def SpeedMappingJL(**ignored):
     """SpeedMapping.jl bridge (ACX extrapolation of fixed-point maps) →
     ``AndersonAcceleration`` (the native accelerated-fixed-point role)."""
+    _warn_dropped("SpeedMappingJL", ignored)
     from .anderson import AndersonAcceleration
     return AndersonAcceleration()
 
 
-def FixedPointAccelerationJL(*, algorithm=None, m=None, **_ignored):
+def FixedPointAccelerationJL(*, algorithm=None, m=None, **ignored):
     """FixedPointAcceleration.jl bridge: ``Anderson`` →
     ``AndersonAcceleration(m)``; ``Newton`` → ``NewtonRaphson``; the
     epsilon-extrapolation variants (``Aitken``/``VEA``/``SEA``/``Simple``)
     → ``AndersonAcceleration`` with a short window (their natural
     Anderson-equivalent depth)."""
+    _warn_dropped("FixedPointAccelerationJL", ignored)
     from .anderson import AndersonAcceleration
     from .first_order import NewtonRaphson
     algo = _sym(algorithm, "anderson")
@@ -223,12 +256,13 @@ def PETScSNES(*, petsclib=None, autodiff=None, mpi_comm=None,
     ``parallel.distributed_solve`` (GSPMD row-partitioned Newton–Krylov
     over a jax Mesh) — pass a mesh there instead of an MPI communicator.
     """
-    del petsclib, autodiff, mpi_comm
+    snes_type = _sym(snes_options.pop("snes_type", None), "newtonls")
+    _warn_dropped("PETScSNES", dict(snes_options, petsclib=petsclib,
+                                    autodiff=autodiff, mpi_comm=mpi_comm))
     from ..core.linesearch import BackTracking
     from .anderson import AndersonAcceleration
     from .first_order import NewtonRaphson, TrustRegion
     from .quasi_newton import Broyden
-    snes_type = _sym(snes_options.get("snes_type"), "newtonls")
     if snes_type == "newtontr":
         return TrustRegion()
     if snes_type in ("anderson", "ngmres"):
@@ -241,13 +275,13 @@ def PETScSNES(*, petsclib=None, autodiff=None, mpi_comm=None,
 
 
 def KINSOL(*, linear_solver=None, globalization_strategy=None,
-           strategy=None, m=0, **_ignored):
+           strategy=None, m=0, **ignored):
     """Sundials KINSOL bridge (ext/NonlinearSolveSundialsExt.jl):
     ``none`` → ``NewtonRaphson``; ``linesearch`` →
     ``NewtonRaphson(linesearch=BackTracking())``; ``fixedpoint``/
     ``picard`` → ``AndersonAcceleration(m)`` (KINSOL's Anderson-accelerated
     fixed-point mode)."""
-    del linear_solver
+    _warn_dropped("KINSOL", dict(ignored, linear_solver=linear_solver))
     from ..core.linesearch import BackTracking
     from .anderson import AndersonAcceleration
     from .first_order import NewtonRaphson

@@ -173,7 +173,7 @@ def test_verbosity_full_matrix():
         "non_enclosing_interval", "alias_u0_immutable",
         "linsolve_failed_noncurrent", "termination_condition",
         "threshold_state", "forcing", "sensitivity_vjp_choice",
-        "unsupported_postcondition"}
+        "unsupported_postcondition", "dropped_extension_kwarg"}
 
 
 def test_verbosity_group_control():
@@ -305,6 +305,36 @@ def test_extension_alg_constructors_delegate_natively():
         assert int(sol.retcode) == int(nls.ReturnCode.Success)
         np.testing.assert_allclose(np.asarray(sol.u), np.sqrt(2.0),
                                    rtol=1e-6)
+
+
+def test_extension_constructor_dropped_kwarg_notice(capfd):
+    """A delegating bridge constructor handed a reference kwarg it cannot
+    honor emits a visible notice (VERDICT item 10: the reference forwards
+    e.g. NLsolveJL(autoscale=...) to the external binary; silently
+    swallowing it here would change behavior without a trace)."""
+    nls.NLsolveJL(autoscale=False)
+    err = capfd.readouterr().err
+    assert "dropped_extension_kwarg" in err and "autoscale" in err
+
+    nls.PETScSNES(snes_type="newtontr", snes_linesearch_type="l2")
+    err = capfd.readouterr().err
+    assert "snes_linesearch_type" in err
+
+    # honored kwargs do NOT trigger the notice
+    nls.CMINPACK(method="lm")
+    nls.FastLevenbergMarquardtJL(factor=2.0)
+    assert capfd.readouterr().err == ""
+
+    # globally silenceable
+    from nonlinearsolve_tpu.core.verbosity import NonlinearVerbosity
+    from nonlinearsolve_tpu.solvers import wrappers
+    old = wrappers.CONSTRUCTOR_VERBOSITY
+    try:
+        wrappers.CONSTRUCTOR_VERBOSITY = NonlinearVerbosity("none")
+        nls.NLsolveJL(autoscale=False)
+        assert capfd.readouterr().err == ""
+    finally:
+        wrappers.CONSTRUCTOR_VERBOSITY = old
 
 
 def test_solve_rejects_unknown_kwargs():
