@@ -14,6 +14,7 @@
 // All index arrays are int32 CSR (indptr[n_rows+1], indices[nnz]).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -194,6 +195,303 @@ int32_t bandwidths(
       if (-d > kl) kl = -d;
     }
   return (kl << 16) | ku;
+}
+
+// ---------------------------------------------------------------------------
+// General sparse direct (the KLU role for patterns beyond the banded tiers).
+//
+// The reference recommends KLUFactorization for general sparse Jacobians
+// (docs/src/tutorials/large_systems.md:211-244); KLU itself is a HOST (CPU)
+// library even in the CUDA stack.  This is the same architecture: a
+// fill-reducing minimum-degree ordering plus a Gilbert–Peierls left-looking
+// sparse LU with threshold partial pivoting, run host-side once per Newton
+// step via jax.pure_callback, while the structured tiers (tridiagonal PCR,
+// block-cyclic-reduction banded) stay on-device.
+// ---------------------------------------------------------------------------
+
+// Approximate minimum-degree ordering (quotient-graph flavored: eliminated
+// vertices become elements whose boundaries merge; degrees are the classic
+// external-degree upper bound, updated lazily through a min-heap).
+// perm: out, n (perm[k] = the variable eliminated at step k).
+int32_t amd_ordering(
+    const int32_t* indptr, const int32_t* indices, int32_t n, int32_t* perm) {
+  if (n < 0) return -1;
+  if (n == 0) return 0;
+  // Symmetrized adjacency without diagonal.
+  std::vector<std::vector<int32_t>> var_adj(n);
+  for (int32_t i = 0; i < n; ++i)
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j == i || j < 0 || j >= n) continue;
+      var_adj[i].push_back(j);
+      var_adj[j].push_back(i);
+    }
+  for (auto& a : var_adj) {
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+  }
+
+  std::vector<std::vector<int32_t>> elems;           // element -> boundary vars
+  std::vector<std::vector<int32_t>> elem_of(n);      // var -> element ids
+  std::vector<char> eliminated(n, 0);
+  std::vector<int64_t> degree(n);
+  using HeapItem = std::pair<int64_t, int32_t>;      // (degree, var)
+  std::priority_queue<HeapItem, std::vector<HeapItem>,
+                      std::greater<HeapItem>> heap;
+  for (int32_t i = 0; i < n; ++i) {
+    degree[i] = static_cast<int64_t>(var_adj[i].size());
+    heap.push({degree[i], i});
+  }
+
+  std::vector<int32_t> mark(n, -1);
+  for (int32_t step = 0; step < n; ++step) {
+    int32_t v = -1;
+    while (!heap.empty()) {
+      auto [d, cand] = heap.top();
+      heap.pop();
+      if (!eliminated[cand] && d == degree[cand]) { v = cand; break; }
+    }
+    if (v < 0) {  // heap exhausted by stale entries: pick any remaining
+      for (int32_t i = 0; i < n; ++i)
+        if (!eliminated[i]) { v = i; break; }
+    }
+    if (v < 0) return -1;
+    eliminated[v] = 1;
+    perm[step] = v;
+
+    // New element boundary: live vars adjacent to v, directly or through
+    // any element v touches (those elements are absorbed).
+    std::vector<int32_t> boundary;
+    const int32_t tag = step;
+    auto add = [&](int32_t u) {
+      if (!eliminated[u] && mark[u] != tag) {
+        mark[u] = tag;
+        boundary.push_back(u);
+      }
+    };
+    for (int32_t u : var_adj[v]) add(u);
+    for (int32_t e : elem_of[v])
+      for (int32_t u : elems[e]) add(u);
+    const int32_t eid = static_cast<int32_t>(elems.size());
+    // Absorb v's elements: boundary vars drop them below.
+    std::vector<int32_t> absorbed = elem_of[v];
+    std::sort(absorbed.begin(), absorbed.end());
+    elems.push_back(boundary);
+
+    for (int32_t u : boundary) {
+      // prune eliminated vars (and v) from u's variable list
+      auto& a = var_adj[u];
+      a.erase(std::remove_if(a.begin(), a.end(),
+                             [&](int32_t w) { return eliminated[w] != 0; }),
+              a.end());
+      // drop absorbed elements, then append the new one
+      auto& el = elem_of[u];
+      el.erase(std::remove_if(el.begin(), el.end(),
+                              [&](int32_t e) {
+                                return std::binary_search(
+                                    absorbed.begin(), absorbed.end(), e);
+                              }),
+               el.end());
+      el.push_back(eid);
+      // external-degree upper bound: direct vars + element boundaries
+      int64_t d = static_cast<int64_t>(a.size());
+      for (int32_t e : el) d += static_cast<int64_t>(elems[e].size()) - 1;
+      degree[u] = d;
+      heap.push({d, u});
+    }
+    var_adj[v].clear();
+    var_adj[v].shrink_to_fit();
+    elem_of[v].clear();
+  }
+  return 0;
+}
+
+// Gilbert–Peierls left-looking sparse LU with threshold partial pivoting,
+// factor-and-solve in one shot: x = A⁻¹ b for ONE rhs on the (optionally)
+// symmetrically permuted matrix A(p, p).  CSR input (values in `data`,
+// float64).  Returns nnz(L)+nnz(U) on success (the fill diagnostic), or
+// -1 on allocation/size error, -2 on numerical singularity.
+// All work arrays are internal; only x (size n) is written.
+int64_t sp_lu_solve(
+    const int32_t* indptr, const int32_t* indices, const double* data,
+    int32_t n, const int32_t* perm /* may be null */, const double* b,
+    double* x, double pivot_threshold) {
+  if (n < 0) return -1;
+  if (n == 0) return 0;
+  const int64_t nnz = indptr[n];
+
+  // ---- build CSC of the permuted matrix Ap = A(p, p) -----------------
+  std::vector<int32_t> pinv(n);
+  for (int32_t k = 0; k < n; ++k)
+    pinv[perm ? perm[k] : k] = k;
+  std::vector<int64_t> col_ptr(n + 1, 0);
+  for (int32_t i = 0; i < n; ++i)
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j < 0 || j >= n) return -1;
+      col_ptr[pinv[j] + 1]++;
+    }
+  for (int32_t j = 0; j < n; ++j) col_ptr[j + 1] += col_ptr[j];
+  std::vector<int32_t> row_idx(nnz);
+  std::vector<double> val(nnz);
+  {
+    std::vector<int64_t> cur(col_ptr.begin(), col_ptr.end() - 1);
+    for (int32_t i = 0; i < n; ++i)
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int64_t dst = cur[pinv[indices[k]]]++;
+        row_idx[dst] = pinv[i];
+        val[dst] = data[k];
+      }
+  }
+
+  // ---- left-looking factorization ------------------------------------
+  // L, U stored CSC; pivoting tracked via prow (position of row r in the
+  // pivot order; -1 while unpivoted).
+  std::vector<std::vector<int32_t>> Li(n), Ui(n);
+  std::vector<std::vector<double>> Lx(n), Ux(n);
+  std::vector<int32_t> prow(n, -1);   // row -> pivot position
+  std::vector<int32_t> prow_inv(n);   // pivot position -> row
+  std::vector<double> work(n, 0.0);
+  std::vector<char> in_pattern(n, 0);
+  std::vector<int32_t> pattern;       // topo-ordered reach (built reversed)
+  std::vector<int32_t> dfs_stack, dfs_ptr;
+  int64_t fill = 0;
+
+  for (int32_t j = 0; j < n; ++j) {
+    // scatter Ap(:, j)
+    pattern.clear();
+    // DFS reach over columns of L (by pivot position) — iterative, with
+    // per-node child cursors so nodes emit in postorder (topological).
+    for (int64_t k = col_ptr[j]; k < col_ptr[j + 1]; ++k) {
+      const int32_t r = row_idx[k];
+      work[r] = val[k];
+      if (in_pattern[r]) continue;
+      // DFS from r
+      dfs_stack.clear(); dfs_ptr.clear();
+      dfs_stack.push_back(r); dfs_ptr.push_back(0);
+      in_pattern[r] = 1;
+      while (!dfs_stack.empty()) {
+        const int32_t node = dfs_stack.back();
+        const int32_t pos = prow[node];
+        bool descended = false;
+        if (pos >= 0) {
+          auto& child_rows = Li[pos];
+          int32_t& cp = dfs_ptr.back();
+          while (cp < static_cast<int32_t>(child_rows.size())) {
+            const int32_t c = child_rows[cp++];
+            if (!in_pattern[c]) {
+              in_pattern[c] = 1;
+              dfs_stack.push_back(c);
+              dfs_ptr.push_back(0);
+              descended = true;
+              break;
+            }
+          }
+        }
+        if (!descended &&
+            (prow[node] < 0 ||
+             dfs_ptr.back() >=
+                 static_cast<int32_t>(Li[prow[node]].size()))) {
+          pattern.push_back(node);   // postorder emit
+          dfs_stack.pop_back();
+          dfs_ptr.pop_back();
+        }
+      }
+    }
+    // pattern is in postorder = reverse topological; iterate reversed so
+    // dependencies (earlier pivots) apply first.
+    for (int64_t t = static_cast<int64_t>(pattern.size()) - 1; t >= 0; --t) {
+      const int32_t r = pattern[t];
+      const int32_t pos = prow[r];
+      if (pos < 0) continue;                   // not yet pivoted: below diag
+      const double xk = work[r];
+      if (xk == 0.0) continue;
+      const auto& rows = Li[pos];
+      const auto& vals = Lx[pos];
+      for (size_t m = 0; m < rows.size(); ++m)
+        work[rows[m]] -= xk * vals[m];
+    }
+
+    // pivot choice among unpivoted rows in the pattern: prefer the
+    // "diagonal" (row whose original position is j) when within
+    // pivot_threshold of the max magnitude (KLU-style).
+    double amax = 0.0;
+    int32_t rmax = -1;
+    double adiag = 0.0;
+    bool have_diag = false;
+    for (int32_t r : pattern) {
+      if (prow[r] >= 0) continue;
+      const double av = std::fabs(work[r]);
+      if (av > amax) { amax = av; rmax = r; }
+      if (r == j) { adiag = std::fabs(work[r]); have_diag = true; }
+    }
+    int32_t piv = rmax;
+    if (have_diag && adiag >= pivot_threshold * amax && adiag > 0.0) piv = j;
+    if (piv < 0 || work[piv] == 0.0 || !std::isfinite(work[piv])) {
+      return -2;                                // structurally/numerically singular
+    }
+    const double pv = work[piv];
+    prow[piv] = j;
+    prow_inv[j] = piv;
+
+    // split pattern into U (pivoted rows) and L (unpivoted, scaled)
+    for (int32_t r : pattern) {
+      const double w = work[r];
+      work[r] = 0.0;
+      in_pattern[r] = 0;
+      if (w == 0.0 && r != piv) continue;
+      const int32_t pos = prow[r];
+      if (r == piv) {
+        Ui[j].push_back(j);
+        Ux[j].push_back(pv);
+      } else if (pos >= 0 && pos < j) {
+        Ui[j].push_back(pos);
+        Ux[j].push_back(w);
+      } else {
+        Li[j].push_back(r);
+        Lx[j].push_back(w / pv);
+      }
+    }
+    fill += static_cast<int64_t>(Li[j].size() + Ui[j].size());
+  }
+
+  // ---- solve:  Ap = P_r⁻¹ L U  (row pivoting) ⇒ L U z = P_r b̂, x̂ = z
+  // with b̂ = b(p), x = x̂ scattered back through p.
+  std::vector<double> rhs(n), z(n);
+  for (int32_t i = 0; i < n; ++i)
+    rhs[i] = b[perm ? perm[i] : i];
+  // forward solve L y = (P_r rhs): traverse pivot columns in order,
+  // y[k] = rhs[prow_inv[k]] already reduced in-place.
+  for (int32_t k = 0; k < n; ++k) {
+    const double yk = rhs[prow_inv[k]];
+    z[k] = yk;
+    if (yk == 0.0) continue;
+    const auto& rows = Li[k];
+    const auto& vals = Lx[k];
+    for (size_t m = 0; m < rows.size(); ++m)
+      rhs[rows[m]] -= yk * vals[m];
+  }
+  // backward solve U x = z (U is CSC with diagonal last ordering unknown:
+  // entries of column k are (pivot position, value) with the diagonal at
+  // the slot pushed first — iterate columns in reverse, divide by diag,
+  // then scatter-subtract the off-diagonal column entries).
+  for (int32_t k = n - 1; k >= 0; --k) {
+    // find the diagonal entry (position == k)
+    double diag = 0.0;
+    const auto& rows = Ui[k];
+    const auto& vals = Ux[k];
+    for (size_t m = 0; m < rows.size(); ++m)
+      if (rows[m] == k) { diag = vals[m]; break; }
+    if (diag == 0.0 || !std::isfinite(diag)) return -2;
+    const double xk = z[k] / diag;
+    z[k] = xk;
+    if (xk != 0.0)
+      for (size_t m = 0; m < rows.size(); ++m)
+        if (rows[m] != k) z[rows[m]] -= xk * vals[m];
+  }
+  for (int32_t k = 0; k < n; ++k)
+    x[perm ? perm[k] : k] = z[k];
+  return fill;
 }
 
 }  // extern "C"

@@ -261,13 +261,13 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         return -res.x, jnp.all(jnp.isfinite(res.x))
 
     if isinstance(J, (CSR, DIA, ELL)):
-        # Sparse-direct path: log-depth parallel cyclic reduction for
-        # tridiagonal structure (ops/direct_sparse.py — the TPU-native KLU
-        # role); dense LU fallback for general patterns (banded cyclic
-        # reduction is the round-2 extension).  Krylov remains the
-        # intended large-N path.
-        from ..ops.direct_sparse import is_tridiagonal, solve_sparse_direct
-        if ctx.square and not isinstance(J, ELL) and is_tridiagonal(J):
+        # Sparse-direct path (ops/direct_sparse.py — the KLU role):
+        # tridiagonal → log-depth PCR; banded (bw ≤ 64, directly or after
+        # RCM) → block cyclic reduction on-device; general patterns →
+        # AMD-ordered native host LU via pure_callback; dense LU only for
+        # tiny systems.  Krylov remains the intended large-N path.
+        from ..ops.direct_sparse import solve_sparse_direct
+        if ctx.square and not isinstance(J, ELL):
             x, ok = solve_sparse_direct(J, jnp.ravel(fu))
             du = -x
             if u is not None and jnp.ndim(u) != 1:

@@ -69,6 +69,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int32]
         lib.bandwidths.restype = ctypes.c_int32
         lib.bandwidths.argtypes = [i32p, i32p, ctypes.c_int32]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.amd_ordering.restype = ctypes.c_int32
+        lib.amd_ordering.argtypes = [i32p, i32p, ctypes.c_int32, i32p]
+        lib.sp_lu_solve.restype = ctypes.c_int64
+        lib.sp_lu_solve.argtypes = [i32p, i32p, f64p, ctypes.c_int32, i32p,
+                                    f64p, f64p, ctypes.c_double]
         _lib = lib
         return _lib
 
@@ -156,6 +162,54 @@ def band_offsets(indptr, indices, n, cap=4096) -> Optional[np.ndarray]:
     if count < 0:
         return None
     return out[:count].copy()
+
+
+def amd_ordering(indptr, indices, n) -> Optional[np.ndarray]:
+    """Approximate-minimum-degree fill-reducing ordering (the AMD role in
+    the reference's KLU path); None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    if indices.size and (indices.min() < 0 or indices.max() >= n):
+        raise ValueError("pattern column index out of range")
+    perm = np.empty(max(n, 1), np.int32)
+    rc = lib.amd_ordering(_ptr(indptr, ctypes.c_int32),
+                          _ptr(indices, ctypes.c_int32), np.int32(n),
+                          _ptr(perm, ctypes.c_int32))
+    return perm[:n] if rc == 0 else None
+
+
+def sp_lu_solve(indptr, indices, data, b, perm=None, *,
+                pivot_threshold=0.1):
+    """One-shot sparse direct solve x = A⁻¹b via native Gilbert–Peierls LU
+    with threshold partial pivoting on the symmetrically permuted pattern.
+
+    Returns ``(x, fill_nnz)`` with ``fill_nnz = nnz(L)+nnz(U)`` (the fill
+    diagnostic; -2 signals numerical singularity → caller falls back), or
+    None if the native library is unavailable.  float64 host arithmetic.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = b.shape[0]
+    indptr = _i32(indptr)
+    indices = _i32(indices)
+    data = np.ascontiguousarray(data, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    x = np.empty(n, np.float64)
+    if perm is not None:
+        perm = _i32(perm)
+        perm_ptr = _ptr(perm, ctypes.c_int32)
+    else:
+        perm_ptr = ctypes.POINTER(ctypes.c_int32)()
+    fill = lib.sp_lu_solve(
+        _ptr(indptr, ctypes.c_int32), _ptr(indices, ctypes.c_int32),
+        _ptr(data, ctypes.c_double), np.int32(n), perm_ptr,
+        _ptr(b, ctypes.c_double), _ptr(x, ctypes.c_double),
+        float(pivot_threshold))
+    return x, int(fill)
 
 
 def bandwidths(indptr, indices, n):

@@ -265,11 +265,93 @@ def _rcm_banded_solve(A: CSR, b):
     return z[jnp.asarray(pinv)], ok
 
 
+# ---------------------------------------------------------------------------
+# General host sparse LU (the KLU role proper).
+#
+# Patterns beyond the device tiers (tridiagonal PCR / banded BCR, directly
+# or after RCM) factor host-side: AMD fill-reducing ordering + native
+# Gilbert–Peierls LU with threshold partial pivoting
+# (csrc/sparsetools.cpp:sp_lu_solve), invoked once per solve through
+# jax.pure_callback.  This is the reference's own architecture — KLU is a
+# CPU library even in the CUDA stack (large_systems.md:211-244 recommends
+# KLUFactorization; LinearSolve.jl runs it on host).  O(nnz + fill) memory
+# instead of the dense O(n²) fallback.
+#
+# Crossover policy: for very large systems the host round-trip and the
+# sequential factorization lose to matrix-free Krylov on-device — the
+# default linsolve selection prefers GMRES above ~50k unknowns; this path
+# serves explicit sparse-direct requests (LinearSolver(method='sparse_lu')
+# or concrete sparse Jacobians below that size).
+# ---------------------------------------------------------------------------
+
+_DENSE_CROSSOVER = 64        # below this, the dense device LU is faster
+
+
+@functools.lru_cache(maxsize=64)
+def _amd_plan(indptr_bytes, indices_bytes, n):
+    """Host-side symbolic pass: AMD ordering bytes, or None when the
+    native library is unavailable.  Cached on the static pattern."""
+    from ..native import amd_ordering, get_lib
+    if get_lib() is None:
+        return None
+    indptr = np.frombuffer(indptr_bytes, np.int32)
+    indices = np.frombuffer(indices_bytes, np.int32)
+    perm = amd_ordering(indptr, indices, n)
+    return None if perm is None else perm.tobytes()
+
+
+def sparse_lu_fill(A: CSR, *, ordering: str = "amd") -> Optional[int]:
+    """nnz(L)+nnz(U) of the native LU under the given ordering
+    ('amd' | 'rcm' | 'natural') — the fill-in regression diagnostic.
+    Host-only; returns None if the native library is missing."""
+    from ..native import amd_ordering, rcm_ordering, sp_lu_solve
+    n = A.shape[0]
+    perm = None
+    if ordering == "amd":
+        perm = amd_ordering(A.indptr, A.indices, n)
+    elif ordering == "rcm":
+        perm = rcm_ordering(A.indptr, A.indices, n)
+    data = np.asarray(A.data, np.float64)
+    out = sp_lu_solve(A.indptr, A.indices, data, np.zeros(n), perm)
+    return None if out is None else out[1]
+
+
+def _host_sparse_lu_solve(A: CSR, b):
+    """General sparse direct via the native host LU; None if unavailable."""
+    n = A.shape[0]
+    plan = _amd_plan(A.indptr.tobytes(), A.indices.tobytes(), n)
+    if plan is None:
+        return None
+    perm = np.frombuffer(plan, np.int32)
+    indptr, indices = A.indptr, A.indices      # static host pattern
+    dtype = jnp.result_type(A.data.dtype, b.dtype)
+
+    def cb(data, rhs):
+        from ..native import sp_lu_solve
+        out = sp_lu_solve(indptr, indices, np.asarray(data, np.float64),
+                          np.asarray(rhs, np.float64), perm)
+        if out is None:
+            return (np.full(n, np.nan, dtype), np.zeros((), np.bool_))
+        x, fill = out
+        ok = (fill >= 0) and bool(np.all(np.isfinite(x)))
+        if not ok:
+            x = np.full(n, np.nan)
+        return (x.astype(dtype), np.asarray(ok, np.bool_))
+
+    x, ok = jax.pure_callback(
+        cb,
+        (jax.ShapeDtypeStruct((n,), dtype),
+         jax.ShapeDtypeStruct((), jnp.bool_)),
+        A.data, b, vmap_method="sequential")
+    return x, ok
+
+
 def solve_sparse_direct(A, b):
     """Direct solve of a sparse system: PCR for tridiagonal structure,
     block cyclic reduction for banded (bandwidth ≤ 64) — directly or
-    after an RCM reordering recovers bandedness — dense LU fallback
-    otherwise.  Returns (x, success)."""
+    after an RCM reordering recovers bandedness — then the general
+    AMD-ordered native host LU (the KLU role); dense LU only for tiny
+    systems or when the native library is missing.  Returns (x, success)."""
     from .linear_solve import solve_dense
 
     if isinstance(A, CSR) and is_tridiagonal(A):
@@ -286,6 +368,10 @@ def solve_sparse_direct(A, b):
         return banded_solve(A, b)
     if isinstance(A, CSR) and A.shape[0] > 16:
         out = _rcm_banded_solve(A, b)
+        if out is not None:
+            return out
+    if isinstance(A, CSR) and A.shape[0] >= _DENSE_CROSSOVER:
+        out = _host_sparse_lu_solve(A, b)
         if out is not None:
             return out
     dense = A.todense() if isinstance(A, (CSR, DIA)) else A

@@ -152,3 +152,132 @@ class TestBlockCyclicReduction:
         x, ok = solve_sparse_direct(CSR.from_dense(A), jnp.asarray(b))
         assert bool(ok)
         np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-9)
+
+
+class TestGeneralHostLU:
+    """The general AMD-ordered native host LU tier (the KLU role proper —
+    reference large_systems.md:211-244 recommends KLUFactorization, a CPU
+    library; this tier is the same architecture via pure_callback)."""
+
+    def _grid_laplacian_csr(self, N, rng, coupled=True):
+        """2D 5-point Laplacian (n = N²) with slight asymmetry."""
+        import scipy.sparse as sp
+        n = N * N
+        A = sp.lil_matrix((n, n))
+        for i in range(N):
+            for j in range(N):
+                k = i * N + j
+                A[k, k] = 4.0 + 0.1 * rng.random()
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < N and 0 <= jj < N:
+                        A[k, ii * N + jj] = -1.0 + 0.01 * rng.standard_normal()
+        return A.tocsr()
+
+    def test_nonbanded_scrambled_pattern_solves(self):
+        """A randomly permuted grid Laplacian + long-range couplings: RCM
+        cannot recover bw<=64, so the host-LU tier must serve it (pre-fix:
+        dense O(n^2) fallback)."""
+        import scipy.sparse as sp
+        rng = np.random.default_rng(5)
+        N = 24                        # n = 576
+        A = self._grid_laplacian_csr(N, rng).tolil()
+        n = N * N
+        # long-range couplings destroy bandedness under any ordering
+        for _ in range(60):
+            i, j = rng.integers(0, n, 2)
+            A[i, j] = 0.5 * rng.standard_normal()
+        sigma = rng.permutation(n)
+        A = A.tocsr()[np.ix_(sigma, sigma)].tocsr()
+        b = rng.standard_normal(n)
+
+        csr = CSR(jnp.asarray(A.data), np.asarray(A.indices, np.int32),
+                  np.asarray(A.indptr, np.int32), (n, n))
+        x, ok = solve_sparse_direct(csr, jnp.asarray(b))
+        assert bool(ok)
+        np.testing.assert_allclose(A @ np.asarray(x, np.float64), b,
+                                   atol=1e-8)
+
+    def test_host_lu_under_jit(self):
+        """The pure_callback tier works inside jit (traced data, static
+        pattern)."""
+        rng = np.random.default_rng(7)
+        A = self._grid_laplacian_csr(12, rng)          # n = 144 >= crossover
+        n = A.shape[0]
+        csr = CSR(jnp.asarray(A.data), np.asarray(A.indices, np.int32),
+                  np.asarray(A.indptr, np.int32), (n, n))
+        b = jnp.asarray(rng.standard_normal(n))
+
+        @jax.jit
+        def run(data, rhs):
+            from nonlinearsolve_tpu.ops.direct_sparse import (
+                _host_sparse_lu_solve)
+            c = CSR(data, csr.indices, csr.indptr, csr.shape)
+            return _host_sparse_lu_solve(c, rhs)
+
+        x, ok = run(csr.data, b)
+        assert bool(ok)
+        np.testing.assert_allclose(
+            A @ np.asarray(x, np.float64), np.asarray(b), atol=1e-8)
+
+    def test_amd_fill_regression(self):
+        """AMD must beat the natural ordering on the grid Laplacian (the
+        fill-reducing role), and stay well under the dense n² bound."""
+        from nonlinearsolve_tpu.ops.direct_sparse import sparse_lu_fill
+        rng = np.random.default_rng(0)
+        A = self._grid_laplacian_csr(32, rng)
+        n = A.shape[0]
+        csr = CSR(jnp.asarray(A.data), np.asarray(A.indices, np.int32),
+                  np.asarray(A.indptr, np.int32), (n, n))
+        fill_amd = sparse_lu_fill(csr, ordering="amd")
+        fill_nat = sparse_lu_fill(csr, ordering="natural")
+        if fill_amd is None:
+            pytest.skip("native sparsetools unavailable")
+        assert fill_amd < fill_nat          # ordering reduces fill
+        assert fill_amd < 0.05 * n * n      # far below dense (measured ~3%)
+
+    def test_singular_reports_failure(self):
+        """A numerically singular system returns ok=False (the Newton
+        retry-with-fresh-J path keys off it), not garbage."""
+        import scipy.sparse as sp
+        n = 100
+        d = np.ones(n); d[n // 2] = 0.0
+        A = sp.diags(d).tocsr()
+        # give it an off-diagonal so it's not routed as tridiagonal
+        A = (A + sp.random(n, n, density=0.05, random_state=2)).tocsr()
+        A = A.tolil(); A[n // 2, :] = 0.0; A = A.tocsr()
+        from nonlinearsolve_tpu.ops.direct_sparse import _host_sparse_lu_solve
+        csr = CSR(jnp.asarray(A.data), np.asarray(A.indices, np.int32),
+                  np.asarray(A.indptr, np.int32), (n, n))
+        out = _host_sparse_lu_solve(csr, jnp.ones(n))
+        if out is None:
+            pytest.skip("native sparsetools unavailable")
+        x, ok = out
+        assert not bool(ok)
+
+    def test_newton_sparse_jacobian_nonbanded(self):
+        """End-to-end: a concrete-sparse Newton solve whose Jacobian
+        pattern is non-banded routes through the host LU and converges."""
+        rng = np.random.default_rng(11)
+        n = 96
+        sigma = rng.permutation(n)
+
+        def f(u, p):
+            # scrambled tridiagonal coupling + cubic diagonal: the
+            # Jacobian pattern in the scrambled basis has entries at
+            # |sigma-distance| 1 — non-banded as written, and the extra
+            # wrap coupling defeats band recovery at bw<=64 only when
+            # scattered; here the point is the ROUTE, exercised by the
+            # random long-range pairs below.
+            v = u[sigma]
+            w = jnp.roll(v, 1) + jnp.roll(v, -1)
+            extra = u[::-1] * 0.05          # dense-ish anti-diagonal band
+            return u + 0.3 * w[np.argsort(sigma)] + 0.1 * u ** 3 \
+                + extra - 1.0
+
+        prob = nls.NonlinearProblem(f, jnp.zeros(n))
+        sol = nls.solve(prob, nls.NewtonRaphson(
+            autodiff=JacobianPolicy(mode="sparse"), concrete_jac=True),
+            abstol=1e-10)
+        assert bool(sol.success)
+        assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
