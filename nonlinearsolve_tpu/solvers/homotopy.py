@@ -78,6 +78,28 @@ class HomotopySweep:
             raise ValueError("non-adaptive HomotopySweep requires nsteps")
         if self.predictor not in ("secant", "constant"):
             raise ValueError("predictor must be 'secant' or 'constant'")
+        # construction-time option validation (reference homotopy_sweep.jl
+        # constructor checks, exercised by homotopy_sweep_tests items 1/18)
+        if self.nsteps is not None and self.nsteps < 1:
+            raise ValueError("nsteps must be >= 1")
+        if not 0.0 < self.initial_step_factor <= 1.0:
+            raise ValueError("initial_step_factor must be in (0, 1]")
+        if self.min_dlam is not None and not self.min_dlam > 0.0:
+            raise ValueError("min_dlam must be > 0")
+        if not 0.0 < self.max_step_factor <= 1.0:
+            raise ValueError("max_step_factor must be in (0, 1]")
+        if not self.expand_factor >= 1.0:
+            raise ValueError("expand_factor must be >= 1")
+        if self.expand_threshold < 1:
+            raise ValueError("expand_threshold must be >= 1")
+        if not self.expand_quality > 0.0:
+            raise ValueError("expand_quality must be > 0")
+        if self.maxsteps < 1:
+            raise ValueError("maxsteps must be >= 1")
+        if self.tracking_maxiters is not None and self.tracking_maxiters < 1:
+            raise ValueError("tracking_maxiters must be >= 1")
+        if self.tracking_abstol is not None and not self.tracking_abstol > 0:
+            raise ValueError("tracking_abstol must be > 0")
 
 
 @static_config
@@ -95,7 +117,7 @@ class KantorovichHomotopy:
     gamma: float = 0.95
     strict: bool = True
     predictor: str = "constant"
-    predictor_order: int = 1
+    predictor_order: Optional[int] = None  # resolved: 1 constant, 2 secant
     expand_quality: float = 0.25
     tracking_maxiters: Optional[int] = 10
     maxsteps: int = 10000
@@ -105,6 +127,42 @@ class KantorovichHomotopy:
     expand_factor: float = 1.0
     expand_threshold: int = 2
     tracking_abstol: Optional[float] = None
+
+    def __post_init__(self):
+        # kantorovich_homotopy_tests__item1.jl construction validation
+        if self.nsteps is not None and self.nsteps < 1:
+            raise ValueError("nsteps must be >= 1")
+        if not self.initial_step_factor > 0.0:
+            raise ValueError("initial_step_factor must be > 0")
+        if self.min_dlam is not None and not self.min_dlam > 0.0:
+            raise ValueError("min_dlam must be > 0")
+        if not 0.0 < self.max_step_factor <= 1.0:
+            raise ValueError("max_step_factor must be in (0, 1]")
+        if not self.qmin < 1.0:
+            raise ValueError("qmin must be < 1")
+        if not self.qmax >= 1.0:
+            raise ValueError("qmax must be >= 1")
+        if not self.theta_min < self.theta_bar:
+            raise ValueError("theta_min must be < theta_bar")
+        if not self.theta_bar < self.theta_reject:
+            raise ValueError("theta_bar must be < theta_reject")
+        if not 0.0 < self.gamma < 1.0:
+            raise ValueError("gamma must be in (0, 1)")
+        if self.predictor not in ("constant", "secant"):
+            raise ValueError("predictor must be 'constant' or 'secant'")
+        if self.predictor_order is None:
+            object.__setattr__(self, "predictor_order",
+                               2 if self.predictor == "secant" else 1)
+        if self.predictor_order < 1:
+            raise ValueError("predictor_order must be >= 1")
+        if not self.expand_quality > 0.0:
+            raise ValueError("expand_quality must be > 0")
+        if self.tracking_maxiters is not None and self.tracking_maxiters < 1:
+            raise ValueError("tracking_maxiters must be >= 1")
+        if self.tracking_abstol is not None and not self.tracking_abstol > 0:
+            raise ValueError("tracking_abstol must be > 0")
+        if self.maxsteps < 1:
+            raise ValueError("maxsteps must be >= 1")
 
 
 @static_config
@@ -122,6 +180,32 @@ class ArcLengthContinuation:
     maxsteps: int = 10000
     theta: float = 0.5
     name: str = "ArcLengthContinuation"
+
+    def __post_init__(self):
+        # arclength_tests__item{1,6,7}.jl construction validation
+        if not 0.0 < self.initial_step_factor <= 1.0:
+            raise ValueError("initial_step_factor must be in (0, 1]")
+        if self.min_ds is not None and not self.min_ds > 0.0:
+            raise ValueError("min_ds must be > 0")
+        if not 0.0 < self.max_step_factor <= 1.0:
+            raise ValueError("max_step_factor must be in (0, 1]")
+        if not self.expand_factor >= 1.0:
+            raise ValueError("expand_factor must be >= 1")
+        if self.expand_threshold < 1:
+            raise ValueError("expand_threshold must be >= 1")
+        if not 0.0 < self.max_angle < math.pi:
+            raise ValueError("max_angle must be in (0, pi)")
+        if self.predictor not in ("secant", "tangent"):
+            # 'constant' is rejected: the augmented corrector needs a
+            # direction (arclength_tests__item6.jl)
+            raise ValueError("predictor must be 'secant' or 'tangent'")
+        if self.maxsteps < 1:
+            raise ValueError("maxsteps must be >= 1")
+        if not 0.0 < self.theta < 1.0:
+            raise ValueError("theta must be in (0, 1) — either endpoint "
+                             "degenerates the arclength metric")
+        if self.tracking_maxiters is not None and self.tracking_maxiters < 1:
+            raise ValueError("tracking_maxiters must be >= 1")
 
 
 @static_config
@@ -246,10 +330,17 @@ def _run_sweep(alg, inner, ctx_maker, run_inner, u0_flat, lam0, lam1,
                               jnp.int32(0))
 
     zero = jnp.zeros((), dtype)
+    # Anchor-failure contract (homotopy_sweep_tests__item16.jl): when the
+    # λ0 system is unsolvable from u0, the homotopy premise is broken —
+    # return u0 itself (with its residual), not the anchor's diverged
+    # iterate, carrying the inner failure retcode.
+    u_anchor = jnp.where(anchor_ok, anchor.u, u0_flat)
+    fu_anchor = jnp.where(anchor_ok, anchor.fu,
+                          ctx_maker(lam0)(u0_flat))
     carry0 = SweepCarry(
-        u=anchor.u, u_prev=anchor.u, lam=lam0, lam_prev=lam0, dlam=dlam0,
+        u=u_anchor, u_prev=u_anchor, lam=lam0, lam_prev=lam0, dlam=dlam0,
         streak=jnp.int32(0), trust=jnp.int32(2), disp_prev=zero,
-        attempts=jnp.int32(0), fu=anchor.fu,
+        attempts=jnp.int32(0), fu=fu_anchor,
         retcode=jnp.int32(ReturnCode.Default),
         done=(~anchor_ok) | (lam0 == lam1), stats=anchor.stats,
         alg_hint=anchor_hint)

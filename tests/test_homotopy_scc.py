@@ -203,3 +203,435 @@ def test_user_maxiters_shadows_tracking_budget():
     sol_user = nls.solve(prob, alg, maxiters=200)
     assert bool(sol_user.success), int(sol_user.retcode)
     assert float(jnp.max(jnp.abs(sol_user.resid))) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Reference continuation behavior-test port (homotopy_sweep_tests items 1-23,
+# arclength_tests items 1-8, kantorovich_homotopy_tests item 1).
+# ---------------------------------------------------------------------------
+
+def H_quad(u, p, lam):
+    """(1-λ)(u - c) + λ(u² - c): λ=0 root c, λ=1 root √c (the reference's
+    canonical sweep family, homotopy_sweep_tests__item2.jl)."""
+    return (1 - lam) * (u - p) + lam * (u ** 2 - p)
+
+
+def test_sweep_constructor_defaults_and_validation():
+    """homotopy_sweep_tests items 1+18: defaults + construction errors."""
+    alg = nls.HomotopySweep()
+    assert alg.inner is None and alg.nsteps is None and alg.adaptive
+    assert alg.initial_step_factor == pytest.approx(0.1)
+    assert alg.min_dlam is None             # resolved to sqrt(eps) at solve
+    assert alg.max_step_factor == pytest.approx(1.0)
+    assert alg.expand_factor == pytest.approx(2.0)
+    assert alg.expand_threshold == 2
+    assert alg.expand_quality == pytest.approx(0.25)
+    assert alg.predictor == "secant"
+
+    alg2 = nls.HomotopySweep(inner=nls.SimpleNewtonRaphson(), nsteps=20,
+                             adaptive=False, min_dlam=1e-4,
+                             max_step_factor=0.25, expand_factor=1.5,
+                             expand_threshold=3, predictor="constant")
+    assert alg2.nsteps == 20 and not alg2.adaptive
+    assert alg2.min_dlam == pytest.approx(1e-4)
+    assert alg2.max_step_factor == pytest.approx(0.25)
+    assert alg2.expand_factor == pytest.approx(1.5)
+    assert alg2.expand_threshold == 3 and alg2.predictor == "constant"
+
+    # boundary values that must be ACCEPTED
+    assert nls.HomotopySweep(expand_factor=1).expand_factor == 1
+    assert nls.HomotopySweep(expand_quality=float("inf")).expand_quality \
+        == float("inf")
+
+    for bad in [dict(adaptive=False), dict(nsteps=0),
+                dict(max_step_factor=0.0), dict(max_step_factor=1.5),
+                dict(expand_factor=0.5), dict(expand_threshold=0),
+                dict(expand_quality=0.0), dict(expand_quality=-1.0),
+                dict(predictor="tangent"), dict(initial_step_factor=0.0),
+                dict(min_dlam=0.0), dict(maxsteps=0)]:
+        with pytest.raises(ValueError):
+            nls.HomotopySweep(**bad)
+
+
+def test_sweep_p_needs_no_structure():
+    """item4: λ is a separate argument, so p can be any pytree."""
+    def H(u, p, lam):
+        return (1 - lam) * (u - p["c"]) + lam * (u ** 2 - p["c"])
+
+    prob = nls.HomotopyProblem(H, jnp.array([4.0]), {"c": jnp.asarray(4.0)})
+    sol = nls.solve(prob, nls.HomotopySweep())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-6)
+
+
+def test_sweep_saturating_atan_vs_cold_newton():
+    """item5: continuation lands on u=3 where a cold Newton from u0=12
+    overshoots the saturating atan residual."""
+    def H(u, p, lam):
+        return (1 - lam) * u + lam * jnp.arctan(u - 3.0)
+
+    prob = nls.HomotopyProblem(H, jnp.array([12.0]))
+    sol = nls.solve(prob, nls.HomotopySweep(nsteps=20))
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), 3.0, atol=1e-5)
+
+    cold = nls.NonlinearProblem(lambda u, p: jnp.arctan(u - 3.0),
+                                jnp.array([12.0]))
+    csol = nls.solve(cold, nls.NewtonRaphson())
+    assert not (bool(csol.success)
+                and abs(float(csol.u[0]) - 3.0) < 1e-3)
+
+
+def test_sweep_fold_fails_finite():
+    """item6: no real root past λ=1/3 — must FAIL (not silently succeed)
+    and return the last converged iterate, not a diverged buffer."""
+    def H(u, p, lam):
+        return (1 - lam) * u + lam * (u ** 2 + 1.0)
+
+    prob = nls.HomotopyProblem(H, jnp.array([0.0]))
+    sol = nls.solve(prob, nls.HomotopySweep(min_dlam=1e-2))
+    assert not bool(sol.success)
+    assert int(sol.retcode) != int(nls.ReturnCode.Success)
+    assert np.all(np.isfinite(np.asarray(sol.u)))
+
+
+def test_sweep_prob_kwargs_reach_inner_solves():
+    """item8: maxiters=1 stored on the problem must reach the inner solves
+    and wreck them (pre-fix it was silently ignored and succeeded)."""
+    prob = nls.HomotopyProblem(H_quad, jnp.array([4.0]), jnp.asarray(4.0),
+                               maxiters=1)
+    sol = nls.solve(prob, nls.HomotopySweep(inner=nls.NewtonRaphson(),
+                                            min_dlam=1e-2))
+    assert not bool(sol.success)
+
+
+def test_sweep_fixed_step_fold_fails():
+    """item9: non-adaptive sweep across a fold fails."""
+    def H(u, p, lam):
+        return (1 - lam) * u + lam * (u ** 2 + 1.0)
+
+    prob = nls.HomotopyProblem(H, jnp.array([0.0]))
+    sol = nls.solve(prob, nls.HomotopySweep(adaptive=False, nsteps=10))
+    assert not bool(sol.success)
+
+
+def test_sweep_stall_guard_large_span():
+    """item10: bisection must stop (Stalled), not hang, when dλ underflows
+    on a large-magnitude span; resid stays finite."""
+    def H(u, p, lam):
+        return u ** 2 + (lam - 1.0e9)
+
+    prob = nls.HomotopyProblem(H, jnp.array([0.0]),
+                               lambdaspan=(1.0e9, 2.0e9))
+    sol = nls.solve(prob, nls.HomotopySweep(inner=nls.NewtonRaphson()),
+                    maxiters=5)
+    assert int(sol.retcode) == int(nls.ReturnCode.Stalled)
+    assert not bool(sol.success)
+    assert np.all(np.isfinite(np.asarray(sol.resid)))
+
+
+def test_sweep_decreasing_span():
+    """item11: λspan swept 1 → 0; target is the λ=0 root u=c."""
+    prob = nls.HomotopyProblem(H_quad, jnp.array([2.0]), jnp.asarray(4.0),
+                               lambdaspan=(1.0, 0.0))
+    sol = nls.solve(prob, nls.HomotopySweep())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), 4.0, atol=1e-6)
+
+
+def test_sweep_float32_no_promotion():
+    """item12: Float32 problems stay Float32 and still land."""
+    prob = nls.HomotopyProblem(H_quad, jnp.array([4.0], jnp.float32),
+                               jnp.float32(4.0),
+                               lambdaspan=(np.float32(0), np.float32(1)))
+    sol = nls.solve(prob, nls.HomotopySweep())
+    assert bool(sol.success)
+    assert sol.u.dtype == jnp.float32
+    np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-3)
+
+
+def test_sweep_inner_variants():
+    """item13: default inner (polyalgorithm), NewtonRaphson, and
+    SimpleNewtonRaphson all land — no hardcoded inner dependency."""
+    for inner in [None, nls.NewtonRaphson(), nls.SimpleNewtonRaphson()]:
+        prob = nls.HomotopyProblem(H_quad, jnp.array([4.0]),
+                                   jnp.asarray(4.0))
+        sol = nls.solve(prob, nls.HomotopySweep(inner=inner))
+        assert bool(sol.success), repr(inner)
+        np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-6)
+
+
+def test_sweep_anchor_selects_branch():
+    """item15: the λ=λ0 anchor solve must run FIRST.  From u0=-10 the
+    simplified linear system u-4 pulls into the POSITIVE root's basin, so
+    the sweep lands on +2; skipping the anchor tracks the negative branch
+    to -2 with a bogus success."""
+    def H(u, p, lam):
+        return (1 - lam) * (u - 4.0) + lam * (u ** 2 - 4.0)
+
+    prob = nls.HomotopyProblem(H, jnp.array([-10.0]))
+    sol = nls.solve(prob, nls.HomotopySweep())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-5)
+
+
+def test_sweep_anchor_failure_not_stalled():
+    """item16: an unsolvable anchor fails FAST with the inner failure
+    retcode (not Stalled), finite resid, and u left at u0."""
+    def H(u, p, lam):
+        return u ** 2 + 1.0
+
+    prob = nls.HomotopyProblem(H, jnp.array([0.5]))
+    sol = nls.solve(prob, nls.HomotopySweep(inner=nls.NewtonRaphson()),
+                    maxiters=25)
+    assert not bool(sol.success)
+    assert int(sol.retcode) != int(nls.ReturnCode.Stalled)
+    assert np.all(np.isfinite(np.asarray(sol.resid)))
+    np.testing.assert_allclose(float(sol.u[0]), 0.5)
+
+
+def test_sweep_expansion_step_economy():
+    """item19 (jit-idiomatic port): on a linear-in-u homotopy every
+    corrector succeeds, so expansion (×2 every 2 successes) must spend
+    strictly fewer residual evaluations than expand_factor=1, which walks
+    the span at the fixed initial increment."""
+    H = lambda u, p, lam: u - lam
+    prob = nls.HomotopyProblem(H, jnp.array([0.0]))
+    inner = nls.NewtonRaphson()
+    nf_grow = int(nls.solve(
+        prob, nls.HomotopySweep(inner=inner)).stats.nf)
+    nf_nogrow = int(nls.solve(
+        prob, nls.HomotopySweep(inner=inner, expand_factor=1)).stats.nf)
+    assert nf_grow < nf_nogrow
+
+
+def test_sweep_predictor_secant_beats_constant():
+    """item20: on the linear path u*(λ) = 1+λ the secant prediction is
+    exact, so it must spend strictly fewer residual evaluations than the
+    constant (lagging) warm start across the identical sweep."""
+    H = lambda u, p, lam: u ** 3 - (1 + lam) ** 3
+    inner = nls.NewtonRaphson()
+    sols = {}
+    for pred in ("secant", "constant"):
+        prob = nls.HomotopyProblem(H, jnp.array([1.0]))
+        sols[pred] = nls.solve(
+            prob, nls.HomotopySweep(inner=inner, predictor=pred))
+        assert bool(sols[pred].success)
+        np.testing.assert_allclose(float(sols[pred].u[0]), 2.0, atol=1e-6)
+    assert int(sols["secant"].stats.nf) < int(sols["constant"].stats.nf)
+
+
+def test_sweep_sharp_turn_bisect_then_regrow():
+    """item21: the path 3·tanh(20(λ-½)) turns sharply at λ=½ and the
+    residual x+2sin(x) traps oversized correctors; the sweep must bisect
+    through the turn, then regrow — so with regrowth disabled
+    (expand_factor=1) the run pays strictly more residual evaluations."""
+    def H(u, p, lam):
+        x = u - 3.0 * jnp.tanh(20.0 * (lam - 0.5))
+        return x + 2.0 * jnp.sin(x)
+
+    target = 3.0 * np.tanh(10.0)
+    inner = nls.NewtonRaphson()
+    sols = {}
+    for ef, key in [(2.0, "grow"), (1.0, "nogrow")]:
+        prob = nls.HomotopyProblem(H, jnp.array([-target]))
+        sols[key] = nls.solve(
+            prob, nls.HomotopySweep(inner=inner, initial_step_factor=0.25,
+                                    expand_factor=ef), maxiters=100)
+        assert bool(sols[key].success), key
+        np.testing.assert_allclose(float(sols[key].u[0]), target, atol=1e-6)
+    assert int(sols["grow"].stats.nf) < int(sols["nogrow"].stats.nf)
+
+
+def test_kantorovich_defaults_and_validation():
+    """kantorovich_homotopy_tests__item1.jl constructor part."""
+    alg = nls.KantorovichHomotopy()
+    assert alg.predictor == "constant" and alg.predictor_order == 1
+    assert alg.strict
+    assert alg.qmin == pytest.approx(0.2)
+    assert alg.qmax == pytest.approx(5.0)
+    assert nls.KantorovichHomotopy(predictor="secant").predictor_order == 2
+    assert nls.KantorovichHomotopy(predictor="secant",
+                                   predictor_order=3).predictor_order == 3
+
+    for bad in [dict(nsteps=0), dict(initial_step_factor=0),
+                dict(min_dlam=0), dict(max_step_factor=2), dict(qmin=1),
+                dict(qmax=0.9), dict(theta_min=0.6, theta_bar=0.5),
+                dict(theta_bar=0.96), dict(gamma=1),
+                dict(predictor="quadratic"), dict(predictor_order=0),
+                dict(expand_quality=0), dict(tracking_maxiters=0),
+                dict(tracking_abstol=0), dict(maxsteps=0)]:
+        with pytest.raises(ValueError):
+            nls.KantorovichHomotopy(**bad)
+
+
+def test_kantorovich_solves_and_variants():
+    """kantorovich item1 solve part: cbrt(2) with explicit/default/simple
+    inners; decreasing span; Float32 non-promotion."""
+    H = lambda u, p, lam: u ** 3 - (1 + lam)
+    for inner in [nls.NewtonRaphson(), None, nls.SimpleNewtonRaphson()]:
+        prob = nls.HomotopyProblem(H, jnp.array([1.0]))
+        sol = nls.solve(prob, nls.KantorovichHomotopy(inner=inner))
+        assert bool(sol.success), repr(inner)
+        np.testing.assert_allclose(float(sol.u[0]), 2.0 ** (1 / 3),
+                                   atol=1e-9)
+
+    probd = nls.HomotopyProblem(lambda u, p, lam: u - (1 + lam),
+                                jnp.array([2.0]), lambdaspan=(1.0, 0.0))
+    sold = nls.solve(probd, nls.KantorovichHomotopy(inner=nls.NewtonRaphson()))
+    assert bool(sold.success)
+    np.testing.assert_allclose(float(sold.u[0]), 1.0, atol=1e-10)
+
+    prob32 = nls.HomotopyProblem(lambda u, p, lam: u ** 2 - (1 + lam),
+                                 jnp.array([1.0], jnp.float32),
+                                 lambdaspan=(np.float32(0), np.float32(1)))
+    sol32 = nls.solve(prob32,
+                      nls.KantorovichHomotopy(inner=nls.NewtonRaphson()))
+    assert bool(sol32.success)
+    assert sol32.u.dtype == jnp.float32
+    np.testing.assert_allclose(float(sol32.u[0]), np.sqrt(2.0), atol=2e-5)
+
+
+def test_arclength_defaults_and_validation():
+    """arclength_tests items 1+6+7: defaults + construction errors
+    (including theta's open-interval domain and the rejected 'constant'
+    predictor)."""
+    alg = nls.ArcLengthContinuation()
+    assert alg.inner is None
+    assert alg.initial_step_factor == pytest.approx(0.1)
+    assert alg.adaptive and alg.min_ds is None
+    assert alg.max_step_factor == pytest.approx(1.0)
+    assert alg.expand_factor == pytest.approx(2.0)
+    assert alg.expand_threshold == 2
+    assert alg.max_angle == pytest.approx(np.pi / 6)
+    assert alg.maxsteps == 10000
+    assert alg.predictor == "secant"
+    assert alg.theta == pytest.approx(0.5)
+
+    alg2 = nls.ArcLengthContinuation(inner=nls.SimpleNewtonRaphson(),
+                                     initial_step_factor=0.05,
+                                     max_angle=np.pi / 4, maxsteps=500,
+                                     theta=0.3)
+    assert alg2.initial_step_factor == pytest.approx(0.05)
+    assert alg2.max_angle == pytest.approx(np.pi / 4)
+    assert alg2.maxsteps == 500 and alg2.theta == pytest.approx(0.3)
+
+    for bad in [dict(initial_step_factor=0.0), dict(initial_step_factor=1.5),
+                dict(min_ds=0.0), dict(max_step_factor=0.0),
+                dict(max_step_factor=2.0), dict(expand_factor=0.5),
+                dict(expand_threshold=0), dict(max_angle=0.0),
+                dict(max_angle=4.0), dict(maxsteps=0),
+                dict(predictor="bogus"), dict(predictor="constant"),
+                dict(theta=0.0), dict(theta=1.0), dict(theta=-0.5),
+                dict(theta=1.5)]:
+        with pytest.raises(ValueError):
+            nls.ArcLengthContinuation(**bad)
+
+
+def test_arclength_monotone_matches_sweep():
+    """arclength item2: fold-free case reproduces the sweep's answer; a
+    decreasing λspan targets the λspan[1] end."""
+    prob = nls.HomotopyProblem(H_quad, jnp.array([4.0]), jnp.asarray(4.0))
+    sol = nls.solve(prob, nls.ArcLengthContinuation())
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-6)
+    assert abs(float(sol.u[0]) ** 2 - 4.0) < 1e-8      # on the target system
+    ref = nls.solve(prob, nls.HomotopySweep())
+    np.testing.assert_allclose(float(sol.u[0]), float(ref.u[0]), atol=1e-6)
+
+    prob_dec = nls.HomotopyProblem(H_quad, jnp.array([1.0]),
+                                   jnp.asarray(4.0), lambdaspan=(1.0, 0.0))
+    sol_dec = nls.solve(prob_dec, nls.ArcLengthContinuation())
+    assert bool(sol_dec.success)
+    np.testing.assert_allclose(float(sol_dec.u[0]), 4.0, atol=1e-6)
+
+
+TARGET_SFOLD = 2.1038034
+
+
+def H_sfold(u, p, lam):
+    """u³-3u = -3+6λ: folds at λ=5/6 and 1/6 — the connected branch from
+    the λ=0 lower sheet reaches λ=1 only by rounding BOTH turning points
+    (λ rises, reverses, rises again: non-monotone in λ)."""
+    return u ** 3 - 3.0 * u - (-3.0 + 6.0 * lam)
+
+
+@pytest.mark.parametrize("predictor", ["secant", "tangent"])
+def test_arclength_s_fold_connected_branch(predictor):
+    """arclength items 3+6: both predictors round the double fold to the
+    connected upper-sheet root (natural marching cannot: λ must reverse)."""
+    prob = nls.HomotopyProblem(H_sfold, jnp.array([-TARGET_SFOLD]))
+    sol = nls.solve(prob, nls.ArcLengthContinuation(predictor=predictor))
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), TARGET_SFOLD, atol=1e-4)
+    # genuine target-system residual at λ=1
+    assert abs(float(sol.u[0]) ** 3 - 3 * float(sol.u[0]) - 3.0) < 1e-6
+
+
+def test_arclength_tangent_matches_secant_and_theta():
+    """arclength item7: tangent and secant land on the same root; a
+    non-default theta still rounds the fold."""
+    prob = nls.HomotopyProblem(H_sfold, jnp.array([-TARGET_SFOLD]))
+    u_t = float(nls.solve(
+        prob, nls.ArcLengthContinuation(predictor="tangent")).u[0])
+    u_s = float(nls.solve(
+        prob, nls.ArcLengthContinuation(predictor="secant")).u[0])
+    np.testing.assert_allclose(u_t, u_s, atol=1e-4)
+    sol_th = nls.solve(
+        prob, nls.ArcLengthContinuation(predictor="tangent", theta=0.8))
+    assert bool(sol_th.success)
+    np.testing.assert_allclose(float(sol_th.u[0]), TARGET_SFOLD, atol=1e-4)
+
+
+def test_arclength_tangent_2d_slaved_component():
+    """arclength item6 (2D): u₂ = u₁² slaved to the folding u₁ — the
+    tangent must live in the augmented (n+1)-dim null space; staying on
+    the curve (no branch jump) proves it."""
+    def H2(u, p, lam):
+        return jnp.array([u[0] ** 3 - 3 * u[0] - (-3 + 6 * lam),
+                          u[1] - u[0] ** 2])
+
+    prob = nls.HomotopyProblem(
+        H2, jnp.array([-TARGET_SFOLD, TARGET_SFOLD ** 2]))
+    sol = nls.solve(prob, nls.ArcLengthContinuation(predictor="tangent"))
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.u[0]), TARGET_SFOLD, atol=1e-4)
+    np.testing.assert_allclose(float(sol.u[1]), float(sol.u[0]) ** 2,
+                               atol=1e-6)
+
+
+def test_arclength_float32_and_multidim():
+    """arclength item4: Float32 non-promotion; n=2 system tracks."""
+    prob32 = nls.HomotopyProblem(H_quad, jnp.array([4.0], jnp.float32),
+                                 jnp.float32(4.0),
+                                 lambdaspan=(np.float32(0), np.float32(1)))
+    sol32 = nls.solve(prob32, nls.ArcLengthContinuation())
+    assert bool(sol32.success)
+    assert sol32.u.dtype == jnp.float32
+    np.testing.assert_allclose(float(sol32.u[0]), 2.0, atol=1e-4)
+
+    def H2(u, p, lam):
+        return jnp.array([
+            (1 - lam) * (u[0] - 1.0) + lam * (u[0] ** 2 + u[1] ** 2 - 2.0),
+            (1 - lam) * (u[1] - 1.0) + lam * (u[0] - u[1])])
+
+    prob2 = nls.HomotopyProblem(H2, jnp.array([1.0, 1.0]))
+    sol2 = nls.solve(prob2, nls.ArcLengthContinuation())
+    assert bool(sol2.success)
+    np.testing.assert_allclose(np.asarray(sol2.u), [1.0, 1.0], atol=1e-6)
+
+
+def test_arclength_unreachable_target_fails_finite():
+    """arclength item5: the circle u² + (λ-½)² = ¼ never reaches λ=2 —
+    failure retcode, finite last-converged u, terminates via maxsteps;
+    and maxsteps=2 cannot round the S-fold."""
+    Hc = lambda u, p, lam: u ** 2 + (lam - 0.5) ** 2 - 0.25
+    prob = nls.HomotopyProblem(Hc, jnp.array([0.0]), lambdaspan=(0.0, 2.0))
+    sol = nls.solve(prob, nls.ArcLengthContinuation(maxsteps=200))
+    assert not bool(sol.success)
+    assert np.all(np.isfinite(np.asarray(sol.u)))
+
+    probf = nls.HomotopyProblem(H_sfold, jnp.array([-TARGET_SFOLD]))
+    sol_short = nls.solve(probf, nls.ArcLengthContinuation(maxsteps=2))
+    assert not bool(sol_short.success)
+    assert np.all(np.isfinite(np.asarray(sol_short.u)))
