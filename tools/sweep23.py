@@ -6,10 +6,14 @@ re-curated after fixture changes.  Run on the CPU backend:
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "1")
-
 import jax
+
+# The axon sitecustomize force-registers the tunnel platform and IGNORES
+# the JAX_PLATFORMS env var (.claude/skills/verify/SKILL.md) — force the
+# CPU backend + x64 the way tests/conftest.py does.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 
 import sys
