@@ -19,34 +19,35 @@ EPS = 1e-4
 # Empirically curated, analogous to the reference's broken_tests dicts
 # (reference: NR→[1], TR simple→[11,21], LM→[11,21], Broyden→[1,2,3,5,21]…).
 CASES = [
-    ("NewtonRaphson", nls.NewtonRaphson(), {1, 17}),
+    ("NewtonRaphson", nls.NewtonRaphson(), {1}),
     ("TrustRegion", nls.TrustRegion(), {11, 21}),
     ("TrustRegion-Fan", nls.TrustRegion(radius_update_scheme="fan"),
-     {6, 11, 21}),
+     {11, 21}),
     ("TrustRegion-NLsolve", nls.TrustRegion(radius_update_scheme="nlsolve"),
-     {6, 11, 21}),
+     {21}),
     ("TrustRegion-Bastin", nls.TrustRegion(radius_update_scheme="bastin"),
-     {6, 11, 21}),
-    ("LevenbergMarquardt", nls.LevenbergMarquardt(), {11, 17, 21}),
+     {21}),
+    ("LevenbergMarquardt", nls.LevenbergMarquardt(), {11, 21}),
     ("PseudoTransient", nls.PseudoTransient(alpha_initial=10.0), {1, 8, 11}),
-    ("Broyden", nls.Broyden(), {1, 5, 6, 11, 16, 18}),
+    ("Broyden", nls.Broyden(), {1, 5, 6, 11, 18}),
     ("Klement", nls.Klement(), {1, 2, 4, 5, 6, 7, 11, 22}),
-    ("DFSane", nls.DFSane(), {1, 2, 3, 5, 16, 21, 22}),
-    ("SimpleNewtonRaphson", nls.SimpleNewtonRaphson(), {1, 17}),
-    ("SimpleBroyden", nls.SimpleBroyden(), {1, 6, 11, 16, 18}),
+    ("DFSane", nls.DFSane(), {1, 2, 3, 5, 21}),
+    ("SimpleNewtonRaphson", nls.SimpleNewtonRaphson(), {1}),
+    ("SimpleBroyden", nls.SimpleBroyden(), {1, 6, 11, 18}),
     ("SimpleKlement", nls.SimpleKlement(), {1, 2, 4, 5, 6, 7, 11, 13, 22}),
-    ("SimpleDFSane", nls.SimpleDFSane(), {1, 2, 3, 5, 16, 21}),
+    ("SimpleDFSane", nls.SimpleDFSane(), {1, 2, 3, 5, 21}),
     ("SimpleHalley", nls.SimpleHalley(), {1}),
     ("SimpleTrustRegion", nls.SimpleTrustRegion(), {11, 21}),
     ("SimpleLimitedMemoryBroyden", nls.SimpleLimitedMemoryBroyden(),
-     {1, 6, 11, 16, 18}),
+     {1, 6, 11, 18}),
     ("NewtonRaphson-BackTracking",
-     nls.NewtonRaphson(linesearch=nls.BackTracking()), {16, 21}),
-    # Full-tier L-Broyden (η-deep low-rank ring) is the fragile tier the
-    # reference reserves for GPU/static arrays and does NOT sweep; rows
-    # where it does converge are regression-guarded here.
+     nls.NewtonRaphson(linesearch=nls.BackTracking()), {21}),
+    # Full-tier L-Broyden delegates to full Broyden below the threshold
+    # rank (the reference Simple tier's documented small-n semantics); the
+    # genuine low-rank ring carries the large-n tier.  Broken set now
+    # matches full Broyden's.
     ("LimitedMemoryBroyden", nls.LimitedMemoryBroyden(),
-     {1, 2, 3, 4, 5, 6, 7, 9, 11, 13, 14, 15, 16, 17, 18, 21, 22, 23}),
+     {1, 5, 6, 11, 18}),
     ("RobustMultiNewton", nls.RobustMultiNewton(), set()),
     ("DefaultPolyalgorithm", None, set()),
 ]
@@ -59,7 +60,7 @@ def _broyden_tr():
                                 name="BroydenTR")
 
 
-CASES.append(("Broyden-TrustRegion", _broyden_tr(), {3, 5, 11, 15, 16, 21}))
+CASES.append(("Broyden-TrustRegion", _broyden_tr(), {3, 5, 11, 21}))
 
 
 @pytest.fixture(autouse=True)
@@ -90,4 +91,10 @@ def test_23_problems(name, alg, broken):
             ok, resid = False, repr(e)
         if not ok and tp.index not in broken:
             failures.append((tp.index, tp.title, resid))
+        if ok and tp.index in broken:
+            unexpected_passes.append((tp.index, tp.title))
     assert not failures, f"{name} unexpectedly failed: {failures}"
+    # The reference's @test_broken analogue: a problem that starts passing
+    # must be REMOVED from the broken set, so the sets can only tighten.
+    assert not unexpected_passes, (
+        f"{name} now PASSES {unexpected_passes} — remove from BROKEN")
