@@ -204,22 +204,52 @@ def ell_plan_for(indptr, indices, n_rows, n_cols) -> EllPlan:
 
 
 def _make_ell_kernel(W: int, w: int):
+    # The two-stage register gather must stay WITHIN one native (8, 128)
+    # tile: Mosaic lowers a sublane take_along_axis over G*8 rows into
+    # per-row select chains whose compile time explodes around W ≈ 16
+    # (measured: W=8 compiles in seconds, W=32 hangs >10 min on v5e).  So
+    # the window is walked as G = W/8 native tiles inside a fori_loop
+    # (constant compile cost, G bounded only by the runtime budget), each
+    # slot contributing where its window-local tile index equals g.
+    G = W // SUBLANES
+
     def kernel(r0_ref, idx_ref, data_ref, x_ref, out_ref):
-        # r0_ref: (1, 8) SMEM; idx/data: (1, 8, w, 128);
-        # x_ref: (R, 128) resident; out: (1, 8, 128)
+        # r0_ref: (ntiles, 8) SMEM, whole-array resident (blocked SMEM
+        # specs reject (1, 8) tiles once ntiles > 1); idx/data:
+        # (1, 8, w, 128); x_ref: (R, 128) resident; out: (1, 8, 128)
+        i = pl.program_id(0)
         for j in range(SUBLANES):
-            xw = x_ref[pl.ds(r0_ref[0, j], W), :]
-            acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
+            r0 = r0_ref[i, j]
+            his = []
+            los = []
             for s in range(w):
                 idx = idx_ref[0, j, s:s + 1, :]          # (1, 128) packed
-                hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
-                lo = jax.lax.bitwise_and(idx, jnp.int32(127))
-                # lane gather FIRST, then sublane gather (see module doc)
-                a1 = jnp.take_along_axis(
-                    xw, jnp.broadcast_to(lo, (W, LANES)), axis=1)
-                a2 = jnp.take_along_axis(
-                    a1, jnp.broadcast_to(hi, (W, LANES)), axis=0)
-                acc = acc + data_ref[0, j, s:s + 1, :] * a2[0:1, :]
+                his.append(jax.lax.shift_right_logical(idx, jnp.int32(7)))
+                los.append(jax.lax.bitwise_and(idx, jnp.int32(127)))
+
+            def tile_contrib(g0, acc, j=j, his=his, los=los, r0=r0):
+                xt = x_ref[pl.ds(r0 + SUBLANES * g0, SUBLANES), :]
+                for s in range(w):
+                    hi8 = jax.lax.bitwise_and(his[s], jnp.int32(7))
+                    # lane gather FIRST, then sublane gather (module doc)
+                    a1 = jnp.take_along_axis(
+                        xt, jnp.broadcast_to(los[s], (SUBLANES, LANES)),
+                        axis=1)
+                    a2 = jnp.take_along_axis(
+                        a1, jnp.broadcast_to(hi8, (SUBLANES, LANES)),
+                        axis=0)
+                    in_tile = (jax.lax.shift_right_logical(
+                        his[s], jnp.int32(3)) == g0)
+                    acc = acc + jnp.where(
+                        in_tile, data_ref[0, j, s:s + 1, :] * a2[0:1, :],
+                        jnp.zeros((), acc.dtype))
+                return acc
+
+            acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
+            if G <= 1:
+                acc = tile_contrib(jnp.int32(0), acc)
+            else:
+                acc = jax.lax.fori_loop(0, G, tile_contrib, acc)
             out_ref[0, j, :] = acc[0, :]
     return kernel
 
@@ -231,8 +261,7 @@ def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, interpret):
         _make_ell_kernel(W, w),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, SUBLANES), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # r0 resident
             pl.BlockSpec((1, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
