@@ -9,6 +9,16 @@ import pytest
 import nonlinearsolve_tpu as nls
 from nonlinearsolve_tpu.models.nlls_problems import NLLS_PROBLEMS
 
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Every (problem, alg) pair compiles a full engine; under pytest-xdist
+    the accumulated XLA CPU executables can segfault the worker (same
+    failure mode as tests/test_sensitivities_bounds.py).  Drop them
+    between tests."""
+    yield
+    jax.clear_caches()
+
 ALGS = [
     ("gauss_newton", nls.GaussNewton()),
     ("lm", nls.LevenbergMarquardt()),
