@@ -43,6 +43,19 @@ def main():
     if jax.default_backend() == "cpu":
         print("(virtual CPU mesh: collective/topology validation only — "
               "efficiencies are not hardware numbers)")
+    # Driver-format record (BASELINE: >=80% nnz/s weak-scaling efficiency
+    # 1 chip -> multi-host) so a real-hardware run is turnkey.
+    import json
+    if rows:
+        k, rate, eff = rows[-1]
+        print(json.dumps({
+            "metric": "rd3d_weak_scaling_efficiency",
+            "value": eff,
+            "unit": f"nnz/s efficiency at {k} devices vs 1 "
+                    f"({rate / 1e9:.2f} Gnnz/s aggregate; {kind}; "
+                    f"{'VIRTUAL cpu mesh - not a hardware number' if jax.default_backend() == 'cpu' else 'hardware'})",
+            "vs_baseline": eff / 0.80,
+        }))
 
 
 if __name__ == "__main__":
