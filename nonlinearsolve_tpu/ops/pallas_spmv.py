@@ -141,7 +141,7 @@ class EllPlan:
         hi_local = np.where(has, hi_local, 0)
         lo_t = np.where(has, lo_t, 0)
         self.idx = (hi_local * LANES + lo_t).astype(np.int32)
-        self.r0 = r0.astype(np.int32)
+        self.r0 = (r0 // SUBLANES).astype(np.int32)   # window start, tiles
         self.W = W
         self.w = w
         self.n_rows = n_rows
@@ -160,7 +160,8 @@ class EllPlan:
 
     def pack_x(self, x):
         xp = jnp.zeros((self.nx_rows * LANES,), x.dtype)
-        return xp.at[:x.shape[0]].set(x).reshape(self.nx_rows, LANES)
+        return xp.at[:x.shape[0]].set(x).reshape(
+            self.nx_rows // SUBLANES, SUBLANES, LANES)
 
     @property
     def supported(self) -> bool:
@@ -214,12 +215,17 @@ def _make_ell_kernel(W: int, w: int):
     G = W // SUBLANES
 
     def kernel(r0_ref, idx_ref, data_ref, x_ref, out_ref):
-        # r0_ref: (ntiles, 8) SMEM, whole-array resident (blocked SMEM
-        # specs reject (1, 8) tiles once ntiles > 1); idx/data:
-        # (1, 8, w, 128); x_ref: (R, 128) resident; out: (1, 8, 128)
+        # r0_ref: (ntiles, 8) SMEM whole-array resident (blocked SMEM
+        # specs reject (1, 8) tiles once ntiles > 1), storing the window
+        # start as a TILE index (r0 // 8): x rides as (R/8, 8, 128) and
+        # window tiles are fetched by whole-tile leading-axis indexing —
+        # a VMEM address offset.  (A dynamic sublane-offset slice of a
+        # flat (R, 128) x compiles, but Mosaic's lowering cost grows with
+        # R: R=32 compiled in ~80 s, R=512 hung >9 min on v5e.)
+        # idx/data: (1, 8, w, 128); out: (1, 8, 128)
         i = pl.program_id(0)
         for j in range(SUBLANES):
-            r0 = r0_ref[i, j]
+            t0 = r0_ref[i, j]
             his = []
             los = []
             for s in range(w):
@@ -227,8 +233,8 @@ def _make_ell_kernel(W: int, w: int):
                 his.append(jax.lax.shift_right_logical(idx, jnp.int32(7)))
                 los.append(jax.lax.bitwise_and(idx, jnp.int32(127)))
 
-            def tile_contrib(g0, acc, j=j, his=his, los=los, r0=r0):
-                xt = x_ref[pl.ds(r0 + SUBLANES * g0, SUBLANES), :]
+            def tile_contrib(g0, acc, j=j, his=his, los=los, t0=t0):
+                xt = x_ref[t0 + g0]                      # (8, 128) tile
                 for s in range(w):
                     hi8 = jax.lax.bitwise_and(his[s], jnp.int32(7))
                     # lane gather FIRST, then sublane gather (module doc)
