@@ -417,39 +417,47 @@ def bsr_spmv_pallas(bsr, x, *, interpret=None):
 def _bsr_spmm_kernel(cols_ref, data_ref, x_ref, out_ref, acc_ref):
     """One block-row of Y = A @ X.
 
-    cols_ref: (1, wb) SMEM block-column ids (ELL-padded, -1 = pad);
-    data_ref: (1, wb, b, b); x_ref: (nbc*b, nrhs) resident;
+    cols_ref: (nbr, wb) SMEM whole-array resident block-column ids
+    (ELL-padded, -1 = pad; blocked SMEM tiles are rejected on hardware —
+    same constraint as the ELL kernel's r0); data_ref: (1, wb, b, b);
+    x_ref: (nbc, 8, nrhs) resident — each block-row PADDED to a full
+    8-sublane native tile so the dynamic leading-axis fetch is a plain
+    VMEM address offset (for b < 8 an unpadded (nbc, b, nrhs) layout
+    makes every dynamic index a sublane-realignment Mosaic decomposes);
     out: (1, b, nrhs).
     """
     _, wb, b, _ = data_ref.shape
+    i = pl.program_id(0)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(k, _):
-        bc = cols_ref[0, k]
+    # The slot loop is UNROLLED (wb is static and small): a fori_loop
+    # would index data_ref[0, k] dynamically, and dynamic indexing into
+    # the sub-native-tile (wb, b, b) layout is another Mosaic
+    # decomposition trap.  Only the x block fetch (whole padded tile,
+    # address offset) and the pad predicate stay dynamic.
+    for k in range(wb):
+        bc = cols_ref[i, k]
 
         @pl.when(bc >= 0)
-        def _():
-            xb = x_ref[pl.ds(bc * b, b), :]
+        def _(k=k, bc=bc):
+            xb = x_ref[bc][:b]
             acc_ref[...] += jnp.dot(data_ref[0, k], xb,
                                     preferred_element_type=acc_ref.dtype)
-        return 0
 
-    jax.lax.fori_loop(0, wb, body, 0)
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nbr", "wb", "b", "interpret"))
 def _bsr_spmm_call(cols, data, x, *, nbr, wb, b, interpret):
-    nrhs = x.shape[1]
+    nrhs = x.shape[2]
     return pl.pallas_call(
         _bsr_spmm_kernel,
         grid=(nbr,),
         in_specs=[
-            pl.BlockSpec((1, wb), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # cols resident
             pl.BlockSpec((1, wb, b, b), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # x resident
         ],
         out_specs=pl.BlockSpec((1, b, nrhs), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -480,9 +488,36 @@ def _bsr_ell_blocks(bsr):
 
 
 def bsr_spmm_pallas(bsr, X, *, interpret=None):
-    """Y = A @ X for BSR A and dense multi-RHS X — the MXU path: each
-    block-row streams its (b, b) blocks against dynamically sliced
-    (b, nrhs) row-blocks of X."""
+    """Y = A @ X for BSR A and dense multi-RHS X — the MXU path.
+
+    On TPU hardware this lowers through XLA as one batched-gather +
+    batched (b, b) × (b, nrhs) einsum + segment-sum — every flop on the
+    MXU, and all three stages fuse-friendly.  (The hand-written Pallas
+    block-row streaming kernel below lowers for the interpret tier and
+    stays the development vehicle: on v5e Mosaic decomposes its
+    sub-native-tile (b < 8) block arithmetic so badly that compilation
+    effectively hangs — static-unrolled and whole-tile-fetch variants
+    included.  Revisit when block sizes reach native tile shapes.)
+    """
+    if not _use_interpret(interpret):
+        b = bsr.blocksize
+        nbc = bsr.shape[1] // b
+        Xb = X.reshape(nbc, b, X.shape[1])
+        gathered = jnp.take(Xb, jnp.asarray(bsr.indices), axis=0)
+        acc_dt = (jnp.float64 if bsr.data.dtype == jnp.float64
+                  else jnp.float32)
+        # Precision.HIGHEST: the terminal forces
+        # --xla_allow_excess_precision, which silently runs f32 matmuls
+        # as single-pass bf16 on the MXU (~3e-3 relative error —
+        # docs/tpu_tuning.md §4b); a sparse matvec must be exact f32.
+        prods = jnp.einsum("nij,njr->nir", bsr.data, gathered,
+                           preferred_element_type=acc_dt,
+                           precision=jax.lax.Precision.HIGHEST)
+        out = jax.ops.segment_sum(prods,
+                                  jnp.asarray(bsr.block_row_ids),
+                                  num_segments=bsr.shape[0] // b)
+        return out.astype(X.dtype).reshape(bsr.shape[0], X.shape[1])
+
     b = bsr.blocksize
     n, m = bsr.shape
     cols, perm, valid = _bsr_ell_blocks(bsr)
@@ -493,7 +528,9 @@ def bsr_spmm_pallas(bsr, X, *, interpret=None):
                      jnp.zeros((), bsr.data.dtype))
     nrhs = X.shape[1]
     nrhs_pad = _round_up(nrhs, LANES)
-    Xp = jnp.zeros((m, nrhs_pad), X.dtype).at[:, :nrhs].set(X)
+    nbc = m // b
+    Xp = jnp.zeros((nbc, SUBLANES, nrhs_pad), X.dtype)
+    Xp = Xp.at[:, :b, :nrhs].set(X.reshape(nbc, b, nrhs))
     out = _bsr_spmm_call(jnp.asarray(cols), data, Xp, nbr=nbr, wb=wb, b=b,
-                         interpret=_use_interpret(interpret))
+                         interpret=True)
     return out.reshape(n, nrhs_pad)[:, :nrhs]
