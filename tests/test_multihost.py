@@ -15,6 +15,17 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """The 2-process fake cluster spikes memory on a 2-vCPU box; under
+    pytest-xdist the spike on top of accumulated XLA CPU executables can
+    kill the worker (same roaming crash mode as the sensitivity/NLLS
+    files).  Drop the caches around each test."""
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
