@@ -354,8 +354,48 @@ class NonlinearSolveCache(_PolyalgCacheMixin):
         return self
 
 
-def init(prob, alg=None, **kwargs) -> NonlinearSolveCache:
+class HomotopySolveCache:
+    """init/reinit/solve handle for continuation drivers (the reference's
+    cache interface for HomotopyProblem, homotopy_sweep_tests__item23.jl:
+    ``init`` captures problem + algorithm + options, ``reinit!`` swaps
+    (u0, p, tolerances) keeping the compiled executables — the jitted
+    sweep plan is cached on static structure, so a reinit-ed solve reuses
+    it — and ``solve!`` runs the full sweep)."""
+
+    def __init__(self, prob, alg=None, **kwargs):
+        self.prob = prob
+        self.alg = alg
+        self.kwargs = dict(kwargs)
+
+    def reinit(self, u0=None, *, p=None, abstol=None, reltol=None,
+               maxiters=None, lambdaspan=None):
+        remake_kw = {}
+        if u0 is not None:
+            remake_kw["u0"] = u0
+        if p is not None:
+            remake_kw["p"] = p
+        if lambdaspan is not None:
+            remake_kw["lambdaspan"] = lambdaspan
+        if remake_kw:
+            self.prob = self.prob.remake(**remake_kw)
+        for k, v in (("abstol", abstol), ("reltol", reltol),
+                     ("maxiters", maxiters)):
+            if v is not None:
+                self.kwargs[k] = v
+        return self
+
+    def solve(self):
+        from .solve import solve
+        return solve(self.prob, self.alg, **self.kwargs)
+
+    step = None    # continuation drivers expose whole-solve granularity
+
+
+def init(prob, alg=None, **kwargs):
     """Build an iterable solver cache (CommonSolve.init)."""
+    from .problems import HomotopyProblem
+    if isinstance(prob, HomotopyProblem):
+        return HomotopySolveCache(prob, alg, **kwargs)
     if alg is None:
         from ..solvers.first_order import NewtonRaphson
         alg = NewtonRaphson()

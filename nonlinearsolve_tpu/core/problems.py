@@ -164,6 +164,16 @@ class HomotopyProblem:
         object.__setattr__(self, "lambdaspan", tuple(lambdaspan))
         object.__setattr__(self, "kwargs", kwargs)
 
+    def remake(self, *, u0=None, p=None, f=None, lambdaspan=None, **kwargs):
+        new_kwargs = {**self.kwargs, **kwargs}
+        return type(self)(
+            f if f is not None else self.f,
+            u0 if u0 is not None else self.u0,
+            p if p is not None else self.p,
+            lambdaspan if lambdaspan is not None else self.lambdaspan,
+            **new_kwargs,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class SCCNonlinearProblem:

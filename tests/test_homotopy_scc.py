@@ -702,3 +702,29 @@ def test_sweep_polyalg_inner_retention_economy():
     # step), which measures >> 3x.  (The reference's 1.65x bound is on a
     # different nf accounting.)
     assert int(sol_d.stats.nf) < 3.0 * int(sol_n.stats.nf)
+
+
+def test_homotopy_cache_init_reinit_solve():
+    """homotopy_sweep_tests item23: the init/reinit/solve cache interface
+    works on HomotopyProblem for sweep + Kantorovich; reinit swaps
+    (u0, p, abstol) and the next solve lands on the NEW problem's root at
+    the tightened tolerance."""
+    prob = nls.HomotopyProblem(H_quad, jnp.array([4.0]), jnp.asarray(4.0))
+    algs = [nls.HomotopySweep(inner=nls.NewtonRaphson(), adaptive=False,
+                              nsteps=10),
+            nls.KantorovichHomotopy(inner=nls.NewtonRaphson(), nsteps=10,
+                                    strict=False),
+            nls.HomotopySweep(adaptive=False, nsteps=10)]
+    for alg in algs:
+        cache = nls.init(prob, alg, abstol=1e-3)
+        assert cache.reinit(prob.u0, p=prob.p, abstol=1e-10) is cache
+        sol = cache.solve()
+        assert bool(sol.success)
+        np.testing.assert_allclose(float(sol.u[0]), 2.0, atol=1e-10)
+
+        # new u0/p: root moves to sqrt(9) = 3
+        assert cache.reinit(jnp.array([9.0]), p=jnp.asarray(9.0),
+                            abstol=1e-10) is cache
+        sol = cache.solve()
+        assert bool(sol.success)
+        np.testing.assert_allclose(float(sol.u[0]), 3.0, atol=1e-10)
