@@ -20,3 +20,25 @@ else:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------------------
+# xdist stability: long-lived workers accumulate XLA CPU executables until
+# the worker segfaults ("node down: Not properly terminated") — observed
+# roaming across test files (sensitivities, NLLS, multihost, linesearch).
+# Clear the compile caches every N tests per worker; heavyweight files add
+# their own per-test clears on top.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_TEST_COUNT = {"n": 0}
+_CLEAR_EVERY = 20
+
+
+@pytest.fixture(autouse=True)
+def _periodic_xla_cache_clear():
+    yield
+    _TEST_COUNT["n"] += 1
+    if _TEST_COUNT["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
