@@ -495,3 +495,284 @@ int64_t sp_lu_solve(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Persistent factor object: symbolic/numeric split + refactorization reuse.
+//
+// The reference's linear-solve cache exists to reuse factorization work
+// across Newton steps on a fixed sparsity pattern
+// (lib/NonlinearSolveBase/src/linear_solve.jl:91-115 reuse_A_if_factorization;
+// KLU's symbolic/numeric split is the core economics of its KLU path).  The
+// one-shot sp_lu_solve above redoes the DFS reach and pivot search every
+// call; this object runs them ONCE, storing per-column L/U patterns, the
+// CSC assembly map, and the pivot order, so later Newton steps on the same
+// pattern are a numeric-only sweep (sp_lu_refactor) + triangular solves.
+//
+// Pattern retention: unlike the one-shot path, explicit zeros are KEPT in
+// the stored pattern — the symbolic reach is value-independent, so a value
+// that becomes nonzero on a later refactorization already has a slot.
+// Refactorization reuses the original pivot ORDER (KLU-style); if a reused
+// pivot degrades below 1e-8 of its column's magnitude the refactor reports
+// -3 and the caller re-pivots with a fresh factorization.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SpLuFactor {
+  int32_t n = 0;
+  double pivot_threshold = 0.1;
+  std::vector<int32_t> perm;                 // symmetric perm (empty = id)
+  // CSC assembly of Ap = A(p, p) from the CSR data vector:
+  std::vector<int64_t> col_ptr;              // n+1
+  std::vector<int32_t> row_idx;              // permuted row per CSC entry
+  std::vector<int64_t> csc_src;              // index into CSR data[]
+  // factorization (column j == pivot position j):
+  std::vector<std::vector<int32_t>> Li;      // permuted row ids (below diag)
+  std::vector<std::vector<double>> Lx;       // values scaled by pivot
+  std::vector<std::vector<int32_t>> Ui;      // pivot positions < j, ascending
+  std::vector<std::vector<double>> Ux;
+  std::vector<double> Ud;                    // diagonal pivots
+  std::vector<int32_t> prow, prow_inv;       // row <-> pivot position
+  // scratch
+  std::vector<double> work, rhs, z;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build the factor object (symbolic analysis + first numeric
+// factorization).  Returns the handle, or null on failure; *status gets
+// nnz(L)+nnz(U) on success, -1 on size error, -2 on singularity.
+void* sp_lu_factor_create(
+    const int32_t* indptr, const int32_t* indices, const double* data,
+    int32_t n, const int32_t* perm, double pivot_threshold,
+    int64_t* status) {
+  *status = -1;
+  if (n <= 0) return nullptr;
+  auto F = new SpLuFactor();
+  F->n = n;
+  F->pivot_threshold = pivot_threshold;
+  if (perm) F->perm.assign(perm, perm + n);
+
+  const int64_t nnz = indptr[n];
+  std::vector<int32_t> pinv(n);
+  for (int32_t k = 0; k < n; ++k) pinv[perm ? perm[k] : k] = k;
+  F->col_ptr.assign(n + 1, 0);
+  for (int32_t i = 0; i < n; ++i)
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j < 0 || j >= n) { delete F; return nullptr; }
+      F->col_ptr[pinv[j] + 1]++;
+    }
+  for (int32_t j = 0; j < n; ++j) F->col_ptr[j + 1] += F->col_ptr[j];
+  F->row_idx.resize(nnz);
+  F->csc_src.resize(nnz);
+  {
+    std::vector<int64_t> cur(F->col_ptr.begin(), F->col_ptr.end() - 1);
+    for (int32_t i = 0; i < n; ++i)
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int64_t dst = cur[pinv[indices[k]]]++;
+        F->row_idx[dst] = pinv[i];
+        F->csc_src[dst] = k;
+      }
+  }
+
+  F->Li.resize(n); F->Lx.resize(n);
+  F->Ui.resize(n); F->Ux.resize(n);
+  F->Ud.assign(n, 0.0);
+  F->prow.assign(n, -1);
+  F->prow_inv.assign(n, 0);
+  F->work.assign(n, 0.0);
+  F->rhs.resize(n);
+  F->z.resize(n);
+
+  std::vector<char> in_pattern(n, 0);
+  std::vector<int32_t> pattern, dfs_stack, dfs_ptr;
+  int64_t fill = 0;
+
+  for (int32_t j = 0; j < n; ++j) {
+    pattern.clear();
+    for (int64_t k = F->col_ptr[j]; k < F->col_ptr[j + 1]; ++k) {
+      const int32_t r = F->row_idx[k];
+      F->work[r] = data[F->csc_src[k]];
+      if (in_pattern[r]) continue;
+      dfs_stack.clear(); dfs_ptr.clear();
+      dfs_stack.push_back(r); dfs_ptr.push_back(0);
+      in_pattern[r] = 1;
+      while (!dfs_stack.empty()) {
+        const int32_t node = dfs_stack.back();
+        const int32_t pos = F->prow[node];
+        bool descended = false;
+        if (pos >= 0) {
+          auto& child_rows = F->Li[pos];
+          int32_t& cp = dfs_ptr.back();
+          while (cp < static_cast<int32_t>(child_rows.size())) {
+            const int32_t c = child_rows[cp++];
+            if (!in_pattern[c]) {
+              in_pattern[c] = 1;
+              dfs_stack.push_back(c);
+              dfs_ptr.push_back(0);
+              descended = true;
+              break;
+            }
+          }
+        }
+        if (!descended &&
+            (F->prow[node] < 0 ||
+             dfs_ptr.back() >=
+                 static_cast<int32_t>(F->Li[F->prow[node]].size()))) {
+          pattern.push_back(node);
+          dfs_stack.pop_back();
+          dfs_ptr.pop_back();
+        }
+      }
+    }
+    for (int64_t t = static_cast<int64_t>(pattern.size()) - 1; t >= 0; --t) {
+      const int32_t r = pattern[t];
+      const int32_t pos = F->prow[r];
+      if (pos < 0) continue;
+      const double xk = F->work[r];
+      if (xk == 0.0) continue;
+      const auto& rows = F->Li[pos];
+      const auto& vals = F->Lx[pos];
+      for (size_t m = 0; m < rows.size(); ++m)
+        F->work[rows[m]] -= xk * vals[m];
+    }
+
+    double amax = 0.0;
+    int32_t rmax = -1;
+    double adiag = 0.0;
+    bool have_diag = false;
+    for (int32_t r : pattern) {
+      if (F->prow[r] >= 0) continue;
+      const double av = std::fabs(F->work[r]);
+      if (av > amax) { amax = av; rmax = r; }
+      if (r == j) { adiag = std::fabs(F->work[r]); have_diag = true; }
+    }
+    int32_t piv = rmax;
+    if (have_diag && adiag >= pivot_threshold * amax && adiag > 0.0) piv = j;
+    if (piv < 0 || F->work[piv] == 0.0 || !std::isfinite(F->work[piv])) {
+      delete F;
+      *status = -2;
+      return nullptr;
+    }
+    const double pv = F->work[piv];
+    F->prow[piv] = j;
+    F->prow_inv[j] = piv;
+    F->Ud[j] = pv;
+
+    // Keep the FULL pattern (zeros included) so refactorization slots are
+    // stable; U entries sorted by pivot position for the refactor sweep.
+    std::vector<std::pair<int32_t, double>> ucol;
+    for (int32_t r : pattern) {
+      const double w = F->work[r];
+      F->work[r] = 0.0;
+      in_pattern[r] = 0;
+      if (r == piv) continue;
+      const int32_t pos = F->prow[r];
+      if (pos >= 0 && pos < j) {
+        ucol.emplace_back(pos, w);
+      } else {
+        F->Li[j].push_back(r);
+        F->Lx[j].push_back(w / pv);
+      }
+    }
+    std::sort(ucol.begin(), ucol.end());
+    F->Ui[j].reserve(ucol.size());
+    F->Ux[j].reserve(ucol.size());
+    for (auto& [pos, w] : ucol) {
+      F->Ui[j].push_back(pos);
+      F->Ux[j].push_back(w);
+    }
+    fill += static_cast<int64_t>(F->Li[j].size() + F->Ui[j].size() + 1);
+  }
+  *status = fill;
+  return F;
+}
+
+// Numeric-only refactorization on the stored pattern + pivot order.
+// Returns 0 on success, -2 on a zero/non-finite pivot, -3 when a reused
+// pivot has degraded (|pivot| < 1e-8 * column max) — caller should build a
+// fresh factor to re-pivot.
+int32_t sp_lu_refactor(void* handle, const double* data) {
+  auto F = static_cast<SpLuFactor*>(handle);
+  const int32_t n = F->n;
+  for (int32_t j = 0; j < n; ++j) {
+    for (int64_t k = F->col_ptr[j]; k < F->col_ptr[j + 1]; ++k)
+      F->work[F->row_idx[k]] = data[F->csc_src[k]];
+    auto& ui = F->Ui[j];
+    auto& ux = F->Ux[j];
+    for (size_t m = 0; m < ui.size(); ++m) {
+      const int32_t k = ui[m];
+      const double xk = F->work[F->prow_inv[k]];
+      ux[m] = xk;
+      if (xk == 0.0) continue;
+      const auto& rows = F->Li[k];
+      const auto& vals = F->Lx[k];
+      for (size_t t = 0; t < rows.size(); ++t)
+        F->work[rows[t]] -= xk * vals[t];
+    }
+    const int32_t piv = F->prow_inv[j];
+    const double pv = F->work[piv];
+    auto& li = F->Li[j];
+    auto& lx = F->Lx[j];
+    double amax = std::fabs(pv);
+    for (int32_t r : li) amax = std::max(amax, std::fabs(F->work[r]));
+    // clear scratch before any early return
+    F->work[piv] = 0.0;
+    const double apv = std::fabs(pv);
+    bool bad = (pv == 0.0 || !std::isfinite(pv));
+    bool degraded = (!bad && apv < 1e-8 * amax);
+    F->Ud[j] = pv;
+    for (size_t m = 0; m < li.size(); ++m) {
+      const double w = F->work[li[m]];
+      F->work[li[m]] = 0.0;
+      lx[m] = bad ? 0.0 : w / pv;
+    }
+    for (size_t m = 0; m < ui.size(); ++m)
+      F->work[F->prow_inv[ui[m]]] = 0.0;
+    if (bad) return -2;
+    if (degraded) return -3;
+  }
+  return 0;
+}
+
+// Triangular solves with the stored factors: x = A(p,p)-solve of b.
+// Returns 0 on success, -2 on a zero diagonal.
+int32_t sp_lu_factor_solve(void* handle, const double* b, double* x) {
+  auto F = static_cast<SpLuFactor*>(handle);
+  const int32_t n = F->n;
+  const int32_t* perm = F->perm.empty() ? nullptr : F->perm.data();
+  for (int32_t i = 0; i < n; ++i)
+    F->rhs[i] = b[perm ? perm[i] : i];
+  for (int32_t k = 0; k < n; ++k) {
+    const double yk = F->rhs[F->prow_inv[k]];
+    F->z[k] = yk;
+    if (yk == 0.0) continue;
+    const auto& rows = F->Li[k];
+    const auto& vals = F->Lx[k];
+    for (size_t m = 0; m < rows.size(); ++m)
+      F->rhs[rows[m]] -= yk * vals[m];
+  }
+  for (int32_t k = n - 1; k >= 0; --k) {
+    const double diag = F->Ud[k];
+    if (diag == 0.0 || !std::isfinite(diag)) return -2;
+    const double xk = F->z[k] / diag;
+    F->z[k] = xk;
+    if (xk == 0.0) continue;
+    const auto& pos = F->Ui[k];
+    const auto& vals = F->Ux[k];
+    for (size_t m = 0; m < pos.size(); ++m)
+      F->z[pos[m]] -= xk * vals[m];
+  }
+  for (int32_t k = 0; k < n; ++k)
+    x[perm ? perm[k] : k] = F->z[k];
+  return 0;
+}
+
+void sp_lu_factor_free(void* handle) {
+  delete static_cast<SpLuFactor*>(handle);
+}
+
+}  // extern "C"

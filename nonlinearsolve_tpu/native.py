@@ -75,6 +75,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.sp_lu_solve.restype = ctypes.c_int64
         lib.sp_lu_solve.argtypes = [i32p, i32p, f64p, ctypes.c_int32, i32p,
                                     f64p, f64p, ctypes.c_double]
+        lib.sp_lu_factor_create.restype = ctypes.c_void_p
+        lib.sp_lu_factor_create.argtypes = [
+            i32p, i32p, f64p, ctypes.c_int32, i32p, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.sp_lu_refactor.restype = ctypes.c_int32
+        lib.sp_lu_refactor.argtypes = [ctypes.c_void_p, f64p]
+        lib.sp_lu_factor_solve.restype = ctypes.c_int32
+        lib.sp_lu_factor_solve.argtypes = [ctypes.c_void_p, f64p, f64p]
+        lib.sp_lu_factor_free.restype = None
+        lib.sp_lu_factor_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -210,6 +220,93 @@ def sp_lu_solve(indptr, indices, data, b, perm=None, *,
         _ptr(b, ctypes.c_double), _ptr(x, ctypes.c_double),
         float(pivot_threshold))
     return x, int(fill)
+
+
+class SpLuFactor:
+    """Persistent native sparse-LU factor: symbolic analysis + pivot order
+    computed once, numeric-only refactorization on later Newton steps (the
+    ``reuse_A_if_factorization`` role of the reference's linear-solve cache,
+    lib/NonlinearSolveBase/src/linear_solve.jl:91-115; KLU's symbolic/
+    numeric split).  Thread-safe per-instance via an internal lock."""
+
+    def __init__(self, indptr, indices, n, perm=None, *,
+                 pivot_threshold=0.1):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native sparsetools library unavailable")
+        self.n = int(n)
+        self.indptr = _i32(indptr)
+        self.indices = _i32(indices)
+        self.perm = None if perm is None else _i32(perm)
+        self.pivot_threshold = float(pivot_threshold)
+        self.fill = None
+        self._handle = None
+        self._lock = threading.Lock()
+        self.n_factor = 0          # full factorizations performed
+        self.n_refactor = 0        # numeric-only refactorizations
+
+    def _perm_ptr(self):
+        if self.perm is None:
+            return ctypes.POINTER(ctypes.c_int32)()
+        return _ptr(self.perm, ctypes.c_int32)
+
+    def _create(self, data):
+        status = ctypes.c_int64(0)
+        handle = self._lib.sp_lu_factor_create(
+            _ptr(self.indptr, ctypes.c_int32),
+            _ptr(self.indices, ctypes.c_int32),
+            _ptr(data, ctypes.c_double), np.int32(self.n), self._perm_ptr(),
+            self.pivot_threshold, ctypes.byref(status))
+        if not handle:
+            return int(status.value)       # -1 size error / -2 singular
+        self._handle = handle
+        self.fill = int(status.value)
+        self.n_factor += 1
+        return 0
+
+    def factorize(self, data) -> int:
+        """(Re)factorize with new numeric values on the fixed pattern.
+
+        Numeric-only when a factor exists; falls back to a fresh pivoting
+        factorization when the reused pivot order degrades (rc -3) or hits
+        an exact zero (rc -2).  Returns 0 on success, -2 on singularity."""
+        data = np.ascontiguousarray(data, np.float64)
+        with self._lock:
+            if self._handle is not None:
+                rc = int(self._lib.sp_lu_refactor(
+                    self._handle, _ptr(data, ctypes.c_double)))
+                if rc == 0:
+                    self.n_refactor += 1
+                    return 0
+                # degraded/singular under the frozen pivot order: re-pivot
+                self._lib.sp_lu_factor_free(self._handle)
+                self._handle = None
+            return self._create(data)
+
+    def solve(self, b):
+        """x = A⁻¹ b with the current factors; None if unfactorized or
+        numerically singular."""
+        b = np.ascontiguousarray(b, np.float64)
+        x = np.empty(self.n, np.float64)
+        with self._lock:
+            if self._handle is None:
+                return None
+            rc = int(self._lib.sp_lu_factor_solve(
+                self._handle, _ptr(b, ctypes.c_double),
+                _ptr(x, ctypes.c_double)))
+        return x if rc == 0 else None
+
+    def close(self):
+        with self._lock:
+            if self._handle is not None:
+                self._lib.sp_lu_factor_free(self._handle)
+                self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
 
 def bandwidths(indptr, indices, n):

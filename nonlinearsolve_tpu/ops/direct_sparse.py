@@ -316,24 +316,66 @@ def sparse_lu_fill(A: CSR, *, ordering: str = "amd") -> Optional[int]:
     return None if out is None else out[1]
 
 
+class _FactorCache:
+    """Bounded pattern-keyed cache of persistent native LU factors.
+
+    The symbolic analysis + pivot order are computed on the FIRST
+    factorization of a pattern; every later Newton step / ``reinit`` with
+    the same pattern runs a numeric-only refactorization + triangular
+    solves (the reference's ``reuse_A_if_factorization`` economics,
+    lib/NonlinearSolveBase/src/linear_solve.jl:91-115).  Handles are freed
+    on LRU eviction."""
+
+    def __init__(self, maxsize=32):
+        from collections import OrderedDict
+        self.maxsize = maxsize
+        self._d = OrderedDict()
+
+    def get(self, A: CSR):
+        key = (A.indptr.tobytes(), A.indices.tobytes(), A.shape[0])
+        fac = self._d.get(key)
+        if fac is not None:
+            self._d.move_to_end(key)
+            return fac
+        plan = _amd_plan(A.indptr.tobytes(), A.indices.tobytes(), A.shape[0])
+        if plan is None:
+            return None
+        from ..native import SpLuFactor
+        try:
+            fac = SpLuFactor(A.indptr, A.indices, A.shape[0],
+                             perm=np.frombuffer(plan, np.int32))
+        except RuntimeError:
+            return None
+        self._d[key] = fac
+        if len(self._d) > self.maxsize:
+            _, old = self._d.popitem(last=False)
+            old.close()
+        return fac
+
+
+_FACTORS = _FactorCache()
+
+# Above this row count the sequential host factorization + the device<->host
+# round trip (≈25 ms each way on a tunnel-attached TPU) lose to an on-device
+# preconditioned Krylov solve of the assembled operator — the measured-not-
+# asserted crossover ADVICE r2 asked for lives in tests/test_direct_sparse.py.
+_HOST_LU_MAX_N = 50_000
+
+
 def _host_sparse_lu_solve(A: CSR, b):
-    """General sparse direct via the native host LU; None if unavailable."""
+    """General sparse direct via the persistent native host LU factor
+    (symbolic/numeric split — numeric-only refactor on repeated patterns);
+    None if the native library is unavailable."""
     n = A.shape[0]
-    plan = _amd_plan(A.indptr.tobytes(), A.indices.tobytes(), n)
-    if plan is None:
+    fac = _FACTORS.get(A)
+    if fac is None:
         return None
-    perm = np.frombuffer(plan, np.int32)
-    indptr, indices = A.indptr, A.indices      # static host pattern
     dtype = jnp.result_type(A.data.dtype, b.dtype)
 
     def cb(data, rhs):
-        from ..native import sp_lu_solve
-        out = sp_lu_solve(indptr, indices, np.asarray(data, np.float64),
-                          np.asarray(rhs, np.float64), perm)
-        if out is None:
-            return (np.full(n, np.nan, dtype), np.zeros((), np.bool_))
-        x, fill = out
-        ok = (fill >= 0) and bool(np.all(np.isfinite(x)))
+        rc = fac.factorize(np.asarray(data, np.float64))
+        x = fac.solve(np.asarray(rhs, np.float64)) if rc == 0 else None
+        ok = x is not None and bool(np.all(np.isfinite(x)))
         if not ok:
             x = np.full(n, np.nan)
         return (x.astype(dtype), np.asarray(ok, np.bool_))
@@ -344,6 +386,18 @@ def _host_sparse_lu_solve(A: CSR, b):
          jax.ShapeDtypeStruct((), jnp.bool_)),
         A.data, b, vmap_method="sequential")
     return x, ok
+
+
+def _iterative_sparse_solve(A: CSR, b):
+    """On-device fallback for patterns too large for the host LU round
+    trip: Jacobi-preconditioned BiCGStab over the assembled CSR matvec
+    (which dispatches to the Pallas gather kernel on TPU)."""
+    from .krylov import bicgstab
+    d = A.diagonal()
+    dinv = jnp.where(jnp.abs(d) > 0, 1.0 / d, jnp.ones_like(d))
+    res = bicgstab(A.matvec, b, maxiter=min(4 * A.shape[0], 1000),
+                   rtol=1e-8, M=lambda x: dinv * x)
+    return res.x, res.success
 
 
 def solve_sparse_direct(A, b):
@@ -371,6 +425,11 @@ def solve_sparse_direct(A, b):
         if out is not None:
             return out
     if isinstance(A, CSR) and A.shape[0] >= _DENSE_CROSSOVER:
+        if A.shape[0] > _HOST_LU_MAX_N:
+            # Host round-trip economics lose at this scale (ADVICE r2):
+            # stay on-device with preconditioned Krylov over the
+            # assembled-operator matvec.
+            return _iterative_sparse_solve(A, b)
         out = _host_sparse_lu_solve(A, b)
         if out is not None:
             return out
