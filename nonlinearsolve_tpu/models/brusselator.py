@@ -13,6 +13,7 @@ of the 5-point Laplacian (no scalar loops, no gathers).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,6 +59,60 @@ def brusselator_2d(U, p):
     du = alpha * lap(u) + B + u * u * v - (A + 1.0) * u + force
     dv = alpha * lap(v) + A * u - u * u * v
     return jnp.stack([du, dv], axis=-1)
+
+
+def brusselator_2d_df32(U_hi, U_lo, p):
+    """The same residual evaluated in double-f32 (ops/doublef32.py): the
+    state is the unevaluated sum ``U_hi + U_lo``; every term — Laplacian
+    scaling alpha/dx² (~2.6e6 at N=512, the dominant f32 noise source),
+    the cubic reaction, the forcing — is carried as an error-free f32 pair
+    (~1e-14 relative).  Feeds the mixed-precision refinement loop
+    (solvers/refinement.py) that certifies the flagship root to reference
+    accuracy (f64 abstol=1e-10 anchor, large_systems.md:141-165) on f32
+    hardware.  Returns (F_hi, F_lo).
+
+    Constants are split exactly from float64 on the host (pattern-static),
+    so ``p`` must be CONCRETE (close over it; don't pass it traced).
+    """
+    from ..ops.doublef32 import (DF, df_add, df_add_f, df_from_f64, df_mul,
+                                 df_mul_f, df_roll, df_sub)
+
+    dtype = U_hi.dtype
+    A64, B64, alpha64, dx64 = np.asarray(
+        jax.device_get(p), np.float64).tolist()
+    alpha_df = df_from_f64(alpha64 / dx64 ** 2, dtype)
+    A_df = df_from_f64(A64, dtype)
+    A1_df = df_from_f64(A64 + 1.0, dtype)
+    B_df = df_from_f64(B64, dtype)
+
+    u = DF(U_hi[..., 0], U_lo[..., 0])
+    v = DF(U_hi[..., 1], U_lo[..., 1])
+    N = u.hi.shape[0]
+    xy = np.linspace(0.0, 1.0, N)
+    x = xy[:, None]
+    y = xy[None, :]
+    force = jnp.asarray(
+        5.0 * (((x - 0.3) ** 2 + (y - 0.6) ** 2) <= 0.01), dtype)
+
+    def lap(w: DF) -> DF:
+        s = df_add(df_roll(w, 1, 0), df_roll(w, -1, 0))
+        s = df_add(s, df_add(df_roll(w, 1, 1), df_roll(w, -1, 1)))
+        return df_sub(s, df_mul_f(w, jnp.asarray(4.0, dtype)))
+
+    def bcast(c: DF, shape) -> DF:
+        return DF(jnp.broadcast_to(c.hi, shape), jnp.broadcast_to(c.lo, shape))
+
+    shape = u.hi.shape
+    uuv = df_mul(df_mul(u, u), v)
+    du = df_add(df_mul(bcast(alpha_df, shape), lap(u)),
+                df_add(bcast(B_df, shape), uuv))
+    du = df_sub(du, df_mul(bcast(A1_df, shape), u))
+    du = df_add_f(du, force)
+    dv = df_sub(df_add(df_mul(bcast(alpha_df, shape), lap(v)),
+                       df_mul(bcast(A_df, shape), u)), uuv)
+    F_hi = jnp.stack([du.hi, dv.hi], axis=-1)
+    F_lo = jnp.stack([du.lo, dv.lo], axis=-1)
+    return F_hi, F_lo
 
 
 def sparsity_pattern(N: int) -> CSR:

@@ -1,0 +1,201 @@
+"""Double-word float32 ("double-f32") arithmetic for mixed-precision
+iterative refinement on TPU.
+
+TPU compute is float32 (f64 LU/FFT unsupported on-chip), so an f32 Newton
+solve stalls when the *residual evaluation noise* floor —
+``O(eps_f32 · max |term|)`` — exceeds the convergence tolerance.  The
+reference's headline anchors are Float64 at abstol=1e-10
+(/root/reference/docs/src/tutorials/large_systems.md:141-165); to certify
+roots to comparable digits ON-CHIP we evaluate the residual in a
+double-word representation: a value is an unevaluated sum ``hi + lo`` of
+two f32 with ``|lo| <= ulp(hi)/2``, giving ~48 effective mantissa bits
+(~1e-14 relative) from error-free transformations (Dekker 1971, Knuth TAOCP
+v2 §4.2.2 — the same arithmetic as the double-double/QD and CUDA ``df64``
+literature).
+
+These are error-free *elementwise VPU* transforms — safe under XLA: the
+forced ``--xla_allow_excess_precision`` only relaxes MXU matmul precision
+(docs/tpu_tuning.md §4b), and XLA performs no unsafe floating-point
+reassociation of adds/subs.  FMA contraction of ``a*b - p`` only makes the
+product-error term *exact*, never wrong.  A runtime self-check
+(:func:`self_check`) asserts the two_sum invariant on the live backend; the
+real-chip conformance suite runs it.
+
+Used by :mod:`..solvers.refinement` (iterative refinement: f32 Krylov
+solves against a double-f32 defect) — the role of the reference's
+"solve in Float32, certify in Float64" precision ladder.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class DF(NamedTuple):
+    """Double-word value: unevaluated sum ``hi + lo`` (same shape/dtype)."""
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def _split_constant(dtype) -> float:
+    # Dekker splitting constant 2^ceil(p/2) + 1 for a p-bit mantissa.
+    if jnp.dtype(dtype) == jnp.float64:
+        return 134217729.0        # 2^27 + 1
+    return 4097.0                 # f32: 2^12 + 1
+
+
+def two_sum(a, b):
+    """Error-free sum: (s, e) with s = fl(a+b), s + e = a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Error-free sum assuming |a| >= |b| (or a == 0)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def two_prod(a, b):
+    """Error-free product: (p, e) with p = fl(a*b), p + e = a*b exactly."""
+    p = a * b
+    c = jnp.asarray(_split_constant(jnp.result_type(a, b)),
+                    jnp.result_type(a, b))
+    ca = c * a
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = c * b
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+# ---------------------------------------------------------------------------
+# DF constructors
+# ---------------------------------------------------------------------------
+
+
+def df(hi, lo=None) -> DF:
+    hi = jnp.asarray(hi)
+    if lo is None:
+        lo = jnp.zeros_like(hi)
+    return DF(hi, jnp.asarray(lo, hi.dtype))
+
+
+def df_from_f64(value, dtype=jnp.float32) -> DF:
+    """Split a host float64 scalar/array into an exact double-f32 pair
+    (hi = round(value), lo = round(value - hi))."""
+    v = np.asarray(value, np.float64)
+    hi = v.astype(np.dtype(dtype))
+    lo = (v - hi.astype(np.float64)).astype(np.dtype(dtype))
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def df_value_f64(x: DF):
+    """Host-side f64 reconstruction (for validation off-chip)."""
+    return np.asarray(x.hi, np.float64) + np.asarray(x.lo, np.float64)
+
+
+# ---------------------------------------------------------------------------
+# DF arithmetic (double-word add/mul/div — QD library "sloppy" variants,
+# error O(eps^2) relative, ample for iterative-refinement defects)
+# ---------------------------------------------------------------------------
+
+
+def df_add(x: DF, y: DF) -> DF:
+    s, e = two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    hi, lo = fast_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def df_add_f(x: DF, b) -> DF:
+    s, e = two_sum(x.hi, b)
+    e = e + x.lo
+    hi, lo = fast_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def df_neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def df_sub(x: DF, y: DF) -> DF:
+    return df_add(x, df_neg(y))
+
+
+def df_mul(x: DF, y: DF) -> DF:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    hi, lo = fast_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_mul_f(x: DF, b) -> DF:
+    p, e = two_prod(x.hi, b)
+    e = e + x.lo * b
+    hi, lo = fast_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_div(x: DF, y: DF) -> DF:
+    q1 = x.hi / y.hi
+    r = df_add(x, df_neg(df_mul_f(y, q1)))
+    q2 = (r.hi + r.lo) / y.hi
+    hi, lo = fast_two_sum(q1, q2)
+    return DF(hi, lo)
+
+
+def df_roll(x: DF, shift, axis) -> DF:
+    """Data movement is exact — shift both words."""
+    return DF(jnp.roll(x.hi, shift, axis), jnp.roll(x.lo, shift, axis))
+
+
+def df_sum(x: DF) -> DF:
+    """Compensated full reduction: a binary folding tree of double-word
+    adds — log₂(n) vectorized levels (no sequential scan), each level a
+    df_add of the two halves, so the accumulated error stays at the
+    double-word grade (~2^-45·log n relative) instead of the plain
+    pairwise-sum's ~2^-24·√n."""
+    hi = jnp.ravel(x.hi)
+    lo = jnp.ravel(x.lo)
+    n = hi.shape[0]
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:       # zero padding is exact
+        pad = jnp.zeros((m - n,), hi.dtype)
+        hi = jnp.concatenate([hi, pad])
+        lo = jnp.concatenate([lo, pad])
+    acc = DF(hi, lo)
+    while acc.hi.shape[0] > 1:
+        half = acc.hi.shape[0] // 2
+        acc = df_add(DF(acc.hi[:half], acc.lo[:half]),
+                     DF(acc.hi[half:], acc.lo[half:]))
+    return DF(acc.hi[0], acc.lo[0])
+
+
+def df_dot(x: DF, y: DF) -> DF:
+    return df_sum(df_mul(x, y))
+
+
+def self_check() -> bool:
+    """Runtime invariant check on the live backend: two_sum/two_prod must
+    be error-free (catches any backend that contracts or reassociates the
+    compensation terms away).  Returns True when exact."""
+    a = jnp.asarray(np.float32(1.0 + 2.0 ** -12))
+    b = jnp.asarray(np.float32(2.0 ** -20 + 2.0 ** -24))
+    s, e = two_sum(a, b)
+    exact_sum = float(np.float64(float(a)) + np.float64(float(b)))
+    ok_sum = float(np.float64(float(s)) + np.float64(float(e))) == exact_sum
+    p, pe = two_prod(a, b)
+    exact_prod = float(np.float64(float(a)) * np.float64(float(b)))
+    ok_prod = float(np.float64(float(p)) + np.float64(float(pe))) == exact_prod
+    return bool(ok_sum and ok_prod)
