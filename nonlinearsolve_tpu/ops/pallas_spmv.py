@@ -91,14 +91,18 @@ class EllPlan:
       perm/valid/safe_perm — CSR-order -> slot-layout scatter map
     """
 
-    def __init__(self, indptr, indices, n_rows, n_cols):
+    def __init__(self, indptr, indices, n_rows, n_cols, *, min_w=1,
+                 min_W=SUBLANES):
+        """``min_w``/``min_W`` force lower bounds on the slot count / window
+        height so per-shard plans of a row-partitioned operator share one
+        static kernel shape (parallel/sparse_dist.py)."""
         indptr = np.asarray(indptr, np.int64)
         indices = np.asarray(indices, np.int64)
         self.indptr = indptr
         self.indices = indices
         self._transpose = None   # lazy (tindptr, tindices, tperm)
         counts = np.diff(indptr)
-        w = max(int(counts.max()) if counts.size else 1, 1)
+        w = max(int(counts.max()) if counts.size else 1, 1, int(min_w))
         n_pad = _round_up(max(n_rows, 1), ROWS_PER_TILE)
         ntiles = n_pad // ROWS_PER_TILE
 
@@ -133,7 +137,7 @@ class EllPlan:
         hi_max = np.where(empty, 0, hi_max)
         r0 = (hi_min // SUBLANES) * SUBLANES
         span = hi_max - r0 + 1
-        W = _round_up(max(int(span.max()), 1), SUBLANES)
+        W = _round_up(max(int(span.max()), 1, int(min_W)), SUBLANES)
         nx_rows = max(_round_up(pl.cdiv(max(n_cols, 1), LANES), SUBLANES), W)
         r0 = np.minimum(r0, nx_rows - W)
         hi_local = hi_t - r0[:, :, None, None]
