@@ -42,7 +42,7 @@ from .solvers.homotopy import (ArcLengthContinuation,
                                FastShortcutHomotopyPolyalg,
                                HomotopyPolyAlgorithm, HomotopySweep,
                                KantorovichHomotopy, SimpleHomotopySweep)
-from .solvers.scc import LinearSCCBlock, scc_solve_up
+from .solvers.scc import LinearSCCBlock, SCCAlg, scc_solve_up
 from .solvers.first_order import (EisenstatWalkerForcing,
                                   EisenstatWalkerForcing2)
 from .core.conditioning import PostconditionSpecifier

@@ -388,7 +388,21 @@ class HomotopySolveCache:
         from .solve import solve
         return solve(self.prob, self.alg, **self.kwargs)
 
-    step = None    # continuation drivers expose whole-solve granularity
+    # Continuation drivers expose whole-solve granularity only: a sweep's
+    # "step" is a λ-advance with internal correction, not a Newton step
+    # (ADVICE r2: generic CommonSolve callers get a clear message, not a
+    # ``NoneType is not callable``).
+    def step(self, *_args, **_kwargs):
+        raise NotImplementedError(
+            "HomotopySolveCache has no per-step iteration: continuation "
+            "drivers expose whole-solve granularity (call .solve(); "
+            "per-lambda tracing is available via solve(..., "
+            "store_trace=True))")
+
+    def __iter__(self):
+        raise NotImplementedError(
+            "HomotopySolveCache is not iterable: continuation drivers "
+            "expose whole-solve granularity — call .solve()")
 
 
 def init(prob, alg=None, **kwargs):

@@ -27,6 +27,21 @@ from ..core.solution import NLStats, NonlinearSolution
 
 
 @dataclasses.dataclass(frozen=True)
+class SCCAlg:
+    """The reference's SCC entry-point constructor
+    (lib/SCCNonlinearSolve/src/SCCNonlinearSolve.jl:24-50):
+    ``nlalg`` solves the nonlinear blocks, ``linalg`` the linear blocks
+    (a LinearSolver config here), ``store_original`` keeps the per-block
+    solutions on ``sol.original`` (default True here — the reference
+    defaults to false; ours always stored them pre-r3 and tests rely on
+    the tuple, documented deviation)."""
+
+    nlalg: Any = None
+    linalg: Any = None
+    store_original: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class LinearSCCBlock:
     """A linear block ``A(p) u = b(p)`` in an SCC sequence (the reference
     supports LinearProblem blocks alongside nonlinear ones)."""
@@ -39,6 +54,13 @@ def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
               ) -> NonlinearSolution:
     from ..core.solve import solve_nonlinear, _default_algorithm
     from ..ops.linear_solve import solve_dense
+
+    linalg = None
+    store_original = True
+    if isinstance(alg, SCCAlg):
+        linalg = alg.linalg
+        store_original = alg.store_original
+        alg = alg.nlalg
 
     sols = []
     us = []
@@ -55,7 +77,8 @@ def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
         if isinstance(block, LinearSCCBlock):
             A = jnp.asarray(block.A(p_block))
             b = jnp.asarray(block.b(p_block))
-            x, ok = solve_dense(A, b)
+            x, ok = (solve_dense(A, b, linalg) if linalg is not None
+                     else solve_dense(A, b))
             sol = NonlinearSolution(
                 u=x, resid=A @ x - b,
                 retcode=jnp.where(ok, jnp.int32(ReturnCode.Success),
@@ -98,7 +121,8 @@ def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
 
     return NonlinearSolution(
         u=jnp.concatenate(us), resid=jnp.concatenate(resids),
-        retcode=retcode, stats=stats, original=tuple(sols))
+        retcode=retcode, stats=stats,
+        original=tuple(sols) if store_original else None)
 
 
 def scc_solve_up(prob: SCCNonlinearProblem, sensealg=None, u0=None, p=None,

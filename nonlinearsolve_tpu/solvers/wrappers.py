@@ -92,22 +92,27 @@ def _sym(x, default):
     return s or default
 
 
-def _warn_dropped(constructor: str, dropped):
+def _warn_dropped(constructor: str, dropped, **named):
     """Emit a visible notice when a delegating bridge constructor is handed
     reference kwargs the native delegation cannot honor (the reference's
     wrappers forward these to the external binary; here they'd be silently
     meaningless).  Routed through the ``dropped_extension_kwarg`` verbosity
     class (on in the minimal/standard presets) so
     ``NonlinearVerbosity("none")``-style global silencing stays possible via
-    ``nonlinearsolve_tpu.solvers.wrappers.CONSTRUCTOR_VERBOSITY``."""
-    if isinstance(dropped, dict):
-        dropped = {k: v for k, v in dropped.items() if v is not None}
-    if not dropped:
+    ``nonlinearsolve_tpu.solvers.wrappers.CONSTRUCTOR_VERBOSITY``.
+
+    ``dropped``: everything that arrived via ``**ignored`` — reported
+    REGARDLESS of value (an explicit ``KINSOL(foo=None)`` is still a user
+    intent the delegation drops; ADVICE r2).  ``named``: the constructor's
+    declared parameters that default to None — only reported when set."""
+    names = set(dropped)
+    names |= {k for k, v in named.items() if v is not None}
+    if not names:
         return
     CONSTRUCTOR_VERBOSITY.emit(
         "dropped_extension_kwarg",
         f"{constructor}: native delegation ignores kwargs "
-        f"{sorted(dropped)} (no external binary in this build)")
+        f"{sorted(names)} (no external binary in this build)")
 
 
 from ..core.verbosity import NonlinearVerbosity as _NV  # noqa: E402
@@ -126,7 +131,7 @@ def CMINPACK(*, method=None, autodiff=None, **ignored):
     ``auto`` → ``TrustRegion()`` (MINPACK's hybr default; LM is selected
     for NLLS problems by the solve-level default polyalgorithm anyway).
     """
-    _warn_dropped("CMINPACK", dict(ignored, autodiff=autodiff))
+    _warn_dropped("CMINPACK", ignored, autodiff=autodiff)
     from .first_order import LevenbergMarquardt, TrustRegion
     m = _sym(method, "auto")
     if m in ("lm", "lmdif"):
@@ -199,8 +204,8 @@ def LeastSquaresOptimJL(alg=None, *, linsolve=None, autodiff=None,
                         **ignored):
     """LeastSquaresOptim.jl bridge: ``lm`` → ``LevenbergMarquardt``;
     ``dogleg`` → ``TrustRegion`` (dogleg descent)."""
-    _warn_dropped("LeastSquaresOptimJL",
-                  dict(ignored, linsolve=linsolve, autodiff=autodiff))
+    _warn_dropped("LeastSquaresOptimJL", ignored,
+                  linsolve=linsolve, autodiff=autodiff)
     from .first_order import LevenbergMarquardt, TrustRegion
     if _sym(alg, "lm") == "dogleg":
         return TrustRegion()
@@ -214,8 +219,8 @@ def FastLevenbergMarquardtJL(linsolve=None, **kwargs):
     lm_kwargs = {}
     if "factor" in kwargs:
         lm_kwargs["damping_initial"] = float(kwargs.pop("factor"))
-    _warn_dropped("FastLevenbergMarquardtJL",
-                  dict(kwargs, linsolve=linsolve))
+    _warn_dropped("FastLevenbergMarquardtJL", kwargs,
+                  linsolve=linsolve)
     return LevenbergMarquardt(**lm_kwargs)
 
 
@@ -257,8 +262,8 @@ def PETScSNES(*, petsclib=None, autodiff=None, mpi_comm=None,
     over a jax Mesh) — pass a mesh there instead of an MPI communicator.
     """
     snes_type = _sym(snes_options.pop("snes_type", None), "newtonls")
-    _warn_dropped("PETScSNES", dict(snes_options, petsclib=petsclib,
-                                    autodiff=autodiff, mpi_comm=mpi_comm))
+    _warn_dropped("PETScSNES", snes_options, petsclib=petsclib,
+                  autodiff=autodiff, mpi_comm=mpi_comm)
     from ..core.linesearch import BackTracking
     from .anderson import AndersonAcceleration
     from .first_order import NewtonRaphson, TrustRegion
@@ -281,7 +286,7 @@ def KINSOL(*, linear_solver=None, globalization_strategy=None,
     ``NewtonRaphson(linesearch=BackTracking())``; ``fixedpoint``/
     ``picard`` → ``AndersonAcceleration(m)`` (KINSOL's Anderson-accelerated
     fixed-point mode)."""
-    _warn_dropped("KINSOL", dict(ignored, linear_solver=linear_solver))
+    _warn_dropped("KINSOL", ignored, linear_solver=linear_solver)
     from ..core.linesearch import BackTracking
     from .anderson import AndersonAcceleration
     from .first_order import NewtonRaphson

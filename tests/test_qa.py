@@ -24,7 +24,8 @@ PUBLIC_API = [
     "ModAB",
     "HomotopySweep", "KantorovichHomotopy", "ArcLengthContinuation",
     "HomotopyPolyAlgorithm", "FastShortcutHomotopyPolyalg",
-    "SimpleHomotopySweep", "LinearSCCBlock",
+    "SimpleHomotopySweep", "LinearSCCBlock", "SCCAlg", "scc_solve_up",
+    "refine_root", "RefineResult",
     "NonlinearSolvePolyAlgorithm", "FastShortcutNonlinearPolyalg",
     "FastShortcutNLLSPolyalg", "RobustMultiNewton",
     # policies / options
