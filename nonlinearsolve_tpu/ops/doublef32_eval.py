@@ -1,0 +1,339 @@
+"""Automatic double-f32 evaluation of arbitrary residuals.
+
+``df_eval(fn, (u_hi, u_lo), ...)`` traces ``fn`` to a jaxpr once and
+re-evaluates it with every float carried as a double-word (hi, lo) pair
+(ops/doublef32.py) — so ANY polynomial/rational residual gets the ~48-bit
+defect the mixed-precision refinement loop needs (solvers/refinement.py)
+without a hand-written double-word variant.  The same architecture as the
+exact sparsity tracer (ops/sparsity_trace.py): interpret the jaxpr with a
+per-primitive rule table.
+
+Coverage: arithmetic (add/sub/mul/div/neg/integer_pow/abs/max/min), exact
+data movement (reshape/broadcast/transpose/slice/concatenate/rev/gather/
+squeeze/pad/select_n — both words move identically), compensated
+``reduce_sum`` (pairwise double-word folding along the reduced axes),
+``sqrt`` (Newton-corrected to double-word), comparisons (on the double-word
+value), and recursion through pjit/custom_jvp/custom_vjp call primitives.
+Transcendentals (exp/log/sin/…) and ``dot_general`` raise with guidance —
+register a custom rule via :func:`register_df_rule` (e.g. an
+Ozaki-split matmul) or write that term by hand with the doublef32 ops.
+
+Non-float values (ints, bools, index arrays) pass through untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import core as jcore
+
+from .doublef32 import (DF, df_add, df_div, df_mul, df_sub, fast_two_sum,
+                        two_prod, two_sum)
+
+try:                               # jax >= 0.4.x module layout
+    from jax.extend import core as jex_core
+    Literal = jex_core.Literal
+except Exception:                  # noqa: BLE001
+    Literal = jcore.Literal
+
+
+def _is_float(aval) -> bool:
+    return jnp.issubdtype(aval.dtype, jnp.floating)
+
+
+def _val(x):
+    """Collapse to a plain array (the best single-word value)."""
+    if isinstance(x, DF):
+        return x.hi + x.lo
+    return x
+
+
+def _as_df(x):
+    if isinstance(x, DF):
+        return x
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return DF(x, jnp.zeros_like(x))
+    return x                      # non-float rides as-is
+
+
+def _both(x, f):
+    """Apply an exact data-movement op to both words (or to a plain val)."""
+    if isinstance(x, DF):
+        return DF(f(x.hi), f(x.lo))
+    return f(x)
+
+
+_DF_RULES: Dict = {}
+
+
+def register_df_rule(primitive, rule: Callable):
+    """rule(eqn, *args) -> output (DF or plain).  args are DF for float
+    inputs, plain arrays otherwise."""
+    _DF_RULES[primitive] = rule
+
+
+def _movement(name):
+    def rule(eqn, *args):
+        prim = eqn.primitive
+
+        def apply(v):
+            return prim.bind(v, **eqn.params)
+        return _both(args[0], apply)
+    return rule
+
+
+def _df_sum_along(x: DF, axes) -> DF:
+    """Compensated reduce_sum over ``axes``: move reduced axes last, then
+    fold halves pairwise with df_add — log₂(k) vectorized levels."""
+    nd = x.hi.ndim
+    axes = tuple(a % nd for a in axes)
+    keep = tuple(a for a in range(nd) if a not in axes)
+    hi = jnp.transpose(x.hi, keep + axes)
+    lo = jnp.transpose(x.lo, keep + axes)
+    kshape = hi.shape[:len(keep)]
+    k = int(np.prod(hi.shape[len(keep):], dtype=np.int64)) if axes else 1
+    hi = hi.reshape(kshape + (k,))
+    lo = lo.reshape(kshape + (k,))
+    m = 1
+    while m < k:
+        m *= 2
+    if m != k:
+        pad = [(0, 0)] * len(kshape) + [(0, m - k)]
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+    acc = DF(hi, lo)
+    while acc.hi.shape[-1] > 1:
+        half = acc.hi.shape[-1] // 2
+        acc = df_add(DF(acc.hi[..., :half], acc.lo[..., :half]),
+                     DF(acc.hi[..., half:], acc.lo[..., half:]))
+    return DF(acc.hi[..., 0], acc.lo[..., 0])
+
+
+def _df_sqrt(x: DF) -> DF:
+    """Double-word sqrt: s = fl(sqrt(hi)); one Newton correction computed
+    with error-free products — e = (x - s²) / (2s)."""
+    s = jnp.sqrt(x.hi)
+    s2, s2e = two_prod(s, s)
+    r = df_sub(x, DF(s2, s2e))
+    e = (r.hi + r.lo) / (2.0 * s)
+    hi, lo = fast_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def _integer_pow(x: DF, y: int) -> DF:
+    if y == 0:
+        return DF(jnp.ones_like(x.hi), jnp.zeros_like(x.hi))
+    if y < 0:
+        inv = _integer_pow(x, -y)
+        one = DF(jnp.ones_like(x.hi), jnp.zeros_like(x.hi))
+        return df_div(one, inv)
+    # square-and-multiply
+    result = None
+    base = x
+    n = y
+    while n:
+        if n & 1:
+            result = base if result is None else df_mul(result, base)
+        n >>= 1
+        if n:
+            base = df_mul(base, base)
+    return result
+
+
+def _select_n(eqn, which, *cases):
+    w = _val(which)
+    hi = jax.lax.select_n(w, *[_as_df(c).hi for c in cases])
+    lo = jax.lax.select_n(w, *[_as_df(c).lo for c in cases])
+    return DF(hi, lo)
+
+
+def _init_rules():
+    from jax import lax
+    R = _DF_RULES
+    R[lax.add_p] = lambda eqn, a, b: df_add(_as_df(a), _as_df(b))
+    try:
+        from jax._src.ad_util import add_any_p
+        R[add_any_p] = lambda eqn, a, b: df_add(_as_df(a), _as_df(b))
+    except Exception:  # noqa: BLE001
+        pass
+    R[lax.sub_p] = lambda eqn, a, b: df_sub(_as_df(a), _as_df(b))
+    R[lax.mul_p] = lambda eqn, a, b: df_mul(_as_df(a), _as_df(b))
+    R[lax.div_p] = lambda eqn, a, b: df_div(_as_df(a), _as_df(b))
+    R[lax.neg_p] = lambda eqn, a: DF(-a.hi, -a.lo) if isinstance(a, DF) \
+        else -a
+    R[lax.integer_pow_p] = lambda eqn, a: _integer_pow(
+        _as_df(a), eqn.params["y"])
+    R[lax.sqrt_p] = lambda eqn, a: _df_sqrt(_as_df(a))
+    R[lax.abs_p] = lambda eqn, a: _select_n(
+        eqn, _val(a) < 0, a, DF(-_as_df(a).hi, -_as_df(a).lo))
+    R[lax.max_p] = lambda eqn, a, b: _select_n(
+        eqn, _val(a) < _val(b), a, b)
+    R[lax.min_p] = lambda eqn, a, b: _select_n(
+        eqn, _val(b) < _val(a), a, b)
+    R[lax.select_n_p] = _select_n
+    R[lax.sign_p] = lambda eqn, a: jnp.sign(_val(a))
+    R[lax.is_finite_p] = lambda eqn, a: jnp.isfinite(_val(a))
+
+    for prim in (lax.reshape_p, lax.broadcast_in_dim_p, lax.transpose_p,
+                 lax.slice_p, lax.rev_p, lax.squeeze_p, lax.expand_dims_p
+                 if hasattr(lax, "expand_dims_p") else lax.reshape_p,
+                 lax.copy_p if hasattr(lax, "copy_p") else lax.reshape_p):
+        R[prim] = _movement(prim)
+
+    def concat_rule(eqn, *args):
+        dfs = [_as_df(a) for a in args]
+        if any(isinstance(a, DF) for a in dfs):
+            hi = jax.lax.concatenate([_as_df(a).hi for a in args],
+                                     **eqn.params)
+            lo = jax.lax.concatenate([_as_df(a).lo for a in args],
+                                     **eqn.params)
+            return DF(hi, lo)
+        return jax.lax.concatenate(list(args), **eqn.params)
+    R[lax.concatenate_p] = concat_rule
+
+    def pad_rule(eqn, x, pv):
+        xd, pd = _as_df(x), _as_df(pv)
+        return DF(jax.lax.pad_p.bind(xd.hi, pd.hi, **eqn.params),
+                  jax.lax.pad_p.bind(xd.lo, pd.lo, **eqn.params))
+    R[lax.pad_p] = pad_rule
+
+    def gather_rule(eqn, x, idx):
+        if isinstance(x, DF):
+            return DF(jax.lax.gather_p.bind(x.hi, idx, **eqn.params),
+                      jax.lax.gather_p.bind(x.lo, idx, **eqn.params))
+        return jax.lax.gather_p.bind(x, idx, **eqn.params)
+    R[lax.gather_p] = gather_rule
+
+    def dynamic_slice_rule(eqn, x, *starts):
+        starts = tuple(_val(s) for s in starts)
+        return _both(x, lambda v: jax.lax.dynamic_slice_p.bind(
+            v, *starts, **eqn.params))
+    R[lax.dynamic_slice_p] = dynamic_slice_rule
+
+    def reduce_sum_rule(eqn, x):
+        if isinstance(x, DF):
+            return _df_sum_along(x, eqn.params["axes"])
+        return jax.lax.reduce_sum_p.bind(x, **eqn.params)
+    R[lax.reduce_sum_p] = reduce_sum_rule
+
+    def reduce_minmax(eqn, x):
+        return eqn.primitive.bind(_val(x), **eqn.params)
+    R[lax.reduce_max_p] = reduce_minmax
+    R[lax.reduce_min_p] = reduce_minmax
+
+    def convert_rule(eqn, x):
+        new = eqn.params["new_dtype"]
+        if isinstance(x, DF):
+            if jnp.issubdtype(new, jnp.floating):
+                itemsize = jnp.dtype(new).itemsize
+                if itemsize >= x.hi.dtype.itemsize:
+                    return DF(x.hi.astype(new), x.lo.astype(new))
+                return _val(x).astype(new)     # downcast: collapse first
+            return _val(x).astype(new)
+        out = jax.lax.convert_element_type_p.bind(x, **eqn.params)
+        return _as_df(out) if jnp.issubdtype(new, jnp.floating) else out
+    R[lax.convert_element_type_p] = convert_rule
+
+    for prim in (lax.lt_p, lax.le_p, lax.gt_p, lax.ge_p, lax.eq_p,
+                 lax.ne_p):
+        R[prim] = (lambda eqn, a, b, prim=prim:
+                   prim.bind(_val(a), _val(b), **eqn.params))
+    R[lax.iota_p] = lambda eqn: jax.lax.iota_p.bind(**eqn.params)
+
+    R[lax.stop_gradient_p] = lambda eqn, a: a
+    try:
+        R[jax.lax.and_p] = lambda eqn, a, b: jax.lax.and_p.bind(
+            _val(a), _val(b))
+        R[jax.lax.or_p] = lambda eqn, a, b: jax.lax.or_p.bind(
+            _val(a), _val(b))
+        R[jax.lax.not_p] = lambda eqn, a: jax.lax.not_p.bind(_val(a))
+    except Exception:  # noqa: BLE001
+        pass
+
+
+_init_rules()
+
+
+def _eval_jaxpr_df(jaxpr, consts, *args):
+    env: dict = {}
+
+    def read(v):
+        if isinstance(v, Literal):
+            val = jnp.asarray(v.val)
+            return _as_df(val) if jnp.issubdtype(val.dtype, jnp.floating) \
+                else val
+        return env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    for v, c in zip(jaxpr.constvars, consts):
+        c = jnp.asarray(c)
+        write(v, _as_df(c) if jnp.issubdtype(c.dtype, jnp.floating) else c)
+    for v, a in zip(jaxpr.invars, args):
+        write(v, a)
+
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive
+        in_vals = [read(v) for v in eqn.invars]
+        if prim.name in ("pjit", "closed_call", "core_call", "xla_call"):
+            sub = eqn.params["jaxpr"]
+            outs = _eval_jaxpr_df(sub.jaxpr, sub.consts, *in_vals)
+        elif prim.name in ("custom_jvp_call", "custom_vjp_call",
+                           "custom_jvp_call_jaxpr"):
+            sub = (eqn.params.get("call_jaxpr")
+                   or eqn.params.get("fun_jaxpr"))
+            outs = _eval_jaxpr_df(sub.jaxpr, sub.consts, *in_vals)
+        elif prim in _DF_RULES:
+            out = _DF_RULES[prim](eqn, *in_vals)
+            outs = out if prim.multiple_results else [out]
+        else:
+            raise NotImplementedError(
+                f"df_eval: no double-f32 rule for primitive "
+                f"'{prim.name}'. Polynomial/rational residuals are fully "
+                f"covered; for transcendentals or dot_general either "
+                f"register a rule (ops.doublef32_eval.register_df_rule) "
+                f"or write that term with the ops.doublef32 primitives.")
+        for v, o in zip(eqn.outvars, outs):
+            write(v, o)
+    return [read(v) for v in jaxpr.outvars]
+
+
+def df_eval(fn: Callable, *args):
+    """Evaluate ``fn(*values)`` in double-f32.
+
+    Each argument is either a ``DF`` pair, a plain array (treated as
+    exact, lo = 0), or a non-float pytree leaf.  Pytrees are supported:
+    structure is taken from the ``hi`` side.  Returns the output with
+    every float leaf as a ``DF`` pair.
+    """
+    flat_args = []
+    hi_args = []
+    treedefs = []
+    for a in args:
+        leaves, td = jax.tree_util.tree_flatten(
+            a, is_leaf=lambda x: isinstance(x, DF))
+        treedefs.append((td, len(leaves)))
+        for leaf in leaves:
+            d = leaf if isinstance(leaf, DF) else _as_df(jnp.asarray(leaf))
+            flat_args.append(d)
+            hi_args.append(d.hi if isinstance(d, DF) else d)
+
+    def flat_fn(*hargs):
+        rebuilt = []
+        i = 0
+        for td, nleaves in treedefs:
+            rebuilt.append(jax.tree_util.tree_unflatten(
+                td, hargs[i:i + nleaves]))
+            i += nleaves
+        return fn(*rebuilt)
+
+    closed = jax.make_jaxpr(flat_fn)(*hi_args)
+    out_flat = _eval_jaxpr_df(closed.jaxpr, closed.consts, *flat_args)
+    out_tree = jax.tree_util.tree_structure(
+        jax.eval_shape(flat_fn, *hi_args))
+    return jax.tree_util.tree_unflatten(out_tree, out_flat)

@@ -347,21 +347,72 @@ def ell_spmv_pallas(plan: EllPlan, csr_data, x, *, interpret=None):
     return _ell_spmv_ad(plan, _use_interpret(interpret), csr_data, x)
 
 
+_REORDER_CACHE: dict = {}
+
+
+def _plan_maybe_reordered(indptr, indices, n_rows, n_cols):
+    """(plan, perm, pinv, dperm): the direct plan when it fits the
+    envelope (perm=None), else an RCM-reordered plan for square patterns
+    whose windows the symmetric permutation shrinks (e.g. PERIODIC
+    stencils: a handful of wrap rows span the whole matrix raw, but are
+    banded after RCM — bandwidth-reduction is exactly the fill/window
+    medicine, same as the banded direct tier).  Host, cached by pattern."""
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(indptr, np.int64)))
+    h.update(np.ascontiguousarray(np.asarray(indices, np.int64)))
+    key = (h.hexdigest(), int(n_rows), int(n_cols))
+    hit = _REORDER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    plan = ell_plan_for(indptr, indices, n_rows, n_cols)
+    out = (plan, None, None, None)
+    if not plan.supported and n_rows == n_cols:
+        from ..native import rcm_ordering
+        perm = rcm_ordering(np.asarray(indptr, np.int32),
+                            np.asarray(indices, np.int32), n_rows)
+        if perm is not None:
+            perm = np.asarray(perm, np.int64)
+            pinv = np.empty(n_rows, np.int64)
+            pinv[perm] = np.arange(n_rows)
+            indptr64 = np.asarray(indptr, np.int64)
+            row_ids = np.repeat(np.arange(n_rows, dtype=np.int64),
+                                np.diff(indptr64))
+            new_row = pinv[row_ids]
+            new_col = pinv[np.asarray(indices, np.int64)]
+            dperm = np.lexsort((new_col, new_row))
+            new_indices = new_col[dperm]
+            new_indptr = np.concatenate(
+                [[0], np.cumsum(np.bincount(new_row, minlength=n_rows))])
+            rplan = ell_plan_for(new_indptr, new_indices, n_rows, n_cols)
+            if rplan.supported:
+                out = (rplan, perm, pinv, dperm)
+    _REORDER_CACHE[key] = out
+    return out
+
+
 def pallas_spmv_supported(csr) -> bool:
     """Cheap host check: is the Pallas gather kernel applicable to this
-    CSR pattern?  (Builds/caches the plan — symbolic work only.)"""
+    CSR pattern — directly, or after a symmetric RCM reordering?
+    (Builds/caches the plan — symbolic work only.)"""
     try:
-        plan = ell_plan_for(csr.indptr, csr.indices, csr.shape[0],
-                            csr.shape[1])
+        plan, perm, _, _ = _plan_maybe_reordered(
+            csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
     except Exception:  # noqa: BLE001 — malformed pattern: use XLA path
         return False
     return plan.supported
 
 
 def csr_spmv_pallas(csr, x, *, interpret=None):
-    """CSR matvec through the Pallas kernel (plan cached by pattern)."""
-    plan = ell_plan_for(csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
-    return ell_spmv_pallas(plan, csr.data, x, interpret=interpret)
+    """CSR matvec through the Pallas kernel (plan cached by pattern;
+    transparently RCM-reordered when that is what makes the pattern fit
+    the window envelope — y = P⁻¹ · K(P A Pᵀ) · P x)."""
+    plan, perm, pinv, dperm = _plan_maybe_reordered(
+        csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
+    if perm is None:
+        return ell_spmv_pallas(plan, csr.data, x, interpret=interpret)
+    y = ell_spmv_pallas(plan, jnp.take(csr.data, jnp.asarray(dperm)),
+                        jnp.take(x, jnp.asarray(perm)), interpret=interpret)
+    return jnp.take(y, jnp.asarray(pinv))
 
 
 # ---------------------------------------------------------------------------

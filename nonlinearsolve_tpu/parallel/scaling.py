@@ -78,3 +78,57 @@ def weak_scaling_report(device_counts: Sequence[int], base_n: int = 32,
         eff = rate / (base_rate * k)
         results.append((k, rate, eff))
     return results
+
+
+def weak_scaling_sparse_report(device_counts: Sequence[int],
+                               rows_per_device: int = 4096,
+                               n_matvecs: int = 50, dtype=jnp.float32,
+                               devices=None):
+    """Weak scaling of the row-partitioned GENERAL-sparse operator
+    (parallel/sparse_dist.py — the PETSc distributed-MatMult role): each
+    device owns ``rows_per_device`` rows of a banded-plus-noise CSR whose
+    halo rides the ppermute ring.  Same report shape as
+    :func:`weak_scaling_report` so the multi-host runner consumes either."""
+    import numpy as np
+    import scipy.sparse as sp
+    from jax.sharding import Mesh
+    from ..ops.sparse import CSR
+    from .sparse_dist import make_sharded_csr_matvec
+
+    results = []
+    base_rate = None
+    all_devices = list(devices if devices is not None else jax.devices())
+    rng = np.random.default_rng(0)
+    for k in device_counts:
+        if k > len(all_devices):
+            break
+        mesh = Mesh(np.array(all_devices[:k]), ("x",))
+        n = rows_per_device * k
+        Ng = max(int(np.sqrt(n)), 2)
+        d = np.ones(n)
+        A = sp.diags([d * 4, -d[:-1], -d[:-1], -d[:-Ng], -d[:-Ng]],
+                     [0, 1, -1, Ng, -Ng], format="csr")
+        A.data = A.data * (1 + 0.1 * rng.standard_normal(A.nnz))
+        csr = CSR(jnp.asarray(A.data, dtype),
+                  np.asarray(A.indices, np.int32),
+                  np.asarray(A.indptr, np.int32), (n, n))
+        mv = make_sharded_csr_matvec(csr, mesh, "x")
+
+        @jax.jit
+        def chain(v, mv=mv):
+            def body(c, _):
+                w = mv(c)
+                return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
+            return jax.lax.scan(body, v, None, length=n_matvecs)[0]
+
+        v0 = jnp.ones((n,), dtype)
+        chain(v0).block_until_ready()
+        t0 = time.perf_counter()
+        chain(v0).block_until_ready()
+        dt = time.perf_counter() - t0
+        rate = n_matvecs * A.nnz / dt
+        if base_rate is None:
+            base_rate = rate / k
+        eff = rate / (base_rate * k)
+        results.append((k, rate, eff))
+    return results

@@ -183,3 +183,15 @@ def test_weak_scaling_report_runs():
                                  use_pallas=True, bz=4)
     assert len(rows_p) == 2
     assert all(r > 0 for _, r, _ in rows_p)
+
+
+def test_weak_scaling_sparse_report_runs():
+    """The general-sparse weak-scaling mode (row-partitioned CSR operator,
+    r3) produces the same report shape — turnkey for real multi-host."""
+    from nonlinearsolve_tpu.parallel.scaling import weak_scaling_sparse_report
+    rows = weak_scaling_sparse_report([1, 2, 4], rows_per_device=512,
+                                      n_matvecs=3)
+    assert len(rows) == 3
+    for k, rate, eff in rows:
+        assert rate > 0 and np.isfinite(eff)
+    assert rows[0][2] == 1.0
