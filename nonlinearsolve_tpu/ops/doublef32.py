@@ -47,24 +47,60 @@ def _split_constant(dtype) -> float:
     return 4097.0                 # f32: 2^12 + 1
 
 
+def _opaque(a, b):
+    """Block XLA constant folding through the error-free transforms.
+
+    With ``--xla_allow_excess_precision`` (forced in this environment) XLA
+    folds all-constant float subgraphs in higher precision; folding
+    Dekker's split exactly yields the degenerate ``(a, 0)`` split and the
+    compensation terms vanish — measured 0.45 absolute error on a
+    ``1e6 * stencil`` chain under jit.  An optimization_barrier on the
+    transform inputs keeps the runtime f32 rounding semantics the
+    algorithms require; it costs nothing at execution time."""
+    import jax
+    try:
+        return jax.lax.optimization_barrier((jnp.asarray(a), jnp.asarray(b)))
+    except Exception:  # noqa: BLE001 — very old jax: no barrier primitive
+        return a, b
+
+
 def two_sum(a, b):
     """Error-free sum: (s, e) with s = fl(a+b), s + e = a + b exactly."""
+    a, b = _opaque(a, b)
     s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
+    # The sum must be opaque too: XLA's algebraic simplifier rewrites
+    # ``(a+b) - a -> b`` (measured: fast_two_sum's compensation folded to 0
+    # under jit on CPU), which is exactly the identity these transforms
+    # exploit at the ROUNDED value.
+    s, a2 = _opaque(s, a)
+    bb = s - a2
+    e = (a2 - (s - bb)) + (b - bb)
     return s, e
 
 
 def fast_two_sum(a, b):
     """Error-free sum assuming |a| >= |b| (or a == 0)."""
+    a, b = _opaque(a, b)
     s = a + b
-    e = b - (s - a)
+    s, a2 = _opaque(s, a)       # block the (a+b)-a -> b rewrite
+    e = b - (s - a2)
     return s, e
 
 
 def two_prod(a, b):
     """Error-free product: (p, e) with p = fl(a*b), p + e = a*b exactly."""
+    a, b = _opaque(a, b)
     p = a * b
+    # Route the product through a data-dependent select: XLA CPU's fusion
+    # rematerializes cheap muls into consumer fusions and LLVM then
+    # CONTRACTS ``p + e`` into ``fma(a, b, e)`` — which double-counts the
+    # product error this function just captured in ``e`` (measured 0.07
+    # absolute on a 1e6-scaled stencil; optimization_barrier does NOT
+    # survive to the fusion pass).  ``select`` breaks the mul→add
+    # adjacency at the LLVM level and cannot be folded: the predicate is
+    # data-dependent (NaN-propagating, so the fallback arm is never the
+    # wrong answer).
+    p = jnp.where((a == a) & (b == b), p, a + b)
     c = jnp.asarray(_split_constant(jnp.result_type(a, b)),
                     jnp.result_type(a, b))
     ca = c * a

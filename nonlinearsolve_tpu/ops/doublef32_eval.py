@@ -280,7 +280,8 @@ def _eval_jaxpr_df(jaxpr, consts, *args):
     for eqn in jaxpr.eqns:
         prim = eqn.primitive
         in_vals = [read(v) for v in eqn.invars]
-        if prim.name in ("pjit", "closed_call", "core_call", "xla_call"):
+        if prim.name in ("pjit", "jit", "closed_call", "core_call",
+                         "xla_call"):
             sub = eqn.params["jaxpr"]
             outs = _eval_jaxpr_df(sub.jaxpr, sub.consts, *in_vals)
         elif prim.name in ("custom_jvp_call", "custom_vjp_call",

@@ -69,6 +69,29 @@ class TestDoubleF32Ops:
                                     + np.asarray(b)) * np.asarray(a),
                                    rtol=1e-14)
 
+    def test_df_mul_constant_under_jit(self):
+        """Regression: XLA CPU rematerializes cheap muls into consumer
+        fusions and LLVM contracts ``p + e`` to ``fma(a, b, e)``, which
+        double-counts the captured product error (measured 0.07 absolute
+        pre-fix on a 1e6-scaled multiply).  The select guard in two_prod
+        must keep jit == eager."""
+        rng = np.random.default_rng(5)
+        u64 = rng.standard_normal(64) * 3
+        u32 = jnp.asarray(u64, jnp.float32)
+        ulo = jnp.asarray(u64 - np.asarray(u32, np.float64), jnp.float32)
+        c = dfm.DF(jnp.asarray(1e6, jnp.float32),
+                   jnp.asarray(0.0, jnp.float32))
+
+        def f(h, l):
+            return dfm.df_mul(dfm.DF(h, l), c)
+
+        want = u64 * 1e6
+        for out in (f(u32, ulo), jax.jit(f)(u32, ulo)):
+            err = np.abs(dfm.df_value_f64(out) - want).max()
+            # double-word grade: ~1e-14 relative on a 1e6 scale (the
+            # contraction bug measured 0.226 absolute here)
+            assert err < 1e-5, err
+
     def test_df_sum_compensated(self):
         """Summing n values of magnitude ~1 with an f32 accumulator loses
         ~eps·n; the compensated reduction must stay at double-word grade."""
@@ -157,3 +180,133 @@ class TestRefineRoot:
         assert err_after < err_before / 10.0
         # the refined defect itself must certify double-word convergence
         assert float(res.defect_norm) < 1e-6
+
+
+class TestDFEval:
+    """Generic jaxpr-interpreted double-f32 evaluation
+    (ops/doublef32_eval.py): ANY polynomial/rational residual gets a
+    double-word defect without a hand-written variant."""
+
+    def _split(self, v64):
+        hi = jnp.asarray(v64, jnp.float32)
+        lo = jnp.asarray(v64 - np.asarray(hi, np.float64), jnp.float32)
+        return dfm.DF(hi, lo)
+
+    def test_matches_f64_on_mixed_expression(self):
+        from nonlinearsolve_tpu.ops.doublef32_eval import df_eval
+
+        def f(u):
+            w = jnp.roll(u, 1) + jnp.roll(u, -1) - 2.0 * u
+            return (1e6 * w + u ** 3 * 2.5
+                    - jnp.sqrt(jnp.abs(u) + 1.0)
+                    + jnp.sum(u ** 2) / (1.0 + u ** 2))
+
+        rng = np.random.default_rng(0)
+        u64 = rng.standard_normal(128) * 3
+        want = np.asarray(f(jnp.asarray(u64)))
+        scale = np.abs(want).max()
+        d = self._split(u64)
+        eager = dfm.df_value_f64(df_eval(f, d))
+        jitted = dfm.df_value_f64(
+            jax.jit(lambda h, l: df_eval(f, dfm.DF(h, l)))(d.hi, d.lo))
+        assert np.abs(eager - want).max() < 1e-12 * scale
+        assert np.abs(jitted - want).max() < 1e-12 * scale
+
+    def test_jit_matches_eager(self):
+        from nonlinearsolve_tpu.ops.doublef32_eval import df_eval
+
+        def f(u):
+            return 1e6 * (jnp.roll(u, 1) - u) + u ** 3
+
+        rng = np.random.default_rng(1)
+        u64 = rng.standard_normal(64)
+        d = self._split(u64)
+        eager = dfm.df_value_f64(df_eval(f, d))
+        jitted = dfm.df_value_f64(
+            jax.jit(lambda h, l: df_eval(f, dfm.DF(h, l)))(d.hi, d.lo))
+        want = np.asarray(f(jnp.asarray(u64)))
+        # ~1e-14 relative on the ~1e6 scale (f32 evaluation errs ~0.1 here)
+        assert np.abs(eager - want).max() < 1e-7
+        assert np.abs(jitted - want).max() < 1e-7
+
+    def test_generic_matches_handwritten_brusselator(self):
+        """The generic interpreter must agree with the HAND-WRITTEN df32
+        residual away from the forcing-disc boundary.  (At the boundary
+        the two legitimately differ: df_eval promotes the arithmetic of
+        the traced f32 function — whose grid constants are f32-rounded —
+        while the hand-written variant bakes exact-f64 constants, so the
+        `<= 0.01` disc mask can flip at a boundary grid point.  That is a
+        property of the constants, not an interpreter defect.)"""
+        from nonlinearsolve_tpu.models import brusselator
+        from nonlinearsolve_tpu.ops.doublef32_eval import df_eval
+        N = 16
+        U32 = brusselator.init_u0(N, jnp.float32)
+        p64 = np.array([3.4, 1.0, 10.0, 1.0 / (N - 1)], np.float64)
+        p_df = self._split(p64)
+        out = df_eval(brusselator.brusselator_2d,
+                      dfm.DF(U32, jnp.zeros_like(U32)), p_df)
+        got = dfm.df_value_f64(out)
+        hhi, hlo = brusselator.brusselator_2d_df32(
+            U32, jnp.zeros_like(U32), p64)
+        hand = np.asarray(hhi, np.float64) + np.asarray(hlo, np.float64)
+        diff = np.abs(got - hand)
+        # mask out force-disc boundary flips (exactly ±5.0 if any)
+        agree = diff < 2.0
+        assert agree.mean() > 0.99
+        assert diff[agree].max() < 1e-9
+
+    def test_unsupported_primitive_message(self):
+        from nonlinearsolve_tpu.ops.doublef32_eval import df_eval
+        with pytest.raises(NotImplementedError, match="register a rule"):
+            df_eval(lambda u: jnp.exp(u), self._split(np.ones(4)))
+
+    def test_custom_rule_registry(self):
+        import jax.lax as lax
+        from nonlinearsolve_tpu.ops import doublef32_eval as dfe
+
+        # first-order-corrected exp: hi = exp(x.hi), lo = exp(x.hi)*x.lo
+        def exp_rule(eqn, x):
+            x = dfe._as_df(x)
+            h = jnp.exp(x.hi)
+            return dfm.DF(h, h * x.lo)
+
+        dfe.register_df_rule(lax.exp_p, exp_rule)
+        try:
+            out = dfe.df_eval(lambda u: jnp.exp(u) * 2.0,
+                              self._split(np.array([0.5, 1.5])))
+            got = dfm.df_value_f64(out)
+            want = np.exp([0.5, 1.5]) * 2.0
+            assert np.abs(got - want).max() < 1e-6
+        finally:
+            dfe._DF_RULES.pop(lax.exp_p, None)
+
+    def test_refine_with_generic_defect(self):
+        """End-to-end: refine_root fed by df_eval (no hand-written df32
+        residual) reaches the same double-word grade."""
+        from nonlinearsolve_tpu.ops.doublef32_eval import df_eval
+        rng = np.random.default_rng(3)
+        n = 64
+        b64 = rng.standard_normal(n)
+        b32 = jnp.asarray(b64, jnp.float32)
+
+        def f32res(u, p=None):
+            return u ** 3 + u - b32
+
+        prob = nls.NonlinearProblem(f32res, jnp.zeros(n, jnp.float32))
+        sol = nls.solve(prob, nls.NewtonRaphson(), abstol=1e-4)
+        assert bool(sol.success)
+
+        b_df = self._split(b64)
+
+        def residual_df(uh, ul):
+            out = df_eval(lambda u, bb: u ** 3 + u - bb,
+                          dfm.DF(uh, ul), b_df)
+            return out.hi, out.lo
+
+        def jvp_at(uh):
+            return lambda v: (3.0 * uh ** 2 + 1.0) * v
+
+        res = nls.refine_root(sol.u, residual_df, jvp_at, rounds=3)
+        u_ref = dfm.df_value_f64(res.u)
+        resid = np.abs(u_ref ** 3 + u_ref - b64).max()
+        assert resid < 1e-11        # double-word grade (measured 1.1e-12)
