@@ -78,4 +78,4 @@ from .solvers.homotopy_continuation import (HomotopyContinuationJL,
                                             HomotopyNonlinearFunction,
                                             TaylorHomotopyContinuationJL)
 from .utils.aot import deserialize_solver, export_solver
-from .solvers.refinement import RefineResult, refine_root
+from .solvers.refinement import RefineResult, auto_refine, refine_root

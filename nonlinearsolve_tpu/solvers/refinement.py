@@ -66,7 +66,7 @@ def refine_root(u0,
     Returns a :class:`RefineResult`; reconstruct the refined root as
     ``res.u.hi`` (f32) or ``res.u.hi.astype(f64) + res.u.lo`` off-chip.
     """
-    u = DF(u0, jnp.zeros_like(u0))
+    u = DF(u0, jnp.zeros_like(u0)) if not isinstance(u0, DF) else u0
     for _ in range(int(rounds)):
         f_hi, f_lo = residual_df(u.hi, u.lo)
         d = f_hi + f_lo                       # rounding adds only eps·|d|
@@ -77,3 +77,68 @@ def refine_root(u0,
     f_hi, f_lo = residual_df(u.hi, u.lo)      # final certified defect
     defect = jnp.max(jnp.abs(f_hi + f_lo))
     return RefineResult(u=u, defect_norm=defect, rounds=int(rounds))
+
+
+def auto_refine(prob, u, *, p64=None, rounds: int = 3,
+                inner_rtol: float = 1e-2, restart: int = 16,
+                krylov_maxiter: int = 100,
+                precond_fn: Optional[Callable] = None) -> RefineResult:
+    """One-call refinement for a NonlinearProblem: the double-f32 defect is
+    produced AUTOMATICALLY by re-evaluating the problem's residual through
+    the jaxpr interpreter (ops/doublef32_eval.py) — no hand-written
+    double-word residual needed for polynomial/rational systems.
+
+    Args:
+      prob: the solved problem (f(u, p); an analytic ``jvp`` on its
+        NonlinearFunction is used for the correction solves when present).
+      u: the converged f32 iterate (``sol.u``).
+      p64: optional host float64 parameter pytree — split exactly into
+        double-f32 so parameter rounding does not cap the refinement (the
+        f32 ``prob.p`` values are used otherwise, treated as exact).
+      rounds/inner_rtol/restart/krylov_maxiter/precond_fn: see
+        :func:`refine_root`.
+
+    Transcendental residuals raise NotImplementedError from the evaluator
+    with guidance (register a rule or hand-write the defect and call
+    :func:`refine_root` directly).
+    """
+    import numpy as np
+
+    from ..core.problems import NonlinearFunction
+    from ..ops.doublef32 import df_from_f64
+    from ..ops.doublef32_eval import df_eval
+
+    nf = prob.f if isinstance(prob.f, NonlinearFunction) \
+        else NonlinearFunction(f=prob.f)
+    raw_f = nf.f
+    dtype = jnp.asarray(u).dtype
+
+    if p64 is not None:
+        p_df = jax.tree_util.tree_map(
+            lambda x: df_from_f64(np.asarray(x, np.float64), dtype), p64)
+    elif prob.p is not None:
+        p_df = jax.tree_util.tree_map(
+            lambda x: DF(jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)))
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else jnp.asarray(x), prob.p)
+    else:
+        p_df = None
+
+    def residual_df(uh, ul):
+        args = (DF(uh, ul),) if p_df is None else (DF(uh, ul), p_df)
+        fn = (lambda uu: raw_f(uu, None)) if p_df is None else raw_f
+        out = df_eval(fn, *args)
+        return out.hi, out.lo
+
+    p_for_jvp = prob.p
+
+    def jvp_at(uh):
+        if nf.jvp is not None:
+            return lambda v: nf.jvp(v, uh, p_for_jvp)
+        return lambda v: jax.jvp(
+            lambda uu: raw_f(uu, p_for_jvp), (uh,), (v,))[1]
+
+    return refine_root(u, residual_df, jvp_at, rounds=rounds,
+                       inner_rtol=inner_rtol, restart=restart,
+                       krylov_maxiter=krylov_maxiter,
+                       precond_fn=precond_fn)

@@ -25,7 +25,7 @@ PUBLIC_API = [
     "HomotopySweep", "KantorovichHomotopy", "ArcLengthContinuation",
     "HomotopyPolyAlgorithm", "FastShortcutHomotopyPolyalg",
     "SimpleHomotopySweep", "LinearSCCBlock", "SCCAlg", "scc_solve_up",
-    "refine_root", "RefineResult",
+    "refine_root", "auto_refine", "RefineResult",
     "NonlinearSolvePolyAlgorithm", "FastShortcutNonlinearPolyalg",
     "FastShortcutNLLSPolyalg", "RobustMultiNewton",
     # policies / options

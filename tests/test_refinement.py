@@ -310,3 +310,47 @@ class TestDFEval:
         u_ref = dfm.df_value_f64(res.u)
         resid = np.abs(u_ref ** 3 + u_ref - b64).max()
         assert resid < 1e-11        # double-word grade (measured 1.1e-12)
+
+
+class TestAutoRefine:
+    def test_one_call_refinement(self):
+        """nls.auto_refine: the double-f32 defect comes from the jaxpr
+        interpreter automatically — no hand-written residual."""
+        rng = np.random.default_rng(0)
+        n = 64
+        b32 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        prob = nls.NonlinearProblem(lambda u, p: u ** 3 + p * u - b32,
+                                    jnp.zeros(n, jnp.float32),
+                                    jnp.asarray(1.0, jnp.float32))
+        sol = nls.solve(prob, nls.NewtonRaphson(), abstol=1e-4)
+        assert bool(sol.success)
+        res = nls.auto_refine(prob, sol.u, rounds=3)
+        u_ref = dfm.df_value_f64(res.u)
+        b = np.asarray(b32, np.float64)
+        before = np.abs(np.asarray(sol.u, np.float64) ** 3
+                        + np.asarray(sol.u, np.float64) - b).max()
+        after = np.abs(u_ref ** 3 + u_ref - b).max()
+        assert after < 1e-12 and after < before / 1e4
+
+    def test_uses_analytic_jvp_when_present(self):
+        calls = {"n": 0}
+
+        def jvp(v, u, p):
+            calls["n"] += 1
+            return (3.0 * u ** 2 + 1.0) * v
+
+        rng = np.random.default_rng(1)
+        b32 = jnp.asarray(rng.standard_normal(16), jnp.float32)
+        f = nls.NonlinearFunction(f=lambda u, p: u ** 3 + u - b32, jvp=jvp)
+        prob = nls.NonlinearProblem(f, jnp.zeros(16, jnp.float32))
+        sol = nls.solve(prob, nls.NewtonRaphson(), abstol=1e-4)
+        res = nls.auto_refine(prob, sol.u, rounds=2)
+        assert calls["n"] > 0
+        assert float(res.defect_norm) < 1e-10
+
+    def test_transcendental_guidance(self):
+        prob = nls.NonlinearProblem(lambda u, p: jnp.exp(u) - 2.0,
+                                    jnp.zeros(4, jnp.float32))
+        sol = nls.solve(prob, nls.NewtonRaphson(), abstol=1e-4)
+        with pytest.raises(NotImplementedError, match="register a rule"):
+            nls.auto_refine(prob, sol.u, rounds=1)

@@ -86,3 +86,60 @@ def test_broyden_inverse_initialization():
     sol = nls.solve(prob, nls.Broyden(linesearch=nls.LiFukushimaLineSearch()),
                     abstol=1e-5, reltol=1e-5)
     assert float(jnp.linalg.norm(A @ sol.u + b)) < 1e-4
+
+
+def test_doublef32_exact_on_chip():
+    """The error-free f32 transforms must hold on the REAL backend —
+    catches any hardware/compiler combination that contracts or
+    reassociates the compensation terms away (the CPU-LLVM fma hazard,
+    fixed r3, had exactly this signature)."""
+    import numpy as np
+    from nonlinearsolve_tpu.ops import doublef32 as dfm
+    assert dfm.self_check()
+    # the jit-fused constant-multiply pattern that broke on CPU pre-fix
+    rng = np.random.default_rng(5)
+    u64 = rng.standard_normal(64) * 3
+    u32 = jnp.asarray(u64, jnp.float32)
+    ulo = jnp.asarray(u64 - np.asarray(u32, np.float64), jnp.float32)
+    c = dfm.DF(jnp.asarray(1e6, jnp.float32), jnp.asarray(0.0, jnp.float32))
+    out = jax.jit(lambda h, l: dfm.df_mul(dfm.DF(h, l), c))(u32, ulo)
+    err = np.abs(dfm.df_value_f64(out) - u64 * 1e6).max()
+    assert err < 1e-5, err
+
+
+def test_refinement_certifies_root_on_chip():
+    """f32 solve + double-f32 refinement on the real chip: the refined
+    defect must drop to the double-word floor (the bench's golden
+    subprocess certifies the 512^2 root against f64; this is the small
+    self-contained conformance version)."""
+    import numpy as np
+    from nonlinearsolve_tpu.models import brusselator
+    from nonlinearsolve_tpu.ops.preconditioners import (
+        fft_poisson_preconditioner)
+    from nonlinearsolve_tpu.solvers.first_order import EisenstatWalkerForcing
+
+    N = 32
+    prob = brusselator.make_problem(N, jnp.float32)
+    pm = fft_poisson_preconditioner((N, N), alpha=10.0, h=1.0 / (N - 1),
+                                    shift=3.0, n_components=2)
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=16,
+                                  krylov_maxiter=100, precond_fn=pm),
+        forcing=EisenstatWalkerForcing(eta_0=1e-2, eta_max=1e-2))
+    sol = nls.solve(prob, alg, abstol=0.1, maxiters=30)
+    assert bool(sol.success)
+    p64 = np.array([3.4, 1.0, 10.0, 1.0 / (N - 1)], np.float64)
+    p32 = brusselator.default_p(N, jnp.float32)
+
+    res = nls.refine_root(
+        sol.u,
+        lambda uh, ul: brusselator.brusselator_2d_df32(uh, ul, p64),
+        lambda uh: (lambda v: jax.jvp(
+            lambda U: brusselator.brusselator_2d(U, p32), (uh,), (v,))[1]),
+        rounds=3, inner_rtol=1e-2, restart=16, precond_fn=pm)
+    # |f0| scale here ~1e4: double-word defect floor is ~1e-9 relative
+    defect = float(res.defect_norm)
+    assert defect < 1e-3, defect
+    # and the refinement must have moved the iterate (fast root is only
+    # f32-noise-floor accurate)
+    assert defect < 0.01 * float(jnp.max(jnp.abs(sol.resid)))
