@@ -241,11 +241,15 @@ def main():
         from nonlinearsolve_tpu.ops.sparse import CSR
 
         def time_matvec(csr_m, label_rounds=5):
+            # the staged closure — packing hoisted out of the loop, the
+            # same form every Krylov solve uses via as_matvec
+            mv_fn = csr_m.matvec_fn()
+
             def chain(length):
                 @jax.jit
                 def run(x):
                     def body(c, _):
-                        w = csr_m.matvec(c)
+                        w = mv_fn(c)
                         return w / jnp.maximum(jnp.max(jnp.abs(w)), 1.0), None
                     out, _ = jax.lax.scan(body, x, None, length=length)
                     return jnp.sum(jnp.abs(out))
@@ -270,9 +274,10 @@ def main():
                       np.asarray(patt.indptr, np.int32), (npde, npde))
         if pallas_spmv_supported(csr_pde) \
                 and jax.default_backend() == "tpu":
-            _, permp, _, _ = _plan_maybe_reordered(
+            planp, permp, _, _ = _plan_maybe_reordered(
                 csr_pde.indptr, csr_pde.indices, npde, npde)
-            pde_path = "pallas+rcm" if permp is not None else "pallas"
+            pde_path = f"pallas-{planp.mode}" + \
+                ("+rcm" if permp is not None else "")
         else:
             pde_path = "segment_sum"
         pde_nnz_per_s = time_matvec(csr_pde)

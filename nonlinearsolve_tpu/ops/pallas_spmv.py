@@ -92,10 +92,11 @@ class EllPlan:
     """
 
     def __init__(self, indptr, indices, n_rows, n_cols, *, min_w=1,
-                 min_W=SUBLANES):
-        """``min_w``/``min_W`` force lower bounds on the slot count / window
-        height so per-shard plans of a row-partitioned operator share one
-        static kernel shape (parallel/sparse_dist.py)."""
+                 min_W=SUBLANES, force_mode=None):
+        """``min_w``/``min_W``/``force_mode`` force lower bounds on the
+        slot count / window height / window granularity so per-shard plans
+        of a row-partitioned operator share one static kernel shape
+        (parallel/sparse_dist.py)."""
         indptr = np.asarray(indptr, np.int64)
         indices = np.asarray(indices, np.int64)
         self.indptr = indptr
@@ -129,24 +130,52 @@ class EllPlan:
         self.valid = self.perm >= 0
         self.safe_perm = np.where(self.valid, self.perm, 0)
 
-        # per-(tile, group) window: [r0, r0 + W) in x-tile rows
-        hi_min = np.where(has, hi_t, np.iinfo(np.int64).max).min(axis=(2, 3))
-        hi_max = np.where(has, hi_t, -1).max(axis=(2, 3))
-        empty = hi_max < 0
-        hi_min = np.where(empty, 0, hi_min)
-        hi_max = np.where(empty, 0, hi_max)
-        r0 = (hi_min // SUBLANES) * SUBLANES
-        span = hi_max - r0 + 1
-        W = _round_up(max(int(span.max()), 1, int(min_W)), SUBLANES)
+        # Two window granularities (r3):
+        #  * "group": one window per 128-row group, kernel walks its
+        #    Wg/8 tiles ONCE applying every slot — best when slots share
+        #    the window (scrambled patterns: every slot is global anyway).
+        #  * "slot": one window per (group, slot) — one slot's 128 lanes
+        #    are 128 CONSECUTIVE rows' s-th nonzeros, whose columns span
+        #    ~bandwidth/128 + 1 tiles even when the group window is wide
+        #    (periodic wrap rows).  The 512² Brusselator CSR drops from
+        #    Wg=4096 to Ws=8, at the cost of per-slot tile fetches.
+        # Mode chosen by the op-count model (fetch + 2 gathers per tile
+        # visit): slot iff 3·w·Gs < (2·w+1)·Gg.
+        hi_min_s = np.where(has, hi_t, np.iinfo(np.int64).max).min(axis=3)
+        hi_max_s = np.where(has, hi_t, -1).max(axis=3)
+        empty_s = hi_max_s < 0                  # (ntiles, 8, w)
+        hi_min_s = np.where(empty_s, 0, hi_min_s)
+        hi_max_s = np.where(empty_s, 0, hi_max_s)
+        r0_s = (hi_min_s // SUBLANES) * SUBLANES
+        Ws = _round_up(max(int((hi_max_s - r0_s + 1).max()), 1,
+                           int(min_W)), SUBLANES)
+        hi_min_g = hi_min_s.min(axis=2)         # (ntiles, 8)
+        hi_max_g = hi_max_s.max(axis=2)
+        r0_g = (hi_min_g // SUBLANES) * SUBLANES
+        Wg = _round_up(max(int((hi_max_g - r0_g + 1).max()), 1,
+                           int(min_W)), SUBLANES)
+        if force_mode is not None:
+            mode = force_mode
+        else:
+            Gs, Gg = Ws // SUBLANES, Wg // SUBLANES
+            mode = "slot" if 3 * w * Gs < (2 * w + 1) * Gg else "group"
+        if mode == "slot":
+            W, r0 = Ws, r0_s                    # (ntiles, 8, w)
+        else:
+            W, r0 = Wg, r0_g                    # (ntiles, 8)
         nx_rows = max(_round_up(pl.cdiv(max(n_cols, 1), LANES), SUBLANES), W)
         r0 = np.minimum(r0, nx_rows - W)
-        hi_local = hi_t - r0[:, :, None, None]
+        if mode == "slot":
+            hi_local = hi_t - r0[:, :, :, None]
+        else:
+            hi_local = hi_t - r0[:, :, None, None]
         # padding slots gather window element 0 (value multiplied by 0)
         hi_local = np.where(has, hi_local, 0)
         lo_t = np.where(has, lo_t, 0)
         self.idx = (hi_local * LANES + lo_t).astype(np.int32)
         self.r0 = (r0 // SUBLANES).astype(np.int32)   # window start, tiles
         self.W = W
+        self.mode = mode
         self.w = w
         self.n_rows = n_rows
         self.n_cols = n_cols
@@ -208,27 +237,62 @@ def ell_plan_for(indptr, indices, n_rows, n_cols) -> EllPlan:
     return plan
 
 
-def _make_ell_kernel(W: int, w: int):
+def _make_ell_kernel(W: int, w: int, mode: str):
     # The two-stage register gather must stay WITHIN one native (8, 128)
     # tile: Mosaic lowers a sublane take_along_axis over G*8 rows into
     # per-row select chains whose compile time explodes around W ≈ 16
     # (measured: W=8 compiles in seconds, W=32 hangs >10 min on v5e).  So
-    # the window is walked as G = W/8 native tiles inside a fori_loop
-    # (constant compile cost, G bounded only by the runtime budget), each
-    # slot contributing where its window-local tile index equals g.
+    # windows are walked as G = W/8 native tiles (constant compile cost),
+    # each slot contributing where its window-local tile index equals g.
+    # "group" mode fetches each of the G tiles ONCE and applies all
+    # slots; "slot" mode fetches each slot's own (much smaller) window.
     G = W // SUBLANES
 
     def kernel(r0_ref, idx_ref, data_ref, x_ref, out_ref):
-        # r0_ref: (ntiles, 8) SMEM whole-array resident (blocked SMEM
-        # specs reject (1, 8) tiles once ntiles > 1), storing the window
-        # start as a TILE index (r0 // 8): x rides as (R/8, 8, 128) and
-        # window tiles are fetched by whole-tile leading-axis indexing —
-        # a VMEM address offset.  (A dynamic sublane-offset slice of a
-        # flat (R, 128) x compiles, but Mosaic's lowering cost grows with
-        # R: R=32 compiled in ~80 s, R=512 hung >9 min on v5e.)
+        # r0_ref: (ntiles, 8[, w]) SMEM whole-array resident (blocked SMEM
+        # specs reject small tiles once ntiles > 1), storing window starts
+        # as TILE indices (r0 // 8): x rides as (R/8, 8, 128) and window
+        # tiles are fetched by whole-tile leading-axis indexing — a VMEM
+        # address offset.  (A dynamic sublane-offset slice of a flat
+        # (R, 128) x compiles, but Mosaic's lowering cost grows with R:
+        # R=32 compiled in ~80 s, R=512 hung >9 min on v5e.)
         # idx/data: (1, 8, w, 128); out: (1, 8, 128)
         i = pl.program_id(0)
         for j in range(SUBLANES):
+            if mode == "slot":
+                acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
+                for s in range(w):
+                    t0 = r0_ref[i, j, s]
+                    idx = idx_ref[0, j, s:s + 1, :]      # (1, 128) packed
+                    his = jax.lax.shift_right_logical(idx, jnp.int32(7))
+                    los = jax.lax.bitwise_and(idx, jnp.int32(127))
+                    hi8 = jax.lax.bitwise_and(his, jnp.int32(7))
+                    dat = data_ref[0, j, s:s + 1, :]
+
+                    def slot_contrib(g0, acc_s, t0=t0, his=his, los=los,
+                                     hi8=hi8, dat=dat):
+                        xt = x_ref[t0 + g0]              # (8, 128) tile
+                        # lane gather FIRST, then sublane (module doc)
+                        a1 = jnp.take_along_axis(
+                            xt, jnp.broadcast_to(los, (SUBLANES, LANES)),
+                            axis=1)
+                        a2 = jnp.take_along_axis(
+                            a1, jnp.broadcast_to(hi8, (SUBLANES, LANES)),
+                            axis=0)
+                        in_tile = (jax.lax.shift_right_logical(
+                            his, jnp.int32(3)) == g0)
+                        return acc_s + jnp.where(
+                            in_tile, dat * a2[0:1, :],
+                            jnp.zeros((), acc_s.dtype))
+
+                    if G <= 1:
+                        acc = slot_contrib(jnp.int32(0), acc)
+                    else:
+                        acc = jax.lax.fori_loop(0, G, slot_contrib, acc)
+                out_ref[0, j, :] = acc[0, :]
+                continue
+
+            # group mode
             t0 = r0_ref[i, j]
             his = []
             los = []
@@ -241,7 +305,6 @@ def _make_ell_kernel(W: int, w: int):
                 xt = x_ref[t0 + g0]                      # (8, 128) tile
                 for s in range(w):
                     hi8 = jax.lax.bitwise_and(his[s], jnp.int32(7))
-                    # lane gather FIRST, then sublane gather (module doc)
                     a1 = jnp.take_along_axis(
                         xt, jnp.broadcast_to(los[s], (SUBLANES, LANES)),
                         axis=1)
@@ -265,10 +328,10 @@ def _make_ell_kernel(W: int, w: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ntiles", "w", "W", "interpret"))
-def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, interpret):
+                   static_argnames=("ntiles", "w", "W", "mode", "interpret"))
+def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, mode, interpret):
     return pl.pallas_call(
-        _make_ell_kernel(W, w),
+        _make_ell_kernel(W, w, mode),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # r0 resident
@@ -286,6 +349,34 @@ def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, interpret):
     )(r0, idx, data, x2d)
 
 
+# The r0 table is SMEM-whole-resident; above ~24 KB (measured: 24.5 KB
+# compiles, 98 KB fails the Mosaic compile on v5e) the grid is CHUNKED
+# along the tile axis into separate pallas calls sharing the packed x.
+_SMEM_R0_CAP_BYTES = 24 * 1024
+
+
+def _ell_spmv_packed(plan: "EllPlan", packed, x2d, interpret: bool):
+    """Run the kernel on pre-packed data, chunking the grid when the SMEM
+    r0 table would exceed the Mosaic budget.  Returns (n_pad,) output."""
+    r0 = np.asarray(plan.r0)
+    per_tile = int(r0[0].size) * 4
+    tiles_per_chunk = max(_SMEM_R0_CAP_BYTES // max(per_tile, 1), 1)
+    if plan.ntiles <= tiles_per_chunk:
+        out = _ell_spmv_call(jnp.asarray(r0), jnp.asarray(plan.idx),
+                             packed, x2d, ntiles=plan.ntiles, w=plan.w,
+                             W=plan.W, mode=plan.mode, interpret=interpret)
+        return out.reshape(plan.n_pad)
+    outs = []
+    for t0 in range(0, plan.ntiles, tiles_per_chunk):
+        t1 = min(t0 + tiles_per_chunk, plan.ntiles)
+        out = _ell_spmv_call(
+            jnp.asarray(r0[t0:t1]), jnp.asarray(plan.idx[t0:t1]),
+            packed[t0:t1], x2d, ntiles=t1 - t0, w=plan.w, W=plan.W,
+            mode=plan.mode, interpret=interpret)
+        outs.append(out.reshape((t1 - t0) * ROWS_PER_TILE))
+    return jnp.concatenate(outs)
+
+
 def _use_interpret(interpret):
     if interpret is not None:
         return bool(interpret)
@@ -295,10 +386,7 @@ def _use_interpret(interpret):
 def _ell_spmv_core(plan: EllPlan, interpret: bool, csr_data, x):
     data = plan.pack_data(csr_data)
     x2d = plan.pack_x(x)
-    out = _ell_spmv_call(jnp.asarray(plan.r0), jnp.asarray(plan.idx), data,
-                         x2d, ntiles=plan.ntiles, w=plan.w, W=plan.W,
-                         interpret=interpret)
-    return out.reshape(plan.n_pad)[:plan.n_rows]
+    return _ell_spmv_packed(plan, data, x2d, interpret)[:plan.n_rows]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -413,6 +501,35 @@ def csr_spmv_pallas(csr, x, *, interpret=None):
     y = ell_spmv_pallas(plan, jnp.take(csr.data, jnp.asarray(dperm)),
                         jnp.take(x, jnp.asarray(perm)), interpret=interpret)
     return jnp.take(y, jnp.asarray(pinv))
+
+
+def csr_spmv_staged(csr, *, interpret=None):
+    """Pre-staged matvec closure: the slot-major data packing (a gather of
+    every nonzero, ~2 full passes over the data tables) runs ONCE here —
+    at operator-construction time, i.e. once per Newton step — instead of
+    inside every Krylov iteration.  XLA's while-loop LICM hoists the
+    resulting ARRAY into the loop closure but would NOT hoist the gather
+    chain itself (docs/tpu_tuning.md §7b), so staging is worth ~2× on
+    assembled-operator Krylov solves.
+
+    Forward-only (linear-solve internals); use ``csr_spmv_pallas`` where
+    reverse-mode AD through the matvec is needed."""
+    interpret = _use_interpret(interpret)
+    plan, perm, pinv, dperm = _plan_maybe_reordered(
+        csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
+    data = csr.data if perm is None \
+        else jnp.take(csr.data, jnp.asarray(dperm))
+    packed = plan.pack_data(data)
+    perm_j = None if perm is None else jnp.asarray(perm)
+    pinv_j = None if pinv is None else jnp.asarray(pinv)
+
+    def mv(x):
+        xx = x if perm_j is None else jnp.take(x, perm_j)
+        x2d = plan.pack_x(xx)
+        y = _ell_spmv_packed(plan, packed, x2d, interpret)[:plan.n_rows]
+        return y if pinv_j is None else jnp.take(y, pinv_j)
+
+    return mv
 
 
 # ---------------------------------------------------------------------------

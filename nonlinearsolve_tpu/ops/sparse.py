@@ -106,6 +106,25 @@ class CSR:
         return jax.ops.segment_sum(prod, jnp.asarray(self.row_ids),
                                    num_segments=self.shape[0])
 
+    def matvec_fn(self):
+        """Staged matvec closure for repeated application (Krylov loops):
+        on TPU the slot-major packing runs once HERE instead of inside
+        every iteration (csr_spmv_staged).  Forward-only — use
+        ``matvec`` where AD through the product is needed."""
+        if jax.default_backend() == "tpu" and jnp.ndim(self.data) == 1:
+            from .pallas_spmv import csr_spmv_staged, pallas_spmv_supported
+            if pallas_spmv_supported(self):
+                return csr_spmv_staged(self)
+        indices = jnp.asarray(self.indices)
+        row_ids = jnp.asarray(self.row_ids)
+        data = self.data
+        n = self.shape[0]
+
+        def mv(x):
+            prod = data * jnp.take(x, indices, axis=0)
+            return jax.ops.segment_sum(prod, row_ids, num_segments=n)
+        return mv
+
     def rmatvec(self, y):
         """Transpose SpMV: Aᵀ y."""
         prod = self.data * jnp.take(y, jnp.asarray(self.row_ids), axis=0)

@@ -50,8 +50,9 @@ class ShardedCsrPlan(NamedTuple):
     w: int                   # common slot count
     W: int                   # common window height (x-tile rows)
     nx_rows: int             # padded x-buffer tile rows
+    kmode: str               # kernel window granularity: "slot" | "group"
     pallas_ok: bool          # every shard within the kernel envelope
-    r0_all: np.ndarray       # (S, ntiles, 8) int32
+    r0_all: np.ndarray       # (S, ntiles, 8[, w]) int32
     idx_all: np.ndarray      # (S, ntiles, 8, w, 128) int32
     perm_all: np.ndarray     # (S, ntiles*8*w*128) int64 → global data idx
     valid_all: np.ndarray    # same shape bool
@@ -115,16 +116,23 @@ def build_sharded_csr_plan(indptr, indices, n, n_shards) -> ShardedCsrPlan:
         shard_patterns.append((sub_indptr, local_cols, int(base)))
         nnz_max = max(nnz_max, int(cols.size))
 
-    # two passes: learn per-shard (w, W), then force the common shape
+    # two passes: learn per-shard (w, W, mode), then force the common
+    # static kernel shape (SPMD: every shard runs one program)
     probe = [EllPlan(sp, lc, chunk, buf_len)
              for sp, lc, _ in shard_patterns]
     w = max(p.w for p in probe)
-    W = max(p.W for p in probe)
-    plans = [EllPlan(sp, lc, chunk, buf_len, min_w=w, min_W=W)
+    mode_f = "slot" if all(p.mode == "slot" for p in probe) else "group"
+    plans = [EllPlan(sp, lc, chunk, buf_len, min_w=w, force_mode=mode_f)
+             for sp, lc, _ in shard_patterns]
+    W = max(p.W for p in plans)
+    plans = [EllPlan(sp, lc, chunk, buf_len, min_w=w, min_W=W,
+                     force_mode=mode_f)
              for sp, lc, _ in shard_patterns]
     p0 = plans[0]
+    from ..ops.pallas_spmv import _SMEM_R0_CAP_BYTES
     pallas_ok = (buf_len <= MAX_X_ELEMS_VMEM and W <= MAX_WINDOW_ROWS
-                 and w <= MAX_SLOTS)
+                 and w <= MAX_SLOTS
+                 and np.asarray(p0.r0).size * 4 <= _SMEM_R0_CAP_BYTES)
 
     r0_all = np.stack([p.r0 for p in plans])
     idx_all = np.stack([p.idx for p in plans])
@@ -145,6 +153,7 @@ def build_sharded_csr_plan(indptr, indices, n, n_shards) -> ShardedCsrPlan:
 
     plan = ShardedCsrPlan(
         n=int(n), n_shards=S, chunk=chunk, mode=mode, hl=hl, hr=hr,
+        kmode=mode_f,
         buf_len=buf_len, ntiles=p0.ntiles, w=w, W=W, nx_rows=p0.nx_rows,
         pallas_ok=pallas_ok, r0_all=r0_all, idx_all=idx_all,
         perm_all=perm_all, valid_all=valid_all, seg_pos=seg_pos,
@@ -231,7 +240,7 @@ def make_sharded_csr_matvec(csr, mesh: Mesh, axis: str = "x", *,
         xp = xp.reshape(plan.nx_rows // SUBLANES, SUBLANES, LANES)
         out = _ell_spmv_call(r0_l[0], idx_l[0], data_l[0], xp,
                              ntiles=plan.ntiles, w=plan.w, W=plan.W,
-                             interpret=interpret)
+                             mode=plan.kmode, interpret=interpret)
         return out.reshape(1, plan.ntiles * SUBLANES * LANES)[
             :, :plan.chunk]
 

@@ -184,21 +184,22 @@ def test_jit_and_grad_through_pallas_spmv():
                                rtol=1e-10, atol=1e-10)
 
 
-def test_rcm_reorder_tier_periodic_pattern():
-    """A PERIODIC stencil pattern at scale has a handful of wrap rows whose
-    raw window spans the whole matrix; the transparent RCM reorder tier
-    (r3) must bring it inside the kernel envelope and stay numerically
-    exact — this is what makes the 512^2 Brusselator CSR (3.1M nnz)
-    Pallas-servable (VERDICT r2 weak#5/next#7)."""
+def test_per_slot_windows_cover_periodic_pattern():
+    """A PERIODIC stencil pattern at scale has wrap rows whose GROUP-level
+    window spans the whole matrix; per-slot windows (r3) keep it directly
+    in-envelope (one slot = 128 consecutive rows' s-th nonzero, whose
+    columns are nearly co-located even on wrap rows) — this is what makes
+    the 512^2 Brusselator CSR (3.1M nnz) Pallas-servable without even a
+    reordering pass (VERDICT r2 weak#5/next#7)."""
     import scipy.sparse as sp
     from nonlinearsolve_tpu.models import brusselator
-    N = 256                       # raw window 1024 tile rows > 512 cap
+    N = 256
     patt = brusselator.sparsity_pattern(N)
     n = patt.shape[0]
     plan, perm, pinv, dperm = ps._plan_maybe_reordered(
         patt.indptr, patt.indices, n, n)
-    assert perm is not None       # raw plan over cap -> reordered
-    assert plan.supported and plan.W <= 64
+    assert perm is None           # raw plan fits directly
+    assert plan.supported and plan.W <= 16
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.standard_normal(len(patt.indices)), jnp.float32)
     csr = CSR(data, np.asarray(patt.indices, np.int32),
@@ -210,3 +211,22 @@ def test_rcm_reorder_tier_periodic_pattern():
     err = np.abs(np.asarray(y, np.float64)
                  - A @ np.asarray(x, np.float64)).max()
     assert err < 1e-4             # f32 accumulation at 786k nnz
+
+
+def test_rcm_reorder_tier_scrambled_band():
+    """The transparent RCM reorder tier still serves patterns whose raw
+    slot windows ARE global: a randomly symmetric-permuted band at
+    n_cols > 64k (over the window cap) reorders back to banded."""
+    import scipy.sparse as sp
+    n = 102400                    # n_cols > MAX_WINDOW_ROWS * LANES
+    d = np.ones(n)
+    A = sp.diags([d * 4, -d[:-1], -d[:-1], -d[:-320], -d[:-320]],
+                 [0, 1, -1, 320, -320], format="coo")
+    rng = np.random.default_rng(1)
+    sg = rng.permutation(n)
+    # permute via COO relabeling (scipy's A[np.ix_] is minutes at this n)
+    A = sp.csr_matrix((A.data, (sg[A.row], sg[A.col])), shape=(n, n))
+    plan, perm, pinv, dperm = ps._plan_maybe_reordered(
+        A.indptr, A.indices, n, n)
+    assert perm is not None       # raw slot windows global -> reordered
+    assert plan.supported

@@ -354,3 +354,19 @@ class TestAutoRefine:
         sol = nls.solve(prob, nls.NewtonRaphson(), abstol=1e-4)
         with pytest.raises(NotImplementedError, match="register a rule"):
             nls.auto_refine(prob, sol.u, rounds=1)
+
+    def test_auto_refine_3d_reaction_diffusion(self):
+        """Config-5 model family: the 3D RD residual is polynomial, so
+        auto_refine certifies it with zero extra code."""
+        from nonlinearsolve_tpu.models import reaction_diffusion
+        N = 8
+        prob = reaction_diffusion.make_problem(N, dtype=jnp.float32)
+        sol = nls.solve(prob, nls.NewtonRaphson(
+            linsolve=nls.LinearSolver(method="gmres", restart=16)),
+            abstol=1e-3, maxiters=50)
+        assert bool(sol.success)
+        res = nls.auto_refine(prob, sol.u, rounds=3)
+        d_before = float(jnp.max(jnp.abs(sol.resid)))
+        d_after = float(res.defect_norm)
+        assert d_after < 1e-8
+        assert d_after < d_before
