@@ -94,7 +94,12 @@ def build_sharded_csr_plan(indptr, indices, n, n_shards) -> ShardedCsrPlan:
             c0[s], c1[s] = s * chunk, s * chunk
     hl = int(max(0, (np.arange(S) * chunk - c0).max()))
     hr = int(max(0, (c1 - (np.arange(S) + 1) * chunk).max()))
-    if hl <= chunk and hr <= chunk:
+    # Multi-hop ring halos (r3): widths up to _MAX_HALO_HOPS neighbor
+    # chunks ride ppermute (hop k fetches the chunk k shards away; the
+    # farthest hop is sliced); wider windows — or halos covering most of
+    # the ring anyway — fall back to one all_gather.
+    hops = max(-(-hl // chunk), -(-hr // chunk))
+    if hops <= _MAX_HALO_HOPS and hl + hr < (S - 1) * chunk:
         mode = "halo"
     else:
         mode, hl, hr = "allgather", 0, 0
@@ -162,19 +167,39 @@ def build_sharded_csr_plan(indptr, indices, n, n_shards) -> ShardedCsrPlan:
     return plan
 
 
+#: halo widths up to this many neighbor chunks use ppermute hops; wider
+#: windows take the all_gather path
+_MAX_HALO_HOPS = 3
+
+
 def _ring_halo(axis: str, x_local, hl: int, hr: int):
-    """Receive the left neighbor's LAST ``hl`` entries and the right
-    neighbor's FIRST ``hr`` entries (periodic ring over ICI).  Either
-    width may be 0 (no transfer issued)."""
+    """Receive the ``hl`` entries preceding this shard's chunk and the
+    ``hr`` entries following it (periodic ring over ICI).  Widths may span
+    MULTIPLE neighbor chunks: hop ``k`` ppermutes the full chunk from the
+    shard ``k`` positions away; the farthest hop is sliced to the
+    remaining width.  Either width may be 0 (no transfer issued)."""
     n = jax.lax.axis_size(axis)
-    fwd = [(i, (i + 1) % n) for i in range(n)]
-    bwd = [(i, (i - 1) % n) for i in range(n)]
+    chunk = x_local.shape[0]
+
+    def hop(payload, k, direction):
+        # direction +1: receive from the shard k positions to the LEFT
+        perm = [(i, (i + direction * k) % n) for i in range(n)]
+        return jax.lax.ppermute(payload, axis, perm)
+
     parts = []
     if hl > 0:
-        parts.append(jax.lax.ppermute(x_local[-hl:], axis, fwd))
+        k = -(-hl // chunk)
+        rem = hl - (k - 1) * chunk
+        parts.append(hop(x_local[-rem:], k, +1))   # farthest: slice first
+        for kk in range(k - 1, 0, -1):
+            parts.append(hop(x_local, kk, +1))
     parts.append(x_local)
     if hr > 0:
-        parts.append(jax.lax.ppermute(x_local[:hr], axis, bwd))
+        k = -(-hr // chunk)
+        for kk in range(1, k):
+            parts.append(hop(x_local, kk, -1))
+        rem = hr - (k - 1) * chunk
+        parts.append(hop(x_local[:rem], k, -1))
     return jnp.concatenate(parts) if len(parts) > 1 else x_local
 
 
@@ -257,11 +282,15 @@ def make_sharded_csr_matvec(csr, mesh: Mesh, axis: str = "x", *,
         y = jax.ops.segment_sum(prod, row_l[0], num_segments=plan.chunk)
         return y[None, :]
 
+    # pack-once staging (r3): the default data packs HERE, at operator
+    # construction, not inside every Krylov iteration (XLA's loop LICM
+    # hoists the packed ARRAY but not the gather chain)
+    packed_default = pack_data(csr.data)
+
     def matvec(x, *, data=None):
-        d = csr.data if data is None else data
+        packed = packed_default if data is None else pack_data(data)
         xp = jnp.zeros((npad,), x.dtype).at[:n].set(x)
         xp = jax.lax.with_sharding_constraint(xp, sharding)
-        packed = pack_data(d)
         if pallas:
             y = _mv_pallas(r0_all, idx_all, packed, xp)
         else:

@@ -156,3 +156,53 @@ class TestShardedNewtonKrylov:
                        + 0.1 * np.asarray(sol.u) ** 3
                        - np.asarray(b)).max()
         assert resid <= 1e-8
+
+
+class TestMultiHopHalo:
+    def test_wide_band_multi_hop(self):
+        """Bandwidth ~1.5 chunks: the halo spans TWO neighbor chunks per
+        side — multi-hop ppermute (r3), not all_gather."""
+        import scipy.sparse as sp
+        mesh = _mesh()
+        rng = np.random.default_rng(7)
+        n = 1024                          # chunk = 128 on the 8-mesh
+        bw = 200                          # > chunk, < 2*chunk
+        d = np.ones(n)
+        A = sp.diags([d * 4, -d[:-1], -d[:-1], -d[:-bw], -d[:-bw]],
+                     [0, 1, -1, bw, -bw], format="csr")
+        A.data = A.data * (1 + 0.1 * rng.standard_normal(A.nnz))
+        mv = make_sharded_csr_matvec(_csr_of(A), mesh, "x")
+        assert mv.plan.mode == "halo"
+        assert mv.plan.hl > mv.plan.chunk     # genuinely multi-hop
+        x = jnp.asarray(rng.standard_normal(n))
+        y = jax.jit(mv)(x)
+        np.testing.assert_allclose(np.asarray(y), A @ np.asarray(x),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_newton_through_multi_hop(self):
+        import scipy.sparse as sp
+        mesh = _mesh()
+        rng = np.random.default_rng(8)
+        n = 1024
+        bw = 200
+        d = np.ones(n)
+        A = sp.diags([d * 4, -d[:-1], -d[:-1], -d[:-bw], -d[:-bw]],
+                     [0, 1, -1, bw, -bw], format="csr")
+        A.data = A.data * (1 + 0.1 * rng.standard_normal(A.nnz))
+        csr = _csr_of(A)
+        b = jnp.asarray(rng.standard_normal(n))
+        mv = make_sharded_csr_matvec(csr, mesh, "x")
+
+        prob = nls.NonlinearProblem(
+            nls.NonlinearFunction(
+                f=lambda u, p: mv(u) + 0.1 * u ** 3 - b,
+                jvp=lambda v, u, p: mv(v) + 0.3 * u ** 2 * v),
+            jnp.zeros(n))
+        sol = nls.solve(prob, nls.NewtonRaphson(
+            linsolve=nls.LinearSolver(method="gmres", restart=30,
+                                      krylov_maxiter=600)),
+            abstol=1e-10, maxiters=50)
+        assert bool(sol.success)
+        resid = np.abs(A @ np.asarray(sol.u)
+                       + 0.1 * np.asarray(sol.u) ** 3 - np.asarray(b)).max()
+        assert resid <= 1e-8
