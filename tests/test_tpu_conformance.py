@@ -143,3 +143,40 @@ def test_refinement_certifies_root_on_chip():
     # and the refinement must have moved the iterate (fast root is only
     # f32-noise-floor accurate)
     assert defect < 0.01 * float(jnp.max(jnp.abs(sol.resid)))
+
+
+def test_staged_csr_matvec_newton_on_chip():
+    """Concrete-sparse Newton-GMRES on the REAL chip through the staged
+    Pallas matvec (as_matvec -> CSR.matvec_fn): an assembled banded
+    Jacobian drives the Krylov loop without per-iteration repacking."""
+    import numpy as np
+    import scipy.sparse as sp
+    from nonlinearsolve_tpu.ops.sparse import CSR
+
+    rng = np.random.default_rng(2)
+    Ng = 64
+    n = Ng * Ng
+    d = np.ones(n)
+    A = sp.diags([d * 4, -d[:-1], -d[:-1], -d[:-Ng], -d[:-Ng]],
+                 [0, 1, -1, Ng, -Ng], format="csr")
+    A.data = A.data * (1 + 0.05 * rng.standard_normal(A.nnz))
+    csr = CSR(jnp.asarray(A.data, jnp.float32),
+              np.asarray(A.indices, np.int32),
+              np.asarray(A.indptr, np.int32), (n, n))
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    mv = csr.matvec_fn()               # staged Pallas closure on TPU
+
+    prob = nls.NonlinearProblem(
+        nls.NonlinearFunction(
+            f=lambda u, p: mv(u) + 0.1 * u ** 3 - b,
+            jvp=lambda v, u, p: mv(v) + 0.3 * u ** 2 * v),
+        jnp.zeros(n, jnp.float32))
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=30,
+                                  krylov_maxiter=600)),
+        abstol=1e-4, maxiters=50)
+    assert bool(sol.success)
+    resid = np.abs(A @ np.asarray(sol.u, np.float64)
+                   + 0.1 * np.asarray(sol.u, np.float64) ** 3
+                   - np.asarray(b, np.float64)).max()
+    assert resid < 1e-3
