@@ -258,7 +258,45 @@ def _init_rules():
 _init_rules()
 
 
-def _eval_jaxpr_df(jaxpr, consts, *args):
+def first_order_rules() -> Dict:
+    """Optional rule overlay for transcendentals with FIRST-ORDER lo
+    propagation: ``hi = f(x.hi), lo = f'(x.hi)·x.lo``.
+
+    The transcendental TERM is then only f32-accurate (~eps·|f| — the
+    rounding of ``f(x.hi)`` itself is not captured), while the rest of the
+    residual keeps double-word accuracy.  Right when the f32 stall comes
+    from scaling/cancellation elsewhere (the usual PDE case); wrong when
+    the defect floor must beat eps of the transcendental term itself.
+    Pass as ``df_eval(fn, ..., rules=first_order_rules())`` or
+    ``auto_refine(..., first_order_transcendentals=True)``."""
+    from jax import lax
+
+    def mk(f, dfdx):
+        def rule(eqn, x):
+            x = _as_df(x)
+            h = f(x.hi)
+            return DF(h, dfdx(x.hi, h) * x.lo)
+        return rule
+
+    return {
+        lax.exp_p: mk(jnp.exp, lambda x, h: h),
+        lax.log_p: mk(jnp.log, lambda x, h: 1.0 / x),
+        lax.sin_p: mk(jnp.sin, lambda x, h: jnp.cos(x)),
+        lax.cos_p: mk(jnp.cos, lambda x, h: -jnp.sin(x)),
+        lax.tan_p: mk(jnp.tan, lambda x, h: 1.0 + h * h),
+        lax.tanh_p: mk(jnp.tanh, lambda x, h: 1.0 - h * h),
+        lax.sinh_p: mk(jnp.sinh, lambda x, h: jnp.cosh(x)),
+        lax.cosh_p: mk(jnp.cosh, lambda x, h: jnp.sinh(x)),
+        lax.exp2_p: mk(jnp.exp2, lambda x, h: h * np.log(2.0)),
+        lax.expm1_p: mk(jnp.expm1, lambda x, h: h + 1.0),
+        lax.log1p_p: mk(jnp.log1p, lambda x, h: 1.0 / (1.0 + x)),
+        lax.rsqrt_p: mk(jax.lax.rsqrt,
+                        lambda x, h: -0.5 * h / x),
+        lax.logistic_p: mk(jax.nn.sigmoid, lambda x, h: h * (1.0 - h)),
+    }
+
+
+def _eval_jaxpr_df(jaxpr, consts, *args, rules=None):
     env: dict = {}
 
     def read(v):
@@ -283,12 +321,17 @@ def _eval_jaxpr_df(jaxpr, consts, *args):
         if prim.name in ("pjit", "jit", "closed_call", "core_call",
                          "xla_call"):
             sub = eqn.params["jaxpr"]
-            outs = _eval_jaxpr_df(sub.jaxpr, sub.consts, *in_vals)
+            outs = _eval_jaxpr_df(sub.jaxpr, sub.consts, *in_vals,
+                                  rules=rules)
         elif prim.name in ("custom_jvp_call", "custom_vjp_call",
                            "custom_jvp_call_jaxpr"):
             sub = (eqn.params.get("call_jaxpr")
                    or eqn.params.get("fun_jaxpr"))
-            outs = _eval_jaxpr_df(sub.jaxpr, sub.consts, *in_vals)
+            outs = _eval_jaxpr_df(sub.jaxpr, sub.consts, *in_vals,
+                                  rules=rules)
+        elif rules is not None and prim in rules:
+            out = rules[prim](eqn, *in_vals)
+            outs = out if prim.multiple_results else [out]
         elif prim in _DF_RULES:
             out = _DF_RULES[prim](eqn, *in_vals)
             outs = out if prim.multiple_results else [out]
@@ -304,13 +347,15 @@ def _eval_jaxpr_df(jaxpr, consts, *args):
     return [read(v) for v in jaxpr.outvars]
 
 
-def df_eval(fn: Callable, *args):
+def df_eval(fn: Callable, *args, rules: Dict = None):
     """Evaluate ``fn(*values)`` in double-f32.
 
     Each argument is either a ``DF`` pair, a plain array (treated as
     exact, lo = 0), or a non-float pytree leaf.  Pytrees are supported:
     structure is taken from the ``hi`` side.  Returns the output with
-    every float leaf as a ``DF`` pair.
+    every float leaf as a ``DF`` pair.  ``rules`` is an optional
+    per-call rule overlay consulted before the built-in table (e.g.
+    :func:`first_order_rules`).
     """
     flat_args = []
     hi_args = []
@@ -334,7 +379,8 @@ def df_eval(fn: Callable, *args):
         return fn(*rebuilt)
 
     closed = jax.make_jaxpr(flat_fn)(*hi_args)
-    out_flat = _eval_jaxpr_df(closed.jaxpr, closed.consts, *flat_args)
+    out_flat = _eval_jaxpr_df(closed.jaxpr, closed.consts, *flat_args,
+                              rules=rules)
     out_tree = jax.tree_util.tree_structure(
         jax.eval_shape(flat_fn, *hi_args))
     return jax.tree_util.tree_unflatten(out_tree, out_flat)

@@ -82,7 +82,8 @@ def refine_root(u0,
 def auto_refine(prob, u, *, p64=None, rounds: int = 3,
                 inner_rtol: float = 1e-2, restart: int = 16,
                 krylov_maxiter: int = 100,
-                precond_fn: Optional[Callable] = None) -> RefineResult:
+                precond_fn: Optional[Callable] = None,
+                first_order_transcendentals: bool = False) -> RefineResult:
     """One-call refinement for a NonlinearProblem: the double-f32 defect is
     produced AUTOMATICALLY by re-evaluating the problem's residual through
     the jaxpr interpreter (ops/doublef32_eval.py) — no hand-written
@@ -99,14 +100,16 @@ def auto_refine(prob, u, *, p64=None, rounds: int = 3,
         :func:`refine_root`.
 
     Transcendental residuals raise NotImplementedError from the evaluator
-    with guidance (register a rule or hand-write the defect and call
-    :func:`refine_root` directly).
+    with guidance; ``first_order_transcendentals=True`` opts into the
+    first-order rules (exp/log/sin/… terms become f32-accurate while the
+    rest of the defect stays double-word — see
+    ops.doublef32_eval.first_order_rules for when that is enough).
     """
     import numpy as np
 
     from ..core.problems import NonlinearFunction
     from ..ops.doublef32 import df_from_f64
-    from ..ops.doublef32_eval import df_eval
+    from ..ops.doublef32_eval import df_eval, first_order_rules
 
     nf = prob.f if isinstance(prob.f, NonlinearFunction) \
         else NonlinearFunction(f=prob.f)
@@ -124,10 +127,12 @@ def auto_refine(prob, u, *, p64=None, rounds: int = 3,
     else:
         p_df = None
 
+    rules = first_order_rules() if first_order_transcendentals else None
+
     def residual_df(uh, ul):
         args = (DF(uh, ul),) if p_df is None else (DF(uh, ul), p_df)
         fn = (lambda uu: raw_f(uu, None)) if p_df is None else raw_f
-        out = df_eval(fn, *args)
+        out = df_eval(fn, *args, rules=rules)
         return out.hi, out.lo
 
     p_for_jvp = prob.p

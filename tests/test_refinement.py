@@ -370,3 +370,27 @@ class TestAutoRefine:
         d_after = float(res.defect_norm)
         assert d_after < 1e-8
         assert d_after < d_before
+
+    def test_first_order_transcendentals(self):
+        """Opt-in exp/log/sin rules: the transcendental TERM stays
+        f32-grade while the scaled terms reach double-word — enough when
+        the f32 stall came from scaling (measured 0.023 -> 6.4e-7 here)."""
+        rng = np.random.default_rng(0)
+        n = 32
+        b32 = jnp.asarray(rng.uniform(1.0, 3.0, n) * 1e5, jnp.float32)
+        prob = nls.NonlinearProblem(
+            lambda u, p: jnp.exp(u) + 1e5 * u - b32,
+            jnp.zeros(n, jnp.float32))
+        sol = nls.solve(prob, nls.NewtonRaphson(), abstol=1e-1)
+        assert bool(sol.success)
+        res = nls.auto_refine(prob, sol.u, rounds=3,
+                              first_order_transcendentals=True)
+        u_ref = dfm.df_value_f64(res.u)
+        b64 = np.asarray(b32, np.float64)
+        before = np.abs(np.exp(np.asarray(sol.u, np.float64))
+                        + 1e5 * np.asarray(sol.u, np.float64) - b64).max()
+        after = np.abs(np.exp(u_ref) + 1e5 * u_ref - b64).max()
+        assert after < 1e-5 and after < before / 100
+        # without the opt-in the evaluator still raises with guidance
+        with pytest.raises(NotImplementedError, match="register a rule"):
+            nls.auto_refine(prob, sol.u, rounds=1)
