@@ -212,7 +212,16 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
             matvec = lambda v: rmv(J, mv(J, v))
             b = rmv(J, fu)
         else:
-            matvec = as_matvec(J) if not is_operator else J
+            if is_operator:
+                matvec = J
+            elif isinstance(J, CSR):
+                # staged closure: the Pallas packing runs once per Newton
+                # step here, not inside every Krylov iteration (this path
+                # is forward-only — the while_loop body is never
+                # differentiated; AD rides the IFT rule at solve level)
+                matvec = J.matvec_fn()
+            else:
+                matvec = as_matvec(J)
             b = fu
         import numpy as np
         rtol = (krylov_rtol if krylov_rtol is not None

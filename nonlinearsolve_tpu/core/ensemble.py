@@ -87,6 +87,12 @@ def solve_ensemble(prob, alg=None, *, u0s=None, ps=None, mesh=None,
     """
     from .solve import solve_nonlinear, _default_algorithm
 
+    if kwargs.pop("maxtime", None) is not None:
+        raise NotImplementedError(
+            "maxtime is not supported for ensemble solves: the budget is "
+            "enforced by host-clock chunked advances, which cannot run "
+            "inside vmap.  Batch with maxtime by looping nls.solve(..., "
+            "maxtime=...) per trajectory instead.")
     if u0s is None and ps is None:
         raise ValueError("solve_ensemble needs u0s and/or ps batches")
     if alg is None:

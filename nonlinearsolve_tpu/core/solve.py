@@ -147,6 +147,9 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
         from ..solvers.homotopy import solve_homotopy
         return solve_homotopy(prob, alg, **merged)
     if isinstance(prob, SCCNonlinearProblem):
+        # maxtime is a per-block budget here (the reference forwards solve
+        # kwargs to each block's solve); solve_scc routes blocks carrying
+        # it back through this front door.
         from ..solvers.scc import solve_scc
         return solve_scc(prob, alg, **merged)
 

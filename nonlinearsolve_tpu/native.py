@@ -272,16 +272,7 @@ class SpLuFactor:
         an exact zero (rc -2).  Returns 0 on success, -2 on singularity."""
         data = np.ascontiguousarray(data, np.float64)
         with self._lock:
-            if self._handle is not None:
-                rc = int(self._lib.sp_lu_refactor(
-                    self._handle, _ptr(data, ctypes.c_double)))
-                if rc == 0:
-                    self.n_refactor += 1
-                    return 0
-                # degraded/singular under the frozen pivot order: re-pivot
-                self._lib.sp_lu_factor_free(self._handle)
-                self._handle = None
-            return self._create(data)
+            return self._factorize_locked(data)
 
     def solve(self, b):
         """x = A⁻¹ b with the current factors; None if unfactorized or
@@ -295,6 +286,35 @@ class SpLuFactor:
                 self._handle, _ptr(b, ctypes.c_double),
                 _ptr(x, ctypes.c_double)))
         return x if rc == 0 else None
+
+    def factorize_solve(self, data, b):
+        """Atomic factorize + solve under ONE lock acquisition: host
+        callbacks can run concurrently on XLA's thread pool, and separate
+        factorize()/solve() calls on a shared cached factor could
+        interleave two solves' values (solving with the other matrix's
+        factors).  Returns x or None."""
+        data = np.ascontiguousarray(data, np.float64)
+        b = np.ascontiguousarray(b, np.float64)
+        x = np.empty(self.n, np.float64)
+        with self._lock:
+            rc = self._factorize_locked(data)
+            if rc != 0 or self._handle is None:
+                return None
+            rc = int(self._lib.sp_lu_factor_solve(
+                self._handle, _ptr(b, ctypes.c_double),
+                _ptr(x, ctypes.c_double)))
+        return x if rc == 0 else None
+
+    def _factorize_locked(self, data) -> int:
+        if self._handle is not None:
+            rc = int(self._lib.sp_lu_refactor(
+                self._handle, _ptr(data, ctypes.c_double)))
+            if rc == 0:
+                self.n_refactor += 1
+                return 0
+            self._lib.sp_lu_factor_free(self._handle)
+            self._handle = None
+        return self._create(data)
 
     def close(self):
         with self._lock:

@@ -327,16 +327,19 @@ class _FactorCache:
     on LRU eviction."""
 
     def __init__(self, maxsize=32):
+        import threading
         from collections import OrderedDict
         self.maxsize = maxsize
         self._d = OrderedDict()
+        self._lock = threading.Lock()   # callbacks run on XLA's pool
 
     def get(self, A: CSR):
         key = (A.indptr.tobytes(), A.indices.tobytes(), A.shape[0])
-        fac = self._d.get(key)
-        if fac is not None:
-            self._d.move_to_end(key)
-            return fac
+        with self._lock:
+            fac = self._d.get(key)
+            if fac is not None:
+                self._d.move_to_end(key)
+                return fac
         plan = _amd_plan(A.indptr.tobytes(), A.indices.tobytes(), A.shape[0])
         if plan is None:
             return None
@@ -346,10 +349,14 @@ class _FactorCache:
                              perm=np.frombuffer(plan, np.int32))
         except RuntimeError:
             return None
-        self._d[key] = fac
-        if len(self._d) > self.maxsize:
-            _, old = self._d.popitem(last=False)
-            old.close()
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is not None:          # raced: keep the first one
+                return hit
+            self._d[key] = fac
+            if len(self._d) > self.maxsize:
+                _, old = self._d.popitem(last=False)
+                old.close()
         return fac
 
 
@@ -373,8 +380,11 @@ def _host_sparse_lu_solve(A: CSR, b):
     dtype = jnp.result_type(A.data.dtype, b.dtype)
 
     def cb(data, rhs):
-        rc = fac.factorize(np.asarray(data, np.float64))
-        x = fac.solve(np.asarray(rhs, np.float64)) if rc == 0 else None
+        # atomic factorize+solve: concurrent callbacks sharing this cached
+        # factor must not interleave (solving with the other call's
+        # factors would return a finite-but-wrong x)
+        x = fac.factorize_solve(np.asarray(data, np.float64),
+                                np.asarray(rhs, np.float64))
         ok = x is not None and bool(np.all(np.isfinite(x)))
         if not ok:
             x = np.full(n, np.nan)
@@ -390,12 +400,12 @@ def _host_sparse_lu_solve(A: CSR, b):
 
 def _iterative_sparse_solve(A: CSR, b):
     """On-device fallback for patterns too large for the host LU round
-    trip: Jacobi-preconditioned BiCGStab over the assembled CSR matvec
-    (which dispatches to the Pallas gather kernel on TPU)."""
+    trip: Jacobi-preconditioned BiCGStab over the STAGED assembled matvec
+    (packing hoisted out of the iteration loop; Pallas kernel on TPU)."""
     from .krylov import bicgstab
     d = A.diagonal()
     dinv = jnp.where(jnp.abs(d) > 0, 1.0 / d, jnp.ones_like(d))
-    res = bicgstab(A.matvec, b, maxiter=min(4 * A.shape[0], 1000),
+    res = bicgstab(A.matvec_fn(), b, maxiter=min(4 * A.shape[0], 20_000),
                    rtol=1e-8, M=lambda x: dinv * x)
     return res.x, res.success
 
@@ -428,8 +438,21 @@ def solve_sparse_direct(A, b):
         if A.shape[0] > _HOST_LU_MAX_N:
             # Host round-trip economics lose at this scale (ADVICE r2):
             # stay on-device with preconditioned Krylov over the
-            # assembled-operator matvec.
-            return _iterative_sparse_solve(A, b)
+            # assembled-operator matvec — but keep the exact host LU as
+            # the safety net: an ill-conditioned system that stalls the
+            # Jacobi-BiCGStab sweep must not turn a previously-exact
+            # solve into a Newton failure.  lax.cond executes the
+            # callback branch only when taken.
+            x_it, ok_it = _iterative_sparse_solve(A, b)
+            if _FACTORS.get(A) is None:        # native lib unavailable
+                return x_it, ok_it
+            def _keep(_):
+                return x_it, ok_it
+
+            def _exact(_):
+                return _host_sparse_lu_solve(A, b)
+
+            return jax.lax.cond(ok_it, _keep, _exact, operand=None)
         out = _host_sparse_lu_solve(A, b)
         if out is not None:
             return out

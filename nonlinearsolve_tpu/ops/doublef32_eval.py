@@ -378,9 +378,8 @@ def df_eval(fn: Callable, *args, rules: Dict = None):
             i += nleaves
         return fn(*rebuilt)
 
-    closed = jax.make_jaxpr(flat_fn)(*hi_args)
+    closed, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(*hi_args)
     out_flat = _eval_jaxpr_df(closed.jaxpr, closed.consts, *flat_args,
                               rules=rules)
-    out_tree = jax.tree_util.tree_structure(
-        jax.eval_shape(flat_fn, *hi_args))
+    out_tree = jax.tree_util.tree_structure(out_shape)
     return jax.tree_util.tree_unflatten(out_tree, out_flat)

@@ -122,12 +122,11 @@ def VecJacOperator(f_flat: Callable, u=None, *, analytic_vjp=None
 def as_matvec(A) -> Callable:
     """Normalize a matrix / sparse container / operator to ``v -> A@v``.
 
-    CSR takes the STAGED closure (packing hoisted out of the Krylov
-    loop — CSR.matvec_fn); this is the repeated-application path."""
+    AD-safe (CSR routes through the custom-vjp matvec).  For repeated
+    forward-only application (Krylov loops) prefer ``A.matvec_fn()`` —
+    the staged closure that hoists the Pallas packing out of the loop."""
     from .sparse import CSR, DIA, ELL
-    if isinstance(A, CSR):
-        return A.matvec_fn()
-    if isinstance(A, (DIA, ELL)):
+    if isinstance(A, (CSR, DIA, ELL)):
         return A.matvec
     if callable(A) and not isinstance(A, jnp.ndarray):
         return A

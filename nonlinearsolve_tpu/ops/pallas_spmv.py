@@ -222,14 +222,21 @@ class EllPlan:
 _PLAN_CACHE: dict = {}
 
 
+def pattern_key(indptr, indices, *extra) -> tuple:
+    """Cache key for a static sparsity pattern: sha1 over (indptr,
+    indices) plus any extra static scalars.  The ONE keying idiom for
+    every pattern-keyed cache (plans, reorders, shard plans)."""
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(indptr, np.int64)))
+    h.update(np.ascontiguousarray(np.asarray(indices, np.int64)))
+    return (h.hexdigest(),) + tuple(int(e) for e in extra)
+
+
 def ell_plan_for(indptr, indices, n_rows, n_cols) -> EllPlan:
     """Build (or fetch) the gather plan for a pattern, keyed by a
     fingerprint of the symbolic structure, so repeated solves and data
     refreshes reuse the host work and the jit cache."""
-    h = hashlib.sha1()
-    h.update(np.ascontiguousarray(np.asarray(indptr, np.int64)))
-    h.update(np.ascontiguousarray(np.asarray(indices, np.int64)))
-    key = (h.hexdigest(), int(n_rows), int(n_cols))
+    key = pattern_key(indptr, indices, n_rows, n_cols)
     plan = _PLAN_CACHE.get(key)
     if plan is None:
         plan = EllPlan(indptr, indices, int(n_rows), int(n_cols))
@@ -445,10 +452,7 @@ def _plan_maybe_reordered(indptr, indices, n_rows, n_cols):
     stencils: a handful of wrap rows span the whole matrix raw, but are
     banded after RCM — bandwidth-reduction is exactly the fill/window
     medicine, same as the banded direct tier).  Host, cached by pattern."""
-    h = hashlib.sha1()
-    h.update(np.ascontiguousarray(np.asarray(indptr, np.int64)))
-    h.update(np.ascontiguousarray(np.asarray(indices, np.int64)))
-    key = (h.hexdigest(), int(n_rows), int(n_cols))
+    key = pattern_key(indptr, indices, n_rows, n_cols)
     hit = _REORDER_CACHE.get(key)
     if hit is not None:
         return hit

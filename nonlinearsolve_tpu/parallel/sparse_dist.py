@@ -68,11 +68,8 @@ _PLAN_CACHE: dict = {}
 
 def build_sharded_csr_plan(indptr, indices, n, n_shards) -> ShardedCsrPlan:
     """Plan the row partition + halo strategy + per-shard ELL layouts."""
-    import hashlib
-    h = hashlib.sha1()
-    h.update(np.ascontiguousarray(np.asarray(indptr, np.int64)))
-    h.update(np.ascontiguousarray(np.asarray(indices, np.int64)))
-    key = (h.hexdigest(), int(n), int(n_shards))
+    from ..ops.pallas_spmv import pattern_key
+    key = pattern_key(indptr, indices, n, n_shards)
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit

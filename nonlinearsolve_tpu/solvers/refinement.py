@@ -40,6 +40,26 @@ class RefineResult(NamedTuple):
     rounds: int
 
 
+def _stage_precond(precond_fn, u, fu):
+    """Same contract as the Krylov descent (core/descent.py): a factory
+    ``u -> (v -> M⁻¹v)`` (optionally ``wants_residual``: ``(u, fu) ->``),
+    or a plain ``v -> M⁻¹v`` applier."""
+    if precond_fn is None:
+        return None
+    if getattr(precond_fn, "wants_residual", False):
+        M = precond_fn(u, fu)
+        if not callable(M):
+            raise TypeError(
+                "a wants_residual preconditioner factory must return a "
+                f"v -> M⁻¹v callable; got {type(M).__name__}")
+        return M
+    M = precond_fn(u)
+    if not callable(M):
+        # plain applier: calling it with u returned an array
+        return precond_fn
+    return M
+
+
 def refine_root(u0,
                 residual_df: Callable,
                 jvp_at: Callable,
@@ -71,8 +91,9 @@ def refine_root(u0,
         f_hi, f_lo = residual_df(u.hi, u.lo)
         d = f_hi + f_lo                       # rounding adds only eps·|d|
         mv = jvp_at(u.hi)
+        M = _stage_precond(precond_fn, u.hi, d)
         res = gmres(mv, -d, restart=restart, maxiter=krylov_maxiter,
-                    rtol=inner_rtol, M=precond_fn)
+                    rtol=inner_rtol, M=M)
         u = df_add_f(u, res.x)
     f_hi, f_lo = residual_df(u.hi, u.lo)      # final certified defect
     defect = jnp.max(jnp.abs(f_hi + f_lo))

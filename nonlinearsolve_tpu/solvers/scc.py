@@ -62,6 +62,11 @@ def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
         store_original = alg.store_original
         alg = alg.nlalg
 
+    # maxtime applies PER BLOCK (the reference forwards solve kwargs to
+    # each block's CommonSolve.solve); blocks carrying it go through the
+    # front door, which owns the chunked-advance budget machinery.
+    maxtime = kwargs.pop("maxtime", None)
+
     sols = []
     us = []
     resids = []
@@ -106,7 +111,12 @@ def solve_scc(prob: SCCNonlinearProblem, alg=None, **kwargs
                 if p_block is not getattr(block, "p", None) else block
             block_alg = alg if alg is not None \
                 else _default_algorithm(block_prob)
-            sol = solve_nonlinear(block_prob, block_alg, **kwargs)
+            if maxtime is not None:
+                from ..core.solve import solve
+                sol = solve(block_prob, block_alg, maxtime=maxtime,
+                            **kwargs)
+            else:
+                sol = solve_nonlinear(block_prob, block_alg, **kwargs)
 
         sols.append(sol)
         us.append(jnp.ravel(jnp.asarray(sol.u)))

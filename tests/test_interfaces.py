@@ -601,3 +601,24 @@ def test_homotopy_cache_iteration_messages():
         cache.step()
     with pytest.raises(NotImplementedError, match="whole-solve"):
         iter(cache)
+
+
+def test_scc_and_ensemble_maxtime_paths():
+    """Regression (r3 review): solve(scc_prob, ..., maxtime=...) must not
+    raise — the budget applies per block through the front door; ensemble
+    + maxtime raises a CLEAR NotImplementedError (not a kwargs typo
+    message)."""
+    probs = (
+        nls.NonlinearProblem(lambda u, p: u ** 2 - p, jnp.array([1.0]), 4.0),
+        nls.NonlinearProblem(lambda u, p: u - p, jnp.array([0.0]), 3.0),
+    )
+    scc = nls.SCCNonlinearProblem(probs=probs)
+    sol = nls.solve(scc, nls.NewtonRaphson(), maxtime=30.0, abstol=1e-10)
+    assert bool(nls.ReturnCode.successful(sol.retcode))
+    np.testing.assert_allclose(np.asarray(sol.u), [2.0, 3.0], atol=1e-8)
+
+    with pytest.raises(NotImplementedError, match="ensemble"):
+        nls.solve_ensemble(
+            nls.NonlinearProblem(lambda u, p: u ** 2 - p,
+                                 jnp.array([1.0]), 2.0),
+            nls.NewtonRaphson(), u0s=jnp.ones((3, 1)), maxtime=1.0)
