@@ -610,3 +610,25 @@ def test_hybrid_residual_gated_preconditioner():
     sol = nls.solve(prob, alg, abstol=1e-8, maxiters=40)
     assert bool(sol.success)
     assert float(jnp.max(jnp.abs(sol.resid))) < 1e-8
+
+
+def test_concrete_csr_jacobian_gmres_staged_path():
+    """concrete_jac + sparse AD + GMRES: descent routes the CSR Jacobian
+    through the STAGED matvec closure (r3) — packing once per Newton
+    step, outside the Krylov loop — and converges."""
+    rng = np.random.default_rng(3)
+    n = 96
+    b = jnp.asarray(rng.standard_normal(n))
+
+    def f(u, p):
+        w = jnp.roll(u, 1) + jnp.roll(u, -1)
+        return 4.0 * u - 0.3 * w + 0.1 * u ** 3 - b
+
+    prob = nls.NonlinearProblem(f, jnp.zeros(n))
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        autodiff=nls.JacobianPolicy(mode="sparse"), concrete_jac=True,
+        linsolve=nls.LinearSolver(method="gmres", restart=30,
+                                  krylov_maxiter=400)),
+        abstol=1e-10)
+    assert bool(sol.success)
+    assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
