@@ -13,10 +13,14 @@ data movement (reshape/broadcast/transpose/slice/concatenate/rev/gather/
 squeeze/pad/select_n — both words move identically), compensated
 ``reduce_sum`` (pairwise double-word folding along the reduced axes),
 ``sqrt`` (Newton-corrected to double-word), comparisons (on the double-word
-value), and recursion through pjit/custom_jvp/custom_vjp call primitives.
-Transcendentals (exp/log/sin/…) and ``dot_general`` raise with guidance —
-register a custom rule via :func:`register_df_rule` (e.g. an
-Ozaki-split matmul) or write that term by hand with the doublef32 ops.
+value), recursion through pjit/custom_jvp/custom_vjp call primitives, and
+``dot_general`` (single contraction, unbatched: error-free products +
+compensated pairwise fold — genuinely double-word, with an expansion-size
+guard for shapes where O(m·n·k) intermediates would blow up).
+Transcendentals (exp/log/sin/…) raise with guidance — opt into
+:func:`first_order_rules` (f32-grade for those terms), register a custom
+rule via :func:`register_df_rule`, or write that term by hand with the
+doublef32 ops.
 
 Non-float values (ints, bools, index arrays) pass through untouched.
 """
@@ -256,6 +260,54 @@ def _init_rules():
 
 
 _init_rules()
+
+
+def _dot_general_rule(eqn, a, b):
+    """Double-word dot_general via FULL expansion: elementwise error-free
+    products then a compensated pairwise fold over the contraction axis.
+
+    Exact-per-product (two_prod) + double-word accumulation — genuinely
+    ~48-bit, unlike a split-matmul approximation whose f32 ACCUMULATION
+    error (eps·√k·|A||x|) would floor an iterative-refinement defect at
+    plain f32.  Cost: O(batch · m · n · k) DF intermediates — right for
+    the dense-Jacobian NLLS scales this serves; raise for shapes where
+    that blows up (use a hand-written term or a custom rule instead)."""
+    ((lc, rc), (lb, rb)) = eqn.params["dimension_numbers"]
+    a = _as_df(a)
+    b = _as_df(b)
+    if len(lc) != 1 or len(rc) != 1 or lb or rb:
+        raise NotImplementedError(
+            "df_eval: dot_general rule covers single-contraction,"
+            " unbatched contractions only; register a custom rule for"
+            f" dims {eqn.params['dimension_numbers']}")
+    la, ra = int(lc[0]), int(rc[0])
+    # move contraction axes last / first
+    ahi = jnp.moveaxis(a.hi, la, -1)
+    alo = jnp.moveaxis(a.lo, la, -1)
+    bhi = jnp.moveaxis(b.hi, ra, 0)
+    blo = jnp.moveaxis(b.lo, ra, 0)
+    k = ahi.shape[-1]
+    if ahi.size // max(k, 1) * bhi.size > 50_000_000:
+        raise NotImplementedError(
+            "df_eval: dot_general expansion would materialize "
+            f"{ahi.size // max(k, 1) * bhi.size} DF products; "
+            "hand-write this term with ops.doublef32 primitives")
+    # a: (..., k) ; b: (k, ...) → products (..., k, ...b_rest)
+    a_shape = ahi.shape[:-1]
+    b_rest = bhi.shape[1:]
+    ah = ahi.reshape(a_shape + (k,) + (1,) * len(b_rest))
+    al = alo.reshape(a_shape + (k,) + (1,) * len(b_rest))
+    bh = bhi.reshape((1,) * len(a_shape) + (k,) + b_rest)
+    bl = blo.reshape((1,) * len(a_shape) + (k,) + b_rest)
+    prod = df_mul(DF(jnp.broadcast_to(ah, a_shape + (k,) + b_rest),
+                     jnp.broadcast_to(al, a_shape + (k,) + b_rest)),
+                  DF(jnp.broadcast_to(bh, a_shape + (k,) + b_rest),
+                     jnp.broadcast_to(bl, a_shape + (k,) + b_rest)))
+    out = _df_sum_along(prod, (len(a_shape),))
+    return out
+
+
+register_df_rule(jax.lax.dot_general_p, _dot_general_rule)
 
 
 def first_order_rules() -> Dict:

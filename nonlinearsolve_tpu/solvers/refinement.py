@@ -64,6 +64,7 @@ def refine_root(u0,
                 residual_df: Callable,
                 jvp_at: Callable,
                 *,
+                vjp_at: Optional[Callable] = None,
                 rounds: int = 3,
                 inner_rtol: float = 1e-2,
                 restart: int = 16,
@@ -78,6 +79,13 @@ def refine_root(u0,
       jvp_at: ``u_hi -> (v -> J(u_hi) @ v)`` — the f32 Jacobian-vector
         product at a point (matrix-free; the Pallas stencil JVPs slot in
         directly).
+      vjp_at: optional ``u_hi -> (v -> J(u_hi)ᵀ @ v)``.  When given the
+        residual may be NON-SQUARE (least squares): corrections solve the
+        Gauss–Newton normal equations ``JᵀJ δ = -Jᵀ d`` via GMRES on the
+        lazy ``vjp∘jvp`` operator.  Zero-residual NLLS problems refine to
+        the double-word floor (``Jᵀd`` loses only eps·|J|·|d| with |d|→0);
+        for nonzero-residual problems the attainable stationarity floor is
+        eps·|J|·|F*| — f32-grade in the Jᵀ application, documented.
       rounds: refinement sweeps (static; unrolled under jit).  3 rounds
         take a 1e-3-grade f32 root below 1e-8 relative for inner_rtol=1e-2.
       inner_rtol/restart/krylov_maxiter/precond_fn: the f32 GMRES
@@ -90,9 +98,16 @@ def refine_root(u0,
     for _ in range(int(rounds)):
         f_hi, f_lo = residual_df(u.hi, u.lo)
         d = f_hi + f_lo                       # rounding adds only eps·|d|
-        mv = jvp_at(u.hi)
+        jv = jvp_at(u.hi)
+        if vjp_at is not None:                # least squares: JᵀJ δ = -Jᵀd
+            vj = vjp_at(u.hi)
+            mv = lambda v, jv=jv, vj=vj: vj(jv(v))
+            rhs = -vj(d)
+        else:
+            mv = jv
+            rhs = -d
         M = _stage_precond(precond_fn, u.hi, d)
-        res = gmres(mv, -d, restart=restart, maxiter=krylov_maxiter,
+        res = gmres(mv, rhs, restart=restart, maxiter=krylov_maxiter,
                     rtol=inner_rtol, M=M)
         u = df_add_f(u, res.x)
     f_hi, f_lo = residual_df(u.hi, u.lo)      # final certified defect
@@ -164,7 +179,15 @@ def auto_refine(prob, u, *, p64=None, rounds: int = 3,
         return lambda v: jax.jvp(
             lambda uu: raw_f(uu, p_for_jvp), (uh,), (v,))[1]
 
-    return refine_root(u, residual_df, jvp_at, rounds=rounds,
-                       inner_rtol=inner_rtol, restart=restart,
-                       krylov_maxiter=krylov_maxiter,
+    vjp_at = None
+    if getattr(prob, "is_least_squares", False):
+        def vjp_at(uh):                                  # noqa: F811
+            if nf.vjp is not None:
+                return lambda v: nf.vjp(v, uh, p_for_jvp)
+            _, pull = jax.vjp(lambda uu: raw_f(uu, p_for_jvp), uh)
+            return lambda v: pull(v)[0]
+
+    return refine_root(u, residual_df, jvp_at, vjp_at=vjp_at,
+                       rounds=rounds, inner_rtol=inner_rtol,
+                       restart=restart, krylov_maxiter=krylov_maxiter,
                        precond_fn=precond_fn)
