@@ -11,6 +11,7 @@ driver; CPU elsewhere).  float32 (TPU-native dtype).
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -325,8 +326,8 @@ def main():
             tmp = fh.name
         try:
             out = subprocess.run(
-                ["python", os.path.join(here, "tools", "golden_polish.py"),
-                 tmp],
+                [sys.executable,
+                 os.path.join(here, "tools", "golden_polish.py"), tmp],
                 capture_output=True, text=True, timeout=1200, cwd=here)
             for line in out.stdout.splitlines():
                 line = line.strip()

@@ -104,6 +104,17 @@ def solve(prob, alg=None, **kwargs) -> NonlinearSolution:
         prob = prob.to_nonlinear()
     merged = {**prob.kwargs, **kwargs}
     check_kwargs(merged)
+    # Ensemble-only kwargs are legal at this front door but meaningless for
+    # a plain problem: raise a clear requires-an-EnsembleProblem error
+    # instead of letting solve_nonlinear's redirect message claim the user
+    # should "call solve() instead" when they already did (ADVICE r3).
+    ens_only = {k: merged.pop(k) for k in ("trajectories", "mesh",
+                                           "batch_axis") if k in merged}
+    if ens_only:
+        raise TypeError(
+            f"keyword argument(s) {sorted(ens_only)} apply to ensemble "
+            f"solves only; wrap the problem in an EnsembleProblem to "
+            f"use them")
 
     from ..solvers.steady_state import DynamicSS, SSRootfind
     if isinstance(alg, SSRootfind):

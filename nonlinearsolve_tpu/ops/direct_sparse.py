@@ -405,8 +405,15 @@ def _iterative_sparse_solve(A: CSR, b):
     from .krylov import bicgstab
     d = A.diagonal()
     dinv = jnp.where(jnp.abs(d) > 0, 1.0 / d, jnp.ones_like(d))
-    res = bicgstab(A.matvec_fn(), b, maxiter=min(4 * A.shape[0], 20_000),
-                   rtol=1e-8, M=lambda x: dinv * x)
+    # rtol must respect the working-dtype residual floor: at f32 the
+    # attainable relative residual is ~eps_f32·κ-ish scale (≈6e-8·scale),
+    # so a fixed 1e-8 would burn the full iteration budget every Newton
+    # step on TPU before the host-LU fallback fires (ADVICE r3).
+    eps = jnp.finfo(jnp.result_type(A.data.dtype, b.dtype)).eps
+    rtol = max(1e-8, float(50.0 * eps))
+    maxiter = min(4 * A.shape[0], 20_000 if eps < 1e-10 else 2_000)
+    res = bicgstab(A.matvec_fn(), b, maxiter=maxiter,
+                   rtol=rtol, M=lambda x: dinv * x)
     return res.x, res.success
 
 

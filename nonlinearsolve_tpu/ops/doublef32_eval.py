@@ -123,7 +123,10 @@ def _df_sqrt(x: DF) -> DF:
     s = jnp.sqrt(x.hi)
     s2, s2e = two_prod(s, s)
     r = df_sub(x, DF(s2, s2e))
-    e = (r.hi + r.lo) / (2.0 * s)
+    # Guard the Newton correction at s == 0: 0/0 would NaN-poison the
+    # whole defect for sqrt of an exact zero (norms at coincident points),
+    # where plain evaluation correctly gives 0 (ADVICE r3).
+    e = jnp.where(s > 0, (r.hi + r.lo) / (2.0 * s), jnp.zeros_like(s))
     hi, lo = fast_two_sum(s, e)
     return DF(hi, lo)
 

@@ -79,14 +79,20 @@ class SimpleHalley:
 
 @static_config
 class SimpleTrustRegion:
+    """trust_region.jl:49-60.  ``nlsolve_update_rule=True`` switches to the
+    NLSolve.jl radius-update rule (trust_region.jl:77-96,190-196): different
+    defaults (shrink_threshold 0.05, expand_threshold 0.9, shrink_factor
+    0.5), initial radius ‖x₀‖ (or 1), and a step-length-based expansion
+    ``Δ = t₂·‖δ‖`` when r > η₃ / ``Δ = max(Δ, t₂·‖δ‖)`` when r > 0.5."""
     max_trust_radius: Optional[float] = None
     initial_trust_radius: Optional[float] = None
     step_threshold: float = 0.0001
-    shrink_threshold: float = 0.25
-    expand_threshold: float = 0.75
-    shrink_factor: float = 0.25
+    shrink_threshold: Optional[float] = None
+    expand_threshold: Optional[float] = None
+    shrink_factor: Optional[float] = None
     expand_factor: float = 2.0
     max_shrink_times: int = 32
+    nlsolve_update_rule: bool = False
     name: str = "SimpleTrustRegion"
     default_termination_callee = "simple"
 
@@ -291,14 +297,29 @@ def run_simple_dfsane(alg: SimpleDFSane, ctx, term_cfg, x0, abstol, reltol,
 
 def run_simple_trust_region(alg: SimpleTrustRegion, ctx, term_cfg, jac_fn, x0,
                             abstol, reltol, maxiters):
-    """Classic dogleg trust region with the Simple scheme's radius updates."""
+    """Classic dogleg trust region with the Simple scheme's radius updates;
+    ``nlsolve_update_rule`` selects the NLSolve.jl variant
+    (trust_region.jl:77-96,115-122,180-196)."""
+    nur = bool(alg.nlsolve_update_rule)
+    eta2 = (0.05 if nur else 0.25) if alg.shrink_threshold is None \
+        else alg.shrink_threshold
+    eta3 = (0.9 if nur else 0.75) if alg.expand_threshold is None \
+        else alg.expand_threshold
+    t1 = (0.5 if nur else 0.25) if alg.shrink_factor is None \
+        else alg.shrink_factor
+    t2 = alg.expand_factor
     fx0 = ctx.f_flat(x0)
     fnorm0 = l2_norm(fx0)
     mtr = (jnp.maximum(fnorm0, jnp.max(x0) - jnp.min(x0))
            if alg.max_trust_radius is None
            else jnp.asarray(alg.max_trust_radius, x0.dtype))
-    tr0 = (mtr / 11.0 if alg.initial_trust_radius is None
-           else jnp.asarray(alg.initial_trust_radius, x0.dtype))
+    if alg.initial_trust_radius is not None:
+        tr0 = jnp.asarray(alg.initial_trust_radius, x0.dtype)
+    elif nur:
+        norm_x0 = l2_norm(x0)
+        tr0 = jnp.where(norm_x0 > 0, norm_x0, jnp.ones((), x0.dtype))
+    else:
+        tr0 = mtr / 11.0
 
     def step(c):
         tr, shrink_counter = c.extra
@@ -331,14 +352,24 @@ def run_simple_trust_region(alg: SimpleTrustRegion, ctx, term_cfg, jac_fn, x0,
         pred = -(jnp.dot(g, dx) + 0.5 * jnp.dot(Jdx, Jdx))
         act = 0.5 * (l2_norm(c.fu) ** 2 - l2_norm(fx_cand) ** 2)
         rho = act / jnp.where(pred == 0, jnp.finfo(x0.dtype).eps, pred)
-        accept = rho > alg.step_threshold
+        accept = rho >= alg.step_threshold
         x = jnp.where(accept, x_cand, c.u)
         fx = jnp.where(accept, fx_cand, c.fu)
-        tr_new = jnp.where(
-            rho < alg.shrink_threshold, tr * alg.shrink_factor,
-            jnp.where(rho > alg.expand_threshold, tr * alg.expand_factor, tr))
-        tr_new = jnp.minimum(tr_new, mtr)
-        shrink_counter = jnp.where(rho < alg.shrink_threshold,
+        if nur:
+            # NLSolve.jl rule (trust_region.jl:190-196): shrink when
+            # r < η₂, else expand from the STEP LENGTH — Δ = t₂·‖δ‖ when
+            # r > η₃, Δ = max(Δ, t₂·‖δ‖) when r > 0.5 — no Δmax clamp.
+            dlen = l2_norm(dx)
+            tr_new = jnp.where(rho < eta2, tr * t1, tr)
+            tr_new = jnp.where(
+                rho > eta3, t2 * dlen,
+                jnp.where(rho > 0.5, jnp.maximum(tr_new, t2 * dlen), tr_new))
+        else:
+            tr_new = jnp.where(
+                rho < eta2, tr * t1,
+                jnp.where(rho > eta3, tr * t2, tr))
+            tr_new = jnp.minimum(tr_new, mtr)
+        shrink_counter = jnp.where(rho < eta2,
                                    shrink_counter + 1, jnp.int32(0))
         fail = (shrink_counter > alg.max_shrink_times) | ~ok
         return x, fx, (tr_new, shrink_counter), 1, 1, 1, fail

@@ -37,6 +37,13 @@ CASES = [
     ("TrustRegion-Yuan", nls.TrustRegion(radius_update_scheme="yuan"),
      {8, 11, 21}),
     ("LevenbergMarquardt", nls.LevenbergMarquardt(), {11, 21}),
+    # reference item5 rows 2-3: α_geodesic=0.1 and CholeskyFactorization,
+    # both broken {11,21} there — ours matches exactly.
+    ("LevenbergMarquardt-Geodesic01",
+     nls.LevenbergMarquardt(alpha_geodesic=0.1), {11, 21}),
+    ("LevenbergMarquardt-Cholesky",
+     nls.LevenbergMarquardt(linsolve=nls.LinearSolver(method="cholesky")),
+     {11, 21}),
     ("PseudoTransient", nls.PseudoTransient(alpha_initial=10.0), {1, 8, 11}),
     ("Broyden", nls.Broyden(), {1, 5, 6, 11, 18}),
     # reference item7 rows 2-4: true_jacobian broken {1,5,8,11,18} (ours
@@ -65,6 +72,12 @@ CASES = [
     ("SimpleDFSane", nls.SimpleDFSane(), {1, 2, 3, 5, 21}),
     ("SimpleHalley", nls.SimpleHalley(), {1}),
     ("SimpleTrustRegion", nls.SimpleTrustRegion(), {11, 21}),
+    # reference item4 row 8: SimpleTrustRegion(nlsolve_update_rule=Val(true))
+    # broken {15,16} there; ours passes those and fails only #21 (the
+    # usual fixture-rounding tail — cf. the Klement analysis,
+    # NOTES_ROUND2.md).
+    ("SimpleTrustRegion-NLsolve",
+     nls.SimpleTrustRegion(nlsolve_update_rule=True), {21}),
     ("SimpleLimitedMemoryBroyden", nls.SimpleLimitedMemoryBroyden(),
      {1, 6, 11, 18}),
     ("NewtonRaphson-BackTracking",

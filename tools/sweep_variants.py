@@ -24,6 +24,17 @@ from nonlinearsolve_tpu.models.problems23 import PROBLEMS_23
 EPS = 1e-4
 
 VARIANTS = [
+    # round 4 (VERDICT r3 next#6): the three missing reference alg_ops rows
+    ("SimpleTrustRegion-NLsolve",
+     lambda: nls.SimpleTrustRegion(nlsolve_update_rule=True)),
+    ("LevenbergMarquardt-Geodesic01",
+     lambda: nls.LevenbergMarquardt(alpha_geodesic=0.1)),
+    ("LevenbergMarquardt-Cholesky",
+     lambda: nls.LevenbergMarquardt(
+         linsolve=nls.LinearSolver(method="cholesky"))),
+]
+
+VARIANTS_R3 = [
     ("TrustRegion-Hei", lambda: nls.TrustRegion(radius_update_scheme="hei")),
     ("TrustRegion-Yuan", lambda: nls.TrustRegion(radius_update_scheme="yuan")),
     ("Broyden-TrueJac",
