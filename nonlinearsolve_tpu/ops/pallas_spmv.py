@@ -443,15 +443,47 @@ def ell_spmv_pallas(plan: EllPlan, csr_data, x, *, interpret=None):
 
 
 _REORDER_CACHE: dict = {}
+_RCM_PATTERN_CACHE: dict = {}
+
+
+def _rcm_pattern(indptr, indices, n_rows):
+    """RCM symmetric permutation of a square pattern: returns
+    (perm, pinv, dperm, new_indptr, new_indices) or None.  Host, cached —
+    shared by the resident and streamed tiers."""
+    key = pattern_key(indptr, indices, n_rows)
+    hit = _RCM_PATTERN_CACHE.get(key, False)
+    if hit is not False:
+        return hit
+    from ..native import rcm_ordering
+    out = None
+    perm = rcm_ordering(np.asarray(indptr, np.int32),
+                        np.asarray(indices, np.int32), n_rows)
+    if perm is not None:
+        perm = np.asarray(perm, np.int64)
+        pinv = np.empty(n_rows, np.int64)
+        pinv[perm] = np.arange(n_rows)
+        indptr64 = np.asarray(indptr, np.int64)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64),
+                            np.diff(indptr64))
+        new_row = pinv[row_ids]
+        new_col = pinv[np.asarray(indices, np.int64)]
+        dperm = np.lexsort((new_col, new_row))
+        new_indices = new_col[dperm]
+        new_indptr = np.concatenate(
+            [[0], np.cumsum(np.bincount(new_row, minlength=n_rows))])
+        out = (perm, pinv, dperm, new_indptr, new_indices)
+    _RCM_PATTERN_CACHE[key] = out
+    return out
 
 
 def _plan_maybe_reordered(indptr, indices, n_rows, n_cols):
-    """(plan, perm, pinv, dperm): the direct plan when it fits the
-    envelope (perm=None), else an RCM-reordered plan for square patterns
-    whose windows the symmetric permutation shrinks (e.g. PERIODIC
-    stencils: a handful of wrap rows span the whole matrix raw, but are
-    banded after RCM — bandwidth-reduction is exactly the fill/window
-    medicine, same as the banded direct tier).  Host, cached by pattern."""
+    """(plan, perm, pinv, dperm): the direct RESIDENT plan when it fits
+    the envelope (perm=None), else an RCM-reordered plan for square
+    patterns whose windows the symmetric permutation shrinks (e.g.
+    PERIODIC stencils: a handful of wrap rows span the whole matrix raw,
+    but are banded after RCM — bandwidth-reduction is exactly the
+    fill/window medicine, same as the banded direct tier).  Host, cached
+    by pattern."""
     key = pattern_key(indptr, indices, n_rows, n_cols)
     hit = _REORDER_CACHE.get(key)
     if hit is not None:
@@ -459,22 +491,9 @@ def _plan_maybe_reordered(indptr, indices, n_rows, n_cols):
     plan = ell_plan_for(indptr, indices, n_rows, n_cols)
     out = (plan, None, None, None)
     if not plan.supported and n_rows == n_cols:
-        from ..native import rcm_ordering
-        perm = rcm_ordering(np.asarray(indptr, np.int32),
-                            np.asarray(indices, np.int32), n_rows)
-        if perm is not None:
-            perm = np.asarray(perm, np.int64)
-            pinv = np.empty(n_rows, np.int64)
-            pinv[perm] = np.arange(n_rows)
-            indptr64 = np.asarray(indptr, np.int64)
-            row_ids = np.repeat(np.arange(n_rows, dtype=np.int64),
-                                np.diff(indptr64))
-            new_row = pinv[row_ids]
-            new_col = pinv[np.asarray(indices, np.int64)]
-            dperm = np.lexsort((new_col, new_row))
-            new_indices = new_col[dperm]
-            new_indptr = np.concatenate(
-                [[0], np.cumsum(np.bincount(new_row, minlength=n_rows))])
+        rcm = _rcm_pattern(indptr, indices, n_rows)
+        if rcm is not None:
+            perm, pinv, dperm, new_indptr, new_indices = rcm
             rplan = ell_plan_for(new_indptr, new_indices, n_rows, n_cols)
             if rplan.supported:
                 out = (rplan, perm, pinv, dperm)
@@ -482,28 +501,70 @@ def _plan_maybe_reordered(indptr, indices, n_rows, n_cols):
     return out
 
 
+_TIER_CACHE: dict = {}
+
+
+def select_spmv_plan(indptr, indices, n_rows, n_cols):
+    """Tiered plan selection: (tier, plan, perm, pinv, dperm).
+
+    tier 'resident': windowed-ELL kernel, x VMEM-resident (direct or
+    RCM-reordered); tier 'stream': column-streamed band-ELL kernel
+    (pallas_spmv_stream — no n_cols cap; direct or RCM-reordered); tier
+    None: no Pallas kernel applies (XLA segment_sum fallback).  Host,
+    cached by pattern fingerprint."""
+    key = pattern_key(indptr, indices, n_rows, n_cols)
+    hit = _TIER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    plan, perm, pinv, dperm = _plan_maybe_reordered(
+        indptr, indices, n_rows, n_cols)
+    if plan.supported:
+        out = ("resident", plan, perm, pinv, dperm)
+    else:
+        from .pallas_spmv_stream import band_plan_for
+        out = (None, None, None, None, None)
+        bplan = band_plan_for(indptr, indices, n_rows, n_cols)
+        if bplan.supported:
+            out = ("stream", bplan, None, None, None)
+        elif n_rows == n_cols:
+            rcm = _rcm_pattern(indptr, indices, n_rows)
+            if rcm is not None:
+                rperm, rpinv, rdperm, new_indptr, new_indices = rcm
+                rbplan = band_plan_for(new_indptr, new_indices,
+                                       n_rows, n_cols)
+                if rbplan.supported:
+                    out = ("stream", rbplan, rperm, rpinv, rdperm)
+    _TIER_CACHE[key] = out
+    return out
+
+
 def pallas_spmv_supported(csr) -> bool:
-    """Cheap host check: is the Pallas gather kernel applicable to this
-    CSR pattern — directly, or after a symmetric RCM reordering?
+    """Cheap host check: does ANY Pallas SpMV tier apply to this CSR
+    pattern — the resident windowed kernel, the streamed band kernel, in
+    either case directly or after a symmetric RCM reordering?
     (Builds/caches the plan — symbolic work only.)"""
     try:
-        plan, perm, _, _ = _plan_maybe_reordered(
+        tier, _, _, _, _ = select_spmv_plan(
             csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
     except Exception:  # noqa: BLE001 — malformed pattern: use XLA path
         return False
-    return plan.supported
+    return tier is not None
 
 
 def csr_spmv_pallas(csr, x, *, interpret=None):
-    """CSR matvec through the Pallas kernel (plan cached by pattern;
-    transparently RCM-reordered when that is what makes the pattern fit
-    the window envelope — y = P⁻¹ · K(P A Pᵀ) · P x)."""
-    plan, perm, pinv, dperm = _plan_maybe_reordered(
+    """CSR matvec through the best-fitting Pallas tier (plan cached by
+    pattern; transparently RCM-reordered when that is what makes the
+    pattern fit a kernel envelope — y = P⁻¹ · K(P A Pᵀ) · P x)."""
+    tier, plan, perm, pinv, dperm = select_spmv_plan(
         csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
+    if tier == "stream":
+        from .pallas_spmv_stream import band_spmv_pallas as _apply
+    else:
+        _apply = functools.partial(ell_spmv_pallas)
     if perm is None:
-        return ell_spmv_pallas(plan, csr.data, x, interpret=interpret)
-    y = ell_spmv_pallas(plan, jnp.take(csr.data, jnp.asarray(dperm)),
-                        jnp.take(x, jnp.asarray(perm)), interpret=interpret)
+        return _apply(plan, csr.data, x, interpret=interpret)
+    y = _apply(plan, jnp.take(csr.data, jnp.asarray(dperm)),
+               jnp.take(x, jnp.asarray(perm)), interpret=interpret)
     return jnp.take(y, jnp.asarray(pinv))
 
 
@@ -519,18 +580,27 @@ def csr_spmv_staged(csr, *, interpret=None):
     Forward-only (linear-solve internals); use ``csr_spmv_pallas`` where
     reverse-mode AD through the matvec is needed."""
     interpret = _use_interpret(interpret)
-    plan, perm, pinv, dperm = _plan_maybe_reordered(
+    tier, plan, perm, pinv, dperm = select_spmv_plan(
         csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
     data = csr.data if perm is None \
         else jnp.take(csr.data, jnp.asarray(dperm))
-    packed = plan.pack_data(data)
     perm_j = None if perm is None else jnp.asarray(perm)
     pinv_j = None if pinv is None else jnp.asarray(pinv)
 
+    if tier == "stream":
+        from .pallas_spmv_stream import band_spmv_staged
+        inner = band_spmv_staged(plan, data, interpret=interpret)
+    else:
+        packed = plan.pack_data(data)
+
+        def inner(x):
+            x2d = plan.pack_x(x)
+            return _ell_spmv_packed(plan, packed, x2d,
+                                    interpret)[:plan.n_rows]
+
     def mv(x):
         xx = x if perm_j is None else jnp.take(x, perm_j)
-        x2d = plan.pack_x(xx)
-        y = _ell_spmv_packed(plan, packed, x2d, interpret)[:plan.n_rows]
+        y = inner(xx)
         return y if pinv_j is None else jnp.take(y, pinv_j)
 
     return mv

@@ -66,17 +66,39 @@ def test_window_plan_is_tight_for_banded():
 
 
 def test_unsupported_patterns_fall_back():
-    # fully random at large n -> window spans everything -> unsupported
+    # fully random, dense-ish column coverage at n far beyond the
+    # resident window cap AND with no band structure (every offset class
+    # populated): no Pallas tier applies — not the resident windowed
+    # kernel, not the streamed band kernel (r4), not RCM'd variants.
     rng = np.random.default_rng(1)
-    n = ps.MAX_WINDOW_ROWS * ps.LANES * 2   # columns >> window cap
-    rows = np.arange(4)
-    cols = np.array([0, n - 1, n // 2, n // 3])
-    A = CSR.from_pattern(np.repeat(rows, 1), cols, (4, n))
+    n = ps.MAX_WINDOW_ROWS * ps.LANES * 2
+    w = 8
+    cols = rng.integers(0, n, size=(256, w))
+    cols.sort(axis=1)
+    rows = np.repeat(np.arange(256), w)
+    A = CSR.from_pattern(rows, cols.reshape(-1), (256, n))
     assert not ps.pallas_spmv_supported(A)
     # matvec still works via segment_sum (CPU backend here anyway)
     x = jnp.asarray(rng.standard_normal(n))
     y = A.matvec(x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(A.matvec_xla(x)))
+
+
+def test_sparse_long_range_rows_now_streamed():
+    # The r3 example of an unsupported pattern — a few rows touching
+    # columns across a huge range — is exactly what the streamed band
+    # tier (r4) covers: each distinct offset is its own band/window
+    # group.  Must be supported AND exact now.
+    rng = np.random.default_rng(1)
+    n = ps.MAX_WINDOW_ROWS * ps.LANES * 2
+    rows = np.arange(4)
+    cols = np.array([0, n - 1, n // 2, n // 3])
+    A = CSR.from_pattern(np.repeat(rows, 1), cols, (4, n))
+    assert ps.pallas_spmv_supported(A)
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(ps.csr_spmv_pallas(A, x, interpret=True)),
+        np.asarray(A.matvec_xla(x)), rtol=1e-12, atol=1e-12)
 
 
 def _scrambled_bratu_csr(N=32, seed=7):
