@@ -186,8 +186,11 @@ def main():
     # TPU — against the XLA segment_sum path on the same pattern.
     gen_nnz_per_s = float("nan")
     gen_speedup = float("nan")
+    gen_pct = float("nan")
     try:
         import scipy.sparse as sp
+        from nonlinearsolve_tpu.ops.pallas_spmv import (select_spmv_plan,
+                                                        spmv_roofline)
         from nonlinearsolve_tpu.ops.sparse import CSR
         Ng = 64
         ng = Ng * Ng
@@ -213,6 +216,8 @@ def main():
                 return jnp.sum(jnp.abs(out))
             return run
 
+        # 9 slope rounds (median): the r2->r3 1.89->1.42 drift was
+        # chip-load spread — more rounds tighten the median's window.
         Lg1, Lg2 = 20, 520
         times = {}
         for name, mv in (("pallas", csr_g.matvec), ("segsum", csr_g.matvec_xla)):
@@ -220,9 +225,13 @@ def main():
             float(c1(xg)); float(c2(xg))
             times[name] = max(slope_time(lambda: float(c1(xg)),
                                          lambda: float(c2(xg)),
-                                         span=Lg2 - Lg1, rounds=5), 1e-9)
+                                         span=Lg2 - Lg1, rounds=9), 1e-9)
         gen_nnz_per_s = Ag.nnz / times["pallas"]
         gen_speedup = times["segsum"] / times["pallas"]
+        gtier, gplan, _, _, _ = select_spmv_plan(
+            csr_g.indptr, csr_g.indices, ng, ng)
+        gen_pct = 100.0 * gen_nnz_per_s / spmv_roofline(
+            gtier, gplan, Ag.nnz)["bound"]
     except Exception:   # noqa: BLE001 — diagnostic row, never fatal
         pass
 
@@ -234,11 +243,15 @@ def main():
     # segment_sum crossover instead of asserting it.
     pde_nnz_per_s = float("nan")
     pde_path = "?"
+    pde_pct = float("nan")
     ooe_nnz_per_s = float("nan")
     ooe_path = "?"
+    pde3d_nnz_per_s = float("nan")
+    pde3d_path = "?"
+    pde3d_pct = float("nan")
     try:
         from nonlinearsolve_tpu.ops.pallas_spmv import (
-            _plan_maybe_reordered, pallas_spmv_supported)
+            pallas_spmv_supported, select_spmv_plan, spmv_roofline)
         from nonlinearsolve_tpu.ops.sparse import CSR
 
         def time_matvec(csr_m, label_rounds=5):
@@ -273,18 +286,44 @@ def main():
                                   jnp.float32),
                       np.asarray(patt.indices, np.int32),
                       np.asarray(patt.indptr, np.int32), (npde, npde))
-        if pallas_spmv_supported(csr_pde) \
-                and jax.default_backend() == "tpu":
-            planp, permp, _, _ = _plan_maybe_reordered(
-                csr_pde.indptr, csr_pde.indices, npde, npde)
-            pde_path = f"pallas-{planp.mode}" + \
-                ("+rcm" if permp is not None else "")
-        else:
-            pde_path = "segment_sum"
+        def tier_label(csr_m):
+            tier, plan, perm, _, _ = select_spmv_plan(
+                csr_m.indptr, csr_m.indices, *csr_m.shape)
+            if tier is None or jax.default_backend() != "tpu":
+                return "segment_sum", None, None
+            mode = getattr(plan, "mode", "band")
+            return (f"{tier}-{mode}" + ("+rcm" if perm is not None else ""),
+                    tier, plan)
+
+        pde_path, tierp, planp = tier_label(csr_pde)
         pde_nnz_per_s = time_matvec(csr_pde)
+        if planp is not None:
+            pde_pct = 100.0 * pde_nnz_per_s / spmv_roofline(
+                tierp, planp, len(csr_pde.indices))["bound"]
+
+        # 3D 7-point 128^3 assembled CSR (2.1M rows, 14.6M nnz): the
+        # VERDICT r3 "at-any-scale" acceptance shape — dispatches to the
+        # column-streamed band-ELL tier (pallas_spmv_stream).
+        n3 = int(os.environ.get("NLS_BENCH_N3D", "128"))
+        n3d = n3 ** 3
+        offs3 = [0, 1, -1, n3, -n3, n3 * n3, -n3 * n3]
+        import scipy.sparse as sp3
+        A3 = sp3.diags(
+            [rngp.standard_normal(n3d).astype(np.float32)]
+            + [rngp.standard_normal(n3d - abs(o)).astype(np.float32)
+               for o in offs3[1:]], offs3, format="csr")
+        csr_3d = CSR(jnp.asarray(A3.data, jnp.float32),
+                     np.asarray(A3.indices, np.int32),
+                     np.asarray(A3.indptr, np.int32), (n3d, n3d))
+        pde3d_path, tier3, plan3 = tier_label(csr_3d)
+        pde3d_nnz_per_s = time_matvec(csr_3d)
+        if plan3 is not None:
+            pde3d_pct = 100.0 * pde3d_nnz_per_s / spmv_roofline(
+                tier3, plan3, A3.nnz)["bound"]
 
         # out-of-envelope: random pattern, 16 nnz/row over 128k columns —
-        # no ordering makes that windowed
+        # no ordering makes that windowed OR banded; lands on segment_sum
+        # (the documented gather-issue-bound case, docs/tpu_tuning.md)
         nooe = 131072
         wooe = 16
         cols = rngp.integers(0, nooe, size=(nooe, wooe))
@@ -383,9 +422,14 @@ def main():
                 f"golden_refined={golden_refined:.2e} rel-inf "
                 f"(fast root {golden_match:.2e}) vs f64-CPU polish; "
                 f"general_spmv={gen_nnz_per_s / 1e9:.2f} Gnnz/s "
-                f"{gen_speedup:.1f}x vs segment_sum; "
+                f"{gen_speedup:.1f}x vs segment_sum "
+                f"{gen_pct:.0f}%-of-roofline; "
                 f"brusselator512_csr[{pde_path}]="
-                f"{pde_nnz_per_s / 1e9:.2f} Gnnz/s; "
+                f"{pde_nnz_per_s / 1e9:.2f} Gnnz/s "
+                f"{pde_pct:.0f}%; "
+                f"stencil3d_128[{pde3d_path}]="
+                f"{pde3d_nnz_per_s / 1e9:.2f} Gnnz/s "
+                f"{pde3d_pct:.0f}%; "
                 f"out_of_envelope[{ooe_path}]="
                 f"{ooe_nnz_per_s / 1e9:.2f} Gnnz/s)",
         "vs_baseline": vs_baseline,

@@ -504,36 +504,99 @@ def _plan_maybe_reordered(indptr, indices, n_rows, n_cols):
 _TIER_CACHE: dict = {}
 
 
+def spmv_tier_cost(tier, plan) -> float:
+    """Weighted vector-op count per 128-row group — the op-count model
+    that both ORDERS the Pallas SpMV tiers and anchors the roofline.
+
+    Per-visit weights reflect the Mosaic lowering: a lane gather is ~1
+    vector op but the sublane gather decomposes into ~8 per-row selects,
+    so a slot-mode tile visit costs ~12 ops (tile fetch + lane gather +
+    8-op sublane gather + mask + mac); group mode pays that per slot per
+    tile walked (+2 fetch); the streamed kernel's dual-block select adds
+    ~2 (14/visit).  Validated v5e: streamed 3D 7-point measures 15.8
+    Gnnz/s = 92% of this model's bound; resident-slot Brusselator 13 =
+    32%; resident-group scrambled 1.6 = 17% (masked-walk ILP, the
+    documented gather-issue gap — docs/tpu_tuning.md)."""
+    if tier == "resident":
+        G = plan.W // SUBLANES
+        if plan.mode == "slot":
+            return 12.0 * plan.w * G
+        return (12.0 * plan.w + 2.0) * G
+    if tier == "stream":
+        return 14.0 * sum(m * span for (_l, _h, m, _b, span, _g)
+                          in plan.bands)
+    return float("inf")
+
+
+# v5e single-chip model constants for the per-tier rooflines (VERDICT r3
+# next#2): HBM ~819 GB/s; VPU issue 4 ALUs x (8,128) lanes at ~940 MHz =
+# ~3.76e9 vector-ops/s ideal (gathers/selects cannot beat 1 vec-op/ALU-
+# cycle — the BOUND, not an attainable rate).
+HBM_BYTES_PER_S = 819e9
+VPU_VEC_OPS_PER_S = 4 * 940e6
+SEGSUM_MEASURED_NNZ_S = 0.065e9   # measured XLA gather+scatter path, v5e
+
+
+def spmv_roofline(tier, plan, nnz: int) -> dict:
+    """Model upper bound for a pattern on its selected tier (nnz/s).
+
+    gather bound: weighted vec-ops per 128-row group (spmv_tier_cost)
+    against the ideal VPU issue rate; hbm bound: 8 B/nnz streamed tables
+    plus ~3 auxiliary passes over the state vectors.  ``bound`` is their
+    min; report measured/bound as pct_of_roofline."""
+    if tier not in ("resident", "stream"):
+        return {"bound": SEGSUM_MEASURED_NNZ_S, "model": "segsum-measured"}
+    groups = max(plan.n_pad / LANES, 1.0)
+    nnz_g = nnz / groups
+    ops_g = max(spmv_tier_cost(tier, plan), 1e-9)
+    gather_bound = VPU_VEC_OPS_PER_S * nnz_g / ops_g
+    n_state = max(plan.n_rows, getattr(plan, "n_cols", plan.n_rows))
+    bytes_per_nnz = 8.0 + 12.0 * n_state / max(nnz, 1)
+    hbm_bound = HBM_BYTES_PER_S / bytes_per_nnz
+    bound = min(gather_bound, hbm_bound)
+    return {"bound": bound,
+            "model": ("gather-issue" if gather_bound <= hbm_bound
+                      else "hbm-stream"),
+            "gather_bound": gather_bound, "hbm_bound": hbm_bound}
+
+
 def select_spmv_plan(indptr, indices, n_rows, n_cols):
     """Tiered plan selection: (tier, plan, perm, pinv, dperm).
 
     tier 'resident': windowed-ELL kernel, x VMEM-resident (direct or
     RCM-reordered); tier 'stream': column-streamed band-ELL kernel
     (pallas_spmv_stream — no n_cols cap; direct or RCM-reordered); tier
-    None: no Pallas kernel applies (XLA segment_sum fallback).  Host,
-    cached by pattern fingerprint."""
+    None: no Pallas kernel applies (XLA segment_sum fallback).  When both
+    kernels fit, the op-count model decides — e.g. a 3D 7-point stencil
+    is resident-SUPPORTED at 128³ but its boundary-mixed slots force
+    W=136 masked walks, ~8× more tile visits than the streamed band
+    kernel's affine windows.  Host, cached by pattern fingerprint."""
     key = pattern_key(indptr, indices, n_rows, n_cols)
     hit = _TIER_CACHE.get(key)
     if hit is not None:
         return hit
+    from .pallas_spmv_stream import band_plan_for
     plan, perm, pinv, dperm = _plan_maybe_reordered(
         indptr, indices, n_rows, n_cols)
+    candidates = []
     if plan.supported:
-        out = ("resident", plan, perm, pinv, dperm)
+        candidates.append(("resident", plan, perm, pinv, dperm))
+    bplan = band_plan_for(indptr, indices, n_rows, n_cols)
+    if bplan.supported:
+        candidates.append(("stream", bplan, None, None, None))
+    if not candidates and n_rows == n_cols:
+        rcm = _rcm_pattern(indptr, indices, n_rows)
+        if rcm is not None:
+            rperm, rpinv, rdperm, new_indptr, new_indices = rcm
+            rbplan = band_plan_for(new_indptr, new_indices,
+                                   n_rows, n_cols)
+            if rbplan.supported:
+                candidates.append(
+                    ("stream", rbplan, rperm, rpinv, rdperm))
+    if candidates:
+        out = min(candidates, key=lambda c: spmv_tier_cost(c[0], c[1]))
     else:
-        from .pallas_spmv_stream import band_plan_for
         out = (None, None, None, None, None)
-        bplan = band_plan_for(indptr, indices, n_rows, n_cols)
-        if bplan.supported:
-            out = ("stream", bplan, None, None, None)
-        elif n_rows == n_cols:
-            rcm = _rcm_pattern(indptr, indices, n_rows)
-            if rcm is not None:
-                rperm, rpinv, rdperm, new_indptr, new_indices = rcm
-                rbplan = band_plan_for(new_indptr, new_indices,
-                                       n_rows, n_cols)
-                if rbplan.supported:
-                    out = ("stream", rbplan, rperm, rpinv, rdperm)
     _TIER_CACHE[key] = out
     return out
 
