@@ -222,6 +222,141 @@ def df_dot(x: DF, y: DF) -> DF:
     return df_sum(df_mul(x, y))
 
 
+# ---------------------------------------------------------------------------
+# Double-word transcendentals (VERDICT r3 next#4): exp/log/sin/cos at
+# genuine double-word grade, so Bratu-class residuals (e^u — the
+# reference's large_systems.md tutorial anchor) certify like polynomials.
+# Classic double-double recipes (QD library / CUDA df64): argument
+# reduction against a two-word constant, Taylor kernel in DF arithmetic,
+# exact power-of-two rescale.
+# ---------------------------------------------------------------------------
+
+# two-word f64 constants (double-double literature values)
+_LN2_HI64 = 0.6931471805599453
+_LN2_LO64 = 2.3190468138462996e-17
+_PI2_HI64 = 1.5707963267948966
+_PI2_LO64 = 6.123233995736766e-17
+
+
+def _df_const2(hi64: float, lo64: float, dtype) -> DF:
+    """Two-word constant at the working dtype: f32 pairs re-split the f64
+    head (keeping ~48 bits); f64 pairs keep the double-double tail."""
+    if np.dtype(dtype) == np.float64:
+        return DF(jnp.asarray(hi64, dtype), jnp.asarray(lo64, dtype))
+    h = np.float32(hi64)
+    l = np.float32((hi64 - float(h)) + lo64)
+    return DF(jnp.asarray(h, dtype), jnp.asarray(l, dtype))
+
+
+def _inv_fact_pairs(nmax: int):
+    """(hi, lo) f64 pairs of 1/n! for n=0..nmax, exact via Fractions."""
+    from fractions import Fraction
+    out = []
+    f = 1
+    for n in range(nmax + 1):
+        if n:
+            f *= n
+        q = Fraction(1, f)
+        hi = float(q)
+        lo = float(q - Fraction(hi))
+        out.append((hi, lo))
+    return out
+
+
+_INV_FACT = _inv_fact_pairs(30)
+
+
+def df_exp(x: DF) -> DF:
+    """Double-word exp: k = round(x/ln2), r = x − k·ln2 (two-word ln2),
+    degree-13 (f32) / 24 (f64) Taylor Horner in DF, exact 2^k rescale.
+    Relative error ~|k|·2^-2w from the reduction — ~5e-15 at f32 pairs
+    for PDE-scale arguments."""
+    dtype = x.hi.dtype
+    ln2 = _df_const2(_LN2_HI64, _LN2_LO64, dtype)
+    k = jnp.round(x.hi / ln2.hi)
+    r = df_sub(x, df_mul_f(ln2, k))
+    N = 24 if np.dtype(dtype) == np.float64 else 13
+    acc = _df_const2(*_INV_FACT[N], dtype)
+    acc = DF(jnp.broadcast_to(acc.hi, x.hi.shape),
+             jnp.broadcast_to(acc.lo, x.hi.shape))
+    for n in range(N - 1, -1, -1):
+        c = _df_const2(*_INV_FACT[n], dtype)
+        acc = df_add(df_mul(acc, r), DF(jnp.broadcast_to(c.hi, x.hi.shape),
+                                        jnp.broadcast_to(c.lo, x.hi.shape)))
+    # 2^k must be built EXACTLY (ldexp); jnp.exp2 is a polynomial
+    # approximation with ~1e-6 f32 relative error — measured the hard way
+    scale = jnp.ldexp(jnp.ones_like(k), k.astype(jnp.int32)).astype(dtype)
+    return DF(acc.hi * scale, acc.lo * scale)
+
+
+def df_log(x: DF) -> DF:
+    """Double-word log via one Newton step on df_exp: y₀ = log(hi);
+    ln x = y₀ + ln(x·e^{−y₀}) with the residual ln(1+δ) summed to δ³/3
+    (δ ≤ eps of the working word)."""
+    y0 = jnp.log(x.hi)
+    e = df_exp(DF(-y0, jnp.zeros_like(y0)))
+    t = df_mul(x, e)                       # 1 + δ
+    d = df_add_f(t, jnp.asarray(-1.0, x.hi.dtype))
+    d2 = df_mul(d, d)
+    corr = df_add(d, df_add(df_mul_f(d2, jnp.asarray(-0.5, x.hi.dtype)),
+                            df_mul_f(df_mul(d2, d),
+                                     jnp.asarray(1.0 / 3.0, x.hi.dtype))))
+    return df_add(DF(y0, jnp.zeros_like(y0)), corr)
+
+
+def _df_sincos_kernel(r: DF, nterms: int):
+    """Taylor sin(r), cos(r) for |r| ≤ π/4 via Horner over z = r²."""
+    dtype = r.hi.dtype
+    z = df_mul(r, r)
+
+    def horner(coeff_idx):
+        acc = None
+        for n in reversed(range(nterms + 1)):
+            hi64, lo64 = _INV_FACT[coeff_idx(n)]
+            if n % 2 == 1:
+                hi64, lo64 = -hi64, -lo64
+            c = _df_const2(hi64, lo64, dtype)
+            c = DF(jnp.broadcast_to(c.hi, r.hi.shape),
+                   jnp.broadcast_to(c.lo, r.hi.shape))
+            acc = c if acc is None else df_add(df_mul(acc, z), c)
+        return acc
+
+    sin_r = df_mul(r, horner(lambda n: 2 * n + 1))
+    cos_r = horner(lambda n: 2 * n)
+    return sin_r, cos_r
+
+
+def _df_sincos(x: DF):
+    dtype = x.hi.dtype
+    pi2 = _df_const2(_PI2_HI64, _PI2_LO64, dtype)
+    k = jnp.round(x.hi / pi2.hi)
+    r = df_sub(x, df_mul_f(pi2, k))
+    nterms = 13 if np.dtype(dtype) == np.float64 else 7
+    sin_r, cos_r = _df_sincos_kernel(r, nterms)
+    q = jnp.mod(k, 4.0)                    # quadrant (exact float mod)
+
+    def pick(a, b, c, d):
+        hi = jnp.where(q == 0, a.hi, jnp.where(q == 1, b.hi,
+                       jnp.where(q == 2, c.hi, d.hi)))
+        lo = jnp.where(q == 0, a.lo, jnp.where(q == 1, b.lo,
+                       jnp.where(q == 2, c.lo, d.lo)))
+        return DF(hi, lo)
+
+    sin_x = pick(sin_r, cos_r, df_neg(sin_r), df_neg(cos_r))
+    cos_x = pick(cos_r, df_neg(sin_r), df_neg(cos_r), sin_r)
+    return sin_x, cos_x
+
+
+def df_sin(x: DF) -> DF:
+    """Double-word sin (reduction vs two-word π/2; |k|·2^-2w reduction
+    error — intended for PDE-scale arguments, not astronomical ones)."""
+    return _df_sincos(x)[0]
+
+
+def df_cos(x: DF) -> DF:
+    return _df_sincos(x)[1]
+
+
 def self_check() -> bool:
     """Runtime invariant check on the live backend: two_sum/two_prod must
     be error-free (catches any backend that contracts or reassociates the

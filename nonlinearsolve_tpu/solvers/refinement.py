@@ -135,11 +135,12 @@ def auto_refine(prob, u, *, p64=None, rounds: int = 3,
       rounds/inner_rtol/restart/krylov_maxiter/precond_fn: see
         :func:`refine_root`.
 
-    Transcendental residuals raise NotImplementedError from the evaluator
-    with guidance; ``first_order_transcendentals=True`` opts into the
-    first-order rules (exp/log/sin/… terms become f32-accurate while the
-    rest of the defect stays double-word — see
-    ops.doublef32_eval.first_order_rules for when that is enough).
+    exp/log/sin/cos/pow residuals evaluate at GENUINE double-word grade
+    (doublef32.df_exp & co, r4) — Bratu-class ``e^u`` systems certify
+    like polynomials.  Remaining transcendentals (tanh/sinh/…) raise
+    NotImplementedError with guidance; ``first_order_transcendentals=True``
+    opts those into the first-order overlay (that term f32-accurate, the
+    rest double-word — ops.doublef32_eval.first_order_rules).
     """
     import numpy as np
 

@@ -180,3 +180,49 @@ def test_staged_csr_matvec_newton_on_chip():
                    + 0.1 * np.asarray(sol.u, np.float64) ** 3
                    - np.asarray(b, np.float64)).max()
     assert resid < 1e-3
+
+
+def test_bratu_exp_refinement_on_chip():
+    """r4 conformance: Bratu 32² (e^u residual) auto-refines ON-CHIP to
+    the reference's Float64@1e-10-grade anchor (large_systems.md) via the
+    genuine double-word exp rule + wide-trace literals — ≤1e-9 rel-inf
+    vs the f64-CPU polish (computed in a subprocess on the CPU backend)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    from nonlinearsolve_tpu.models import bratu
+    from nonlinearsolve_tpu.ops import doublef32 as dfm
+
+    N = 32
+    prob = bratu.make_problem(N, dtype=jnp.float32)
+    alg = nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", restart=32))
+    sol = nls.solve(prob, alg, abstol=1e-3, maxiters=50)
+    assert bool(sol.success)
+    res = nls.auto_refine(prob, sol.u, rounds=4)
+    u_ref = dfm.df_value_f64(res.u)
+
+    code = (
+        "import jax, json, numpy as np\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "import jax.numpy as jnp, sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "import nonlinearsolve_tpu as nls\n"
+        "from nonlinearsolve_tpu.models import bratu\n"
+        f"prob = bratu.make_problem({N}, dtype=jnp.float64)\n"
+        "sol = nls.solve(prob, nls.NewtonRaphson(), abstol=1e-12,"
+        " maxiters=100)\n"
+        "print(json.dumps(np.asarray(sol.u, np.float64).ravel().tolist()))\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600)
+    u64 = np.asarray(json.loads(out.stdout.strip().splitlines()[-1]),
+                     np.float64).reshape(N, N)
+    rel_inf = np.max(np.abs(u_ref - u64)) / np.max(np.abs(u64))
+    fast_rel = np.max(np.abs(np.asarray(sol.u, np.float64) - u64)) \
+        / np.max(np.abs(u64))
+    assert rel_inf < 1e-9, rel_inf
+    assert rel_inf < fast_rel / 10.0
