@@ -206,3 +206,79 @@ class TestMultiHopHalo:
         resid = np.abs(A @ np.asarray(sol.u)
                        + 0.1 * np.asarray(sol.u) ** 3 - np.asarray(b)).max()
         assert resid <= 1e-8
+
+
+class TestShardedPallasEndToEnd:
+    def test_newton_through_sharded_pallas_halo(self):
+        """VERDICT r3 next#3: Newton-GMRES driven end-to-end through
+        make_sharded_csr_matvec(use_pallas=True) — the Pallas kernel (in
+        interpret mode on the CPU mesh) inside the shard_map program, ring
+        halos on, matching the single-device root at 1e-6."""
+        mesh = _mesh()
+        rng = np.random.default_rng(11)
+        A = _banded(rng, N=24)
+        n = A.shape[0]
+        csr = _csr_of(A)
+        b = jnp.asarray(rng.standard_normal(n))
+        mv = make_sharded_csr_matvec(csr, mesh, "x", use_pallas=True)
+        assert mv.tier == "pallas" and mv.plan.mode == "halo"
+
+        alg = nls.NewtonRaphson(
+            linsolve=nls.LinearSolver(method="gmres", restart=30,
+                                      krylov_maxiter=400))
+        prob = nls.NonlinearProblem(
+            nls.NonlinearFunction(
+                f=lambda u, p: mv(u) + 0.1 * u ** 3 - b,
+                jvp=lambda v, u, p: mv(v) + 0.3 * u ** 2 * v),
+            jnp.zeros(n))
+        sol = nls.solve(prob, alg, abstol=1e-10, maxiters=50)
+        assert bool(sol.success)
+        prob_s = nls.NonlinearProblem(
+            nls.NonlinearFunction(
+                f=lambda u, p: csr.matvec_xla(u) + 0.1 * u ** 3 - b,
+                jvp=lambda v, u, p: csr.matvec_xla(v) + 0.3 * u ** 2 * v),
+            jnp.zeros(n))
+        sol_s = nls.solve(prob_s, alg, abstol=1e-10, maxiters=50)
+        du = float(jnp.max(jnp.abs(sol.u - sol_s.u)))
+        assert du <= 1e-6, du
+
+
+class TestCommunicationOptimality:
+    """VERDICT r3 next#8: pin the collective structure of the compiled
+    sharded matvec on HLO text — the premise of the >=80% weak-scaling
+    story, checkable without multi-chip hardware."""
+
+    def test_banded_halo_has_permute_no_allgather(self):
+        mesh = _mesh()
+        rng = np.random.default_rng(12)
+        A = _banded(rng, N=24)
+        csr = _csr_of(A)
+        x = jnp.asarray(rng.standard_normal(A.shape[0]))
+        for use_pallas in (False, True):
+            mv = make_sharded_csr_matvec(csr, mesh, "x",
+                                         use_pallas=use_pallas)
+            assert mv.plan.mode == "halo"
+            txt = jax.jit(mv).lower(x).compile().as_text()
+            assert "collective-permute" in txt
+            assert "all-gather" not in txt
+
+    def test_scrambled_allgather_is_x_only(self):
+        import re
+        mesh = _mesh()
+        rng = np.random.default_rng(13)
+        A = _scrambled(rng, N=24)
+        n = A.shape[0]
+        csr = _csr_of(A)
+        mv = make_sharded_csr_matvec(csr, mesh, "x")
+        assert mv.plan.mode == "allgather"
+        x = jnp.asarray(rng.standard_normal(n))
+        txt = jax.jit(mv).lower(x).compile().as_text()
+        ag = [l for l in txt.splitlines() if "all-gather(" in l]
+        assert ag, "expected exactly the x assembly all_gather"
+        for line in ag:
+            shapes = [int(s.split(",")[0]) if "," not in s else
+                      int(np.prod([int(t) for t in s.split(",")]))
+                      for s in re.findall(r"f\d+\[([0-9,]+)\]", line)]
+            # gathered operands are x-sized (<= padded n), never nnz-sized
+            assert shapes and max(shapes) <= mv.plan.n_shards * mv.plan.chunk
+            assert max(shapes) < A.nnz
