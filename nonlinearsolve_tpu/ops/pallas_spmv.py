@@ -92,11 +92,14 @@ class EllPlan:
     """
 
     def __init__(self, indptr, indices, n_rows, n_cols, *, min_w=1,
-                 min_W=SUBLANES, force_mode=None):
+                 min_W=SUBLANES, force_mode=None, rt=1):
         """``min_w``/``min_W``/``force_mode`` force lower bounds on the
         slot count / window height / window granularity so per-shard plans
         of a row-partitioned operator share one static kernel shape
-        (parallel/sparse_dist.py)."""
+        (parallel/sparse_dist.py).  ``rt`` = row-tiles per grid step: the
+        kernel's fixed per-grid-step cost (~1.5 us DMA orchestration,
+        measured v5e) dominates thin plans (w ~ 1), so low-slot callers
+        amortize it by walking rt tiles per step via an in-kernel loop."""
         indptr = np.asarray(indptr, np.int64)
         indices = np.asarray(indices, np.int64)
         self.indptr = indptr
@@ -104,7 +107,8 @@ class EllPlan:
         self._transpose = None   # lazy (tindptr, tindices, tperm)
         counts = np.diff(indptr)
         w = max(int(counts.max()) if counts.size else 1, 1, int(min_w))
-        n_pad = _round_up(max(n_rows, 1), ROWS_PER_TILE)
+        self.rt = max(int(rt), 1)
+        n_pad = _round_up(max(n_rows, 1), ROWS_PER_TILE * self.rt)
         ntiles = n_pad // ROWS_PER_TILE
 
         # slot-major dense tables in (w, n_pad) row-major layout
@@ -244,7 +248,7 @@ def ell_plan_for(indptr, indices, n_rows, n_cols) -> EllPlan:
     return plan
 
 
-def _make_ell_kernel(W: int, w: int, mode: str):
+def _make_ell_kernel(W: int, w: int, mode: str, rt: int = 1):
     # The two-stage register gather must stay WITHIN one native (8, 128)
     # tile: Mosaic lowers a sublane take_along_axis over G*8 rows into
     # per-row select chains whose compile time explodes around W ≈ 16
@@ -253,6 +257,11 @@ def _make_ell_kernel(W: int, w: int, mode: str):
     # each slot contributing where its window-local tile index equals g.
     # "group" mode fetches each of the G tiles ONCE and applies all
     # slots; "slot" mode fetches each slot's own (much smaller) window.
+    #
+    # rt > 1 walks rt row-tiles per grid step through a DYNAMIC fori_loop
+    # (constant compile cost): the fixed per-grid-step pipeline cost
+    # (~1.5 us measured v5e) would otherwise dominate thin plans (w ~ 1,
+    # e.g. the scatter tier's expansion pass).
     G = W // SUBLANES
 
     def kernel(r0_ref, idx_ref, data_ref, x_ref, out_ref):
@@ -263,92 +272,110 @@ def _make_ell_kernel(W: int, w: int, mode: str):
         # address offset.  (A dynamic sublane-offset slice of a flat
         # (R, 128) x compiles, but Mosaic's lowering cost grows with R:
         # R=32 compiled in ~80 s, R=512 hung >9 min on v5e.)
-        # idx/data: (1, 8, w, 128); out: (1, 8, 128)
-        i = pl.program_id(0)
-        for j in range(SUBLANES):
-            if mode == "slot":
-                acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
-                for s in range(w):
-                    t0 = r0_ref[i, j, s]
-                    idx = idx_ref[0, j, s:s + 1, :]      # (1, 128) packed
-                    his = jax.lax.shift_right_logical(idx, jnp.int32(7))
-                    los = jax.lax.bitwise_and(idx, jnp.int32(127))
-                    hi8 = jax.lax.bitwise_and(his, jnp.int32(7))
-                    dat = data_ref[0, j, s:s + 1, :]
+        # idx/data: (rt, 8, w, 128); out: (rt, 8, 128)
+        base = pl.program_id(0) * rt    # hoisted: program_id is not
+        # re-bindable inside a fori_loop body jaxpr in interpret mode
 
-                    def slot_contrib(g0, acc_s, t0=t0, his=his, los=los,
-                                     hi8=hi8, dat=dat):
-                        xt = x_ref[t0 + g0]              # (8, 128) tile
-                        # lane gather FIRST, then sublane (module doc)
+        def tile_step(tl, _):
+            i = base + tl
+            for j in range(SUBLANES):
+                if mode == "slot":
+                    acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
+                    for s in range(w):
+                        t0 = r0_ref[i, j, s]
+                        idx = idx_ref[tl, j, s:s + 1, :]  # (1, 128) packed
+                        his = jax.lax.shift_right_logical(idx, jnp.int32(7))
+                        los = jax.lax.bitwise_and(idx, jnp.int32(127))
+                        hi8 = jax.lax.bitwise_and(his, jnp.int32(7))
+                        dat = data_ref[tl, j, s:s + 1, :]
+
+                        def slot_contrib(g0, acc_s, t0=t0, his=his, los=los,
+                                         hi8=hi8, dat=dat):
+                            xt = x_ref[t0 + g0]          # (8, 128) tile
+                            # lane gather FIRST, then sublane (module doc)
+                            a1 = jnp.take_along_axis(
+                                xt, jnp.broadcast_to(los, (SUBLANES, LANES)),
+                                axis=1)
+                            a2 = jnp.take_along_axis(
+                                a1, jnp.broadcast_to(hi8, (SUBLANES, LANES)),
+                                axis=0)
+                            in_tile = (jax.lax.shift_right_logical(
+                                his, jnp.int32(3)) == g0)
+                            return acc_s + jnp.where(
+                                in_tile, dat * a2[0:1, :],
+                                jnp.zeros((), acc_s.dtype))
+
+                        if G <= _UNROLL_G:
+                            # static unroll: a dynamic fori_loop pays
+                            # scalar-core per-iteration overhead that
+                            # dwarfs the ~12-op body
+                            for g0 in range(G):
+                                acc = slot_contrib(jnp.int32(g0), acc)
+                        else:
+                            acc = jax.lax.fori_loop(0, G, slot_contrib, acc)
+                    out_ref[tl, j, :] = acc[0, :]
+                    continue
+
+                # group mode
+                t0 = r0_ref[i, j]
+                his = []
+                los = []
+                for s in range(w):
+                    idx = idx_ref[tl, j, s:s + 1, :]     # (1, 128) packed
+                    his.append(jax.lax.shift_right_logical(idx, jnp.int32(7)))
+                    los.append(jax.lax.bitwise_and(idx, jnp.int32(127)))
+
+                def tile_contrib(g0, acc, j=j, tl=tl, his=his, los=los,
+                                 t0=t0):
+                    xt = x_ref[t0 + g0]                  # (8, 128) tile
+                    for s in range(w):
+                        hi8 = jax.lax.bitwise_and(his[s], jnp.int32(7))
                         a1 = jnp.take_along_axis(
-                            xt, jnp.broadcast_to(los, (SUBLANES, LANES)),
+                            xt, jnp.broadcast_to(los[s], (SUBLANES, LANES)),
                             axis=1)
                         a2 = jnp.take_along_axis(
                             a1, jnp.broadcast_to(hi8, (SUBLANES, LANES)),
                             axis=0)
                         in_tile = (jax.lax.shift_right_logical(
-                            his, jnp.int32(3)) == g0)
-                        return acc_s + jnp.where(
-                            in_tile, dat * a2[0:1, :],
-                            jnp.zeros((), acc_s.dtype))
+                            his[s], jnp.int32(3)) == g0)
+                        acc = acc + jnp.where(
+                            in_tile, data_ref[tl, j, s:s + 1, :] * a2[0:1, :],
+                            jnp.zeros((), acc.dtype))
+                    return acc
 
-                    if G <= 1:
-                        acc = slot_contrib(jnp.int32(0), acc)
-                    else:
-                        acc = jax.lax.fori_loop(0, G, slot_contrib, acc)
-                out_ref[0, j, :] = acc[0, :]
-                continue
+                acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
+                if G <= _UNROLL_G:
+                    for g0 in range(G):      # static unroll (see above)
+                        acc = tile_contrib(jnp.int32(g0), acc)
+                else:
+                    acc = jax.lax.fori_loop(0, G, tile_contrib, acc)
+                out_ref[tl, j, :] = acc[0, :]
+            return 0
 
-            # group mode
-            t0 = r0_ref[i, j]
-            his = []
-            los = []
-            for s in range(w):
-                idx = idx_ref[0, j, s:s + 1, :]          # (1, 128) packed
-                his.append(jax.lax.shift_right_logical(idx, jnp.int32(7)))
-                los.append(jax.lax.bitwise_and(idx, jnp.int32(127)))
-
-            def tile_contrib(g0, acc, j=j, his=his, los=los, t0=t0):
-                xt = x_ref[t0 + g0]                      # (8, 128) tile
-                for s in range(w):
-                    hi8 = jax.lax.bitwise_and(his[s], jnp.int32(7))
-                    a1 = jnp.take_along_axis(
-                        xt, jnp.broadcast_to(los[s], (SUBLANES, LANES)),
-                        axis=1)
-                    a2 = jnp.take_along_axis(
-                        a1, jnp.broadcast_to(hi8, (SUBLANES, LANES)),
-                        axis=0)
-                    in_tile = (jax.lax.shift_right_logical(
-                        his[s], jnp.int32(3)) == g0)
-                    acc = acc + jnp.where(
-                        in_tile, data_ref[0, j, s:s + 1, :] * a2[0:1, :],
-                        jnp.zeros((), acc.dtype))
-                return acc
-
-            acc = jnp.zeros((1, LANES), dtype=out_ref.dtype)
-            if G <= 1:
-                acc = tile_contrib(jnp.int32(0), acc)
-            else:
-                acc = jax.lax.fori_loop(0, G, tile_contrib, acc)
-            out_ref[0, j, :] = acc[0, :]
+        if rt == 1:
+            tile_step(0, 0)      # static indexing — the proven lowering
+        else:
+            jax.lax.fori_loop(0, rt, tile_step, 0)
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ntiles", "w", "W", "mode", "interpret"))
-def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, mode, interpret):
+                   static_argnames=("ntiles", "w", "W", "mode", "interpret",
+                                    "rt"))
+def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, mode, interpret,
+                   rt=1):
     return pl.pallas_call(
-        _make_ell_kernel(W, w, mode),
-        grid=(ntiles,),
+        _make_ell_kernel(W, w, mode, rt),
+        grid=(ntiles // rt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # r0 resident
-            pl.BlockSpec((1, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((rt, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((rt, SUBLANES, w, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
         ],
-        out_specs=pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rt, SUBLANES, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntiles, SUBLANES, LANES),
                                        data.dtype),
@@ -361,17 +388,25 @@ def _ell_spmv_call(r0, idx, data, x2d, *, ntiles, w, W, mode, interpret):
 # along the tile axis into separate pallas calls sharing the packed x.
 _SMEM_R0_CAP_BYTES = 24 * 1024
 
+# Window walks up to this many tiles are statically unrolled in the
+# kernel; beyond it the compile-time cost of the unrolled gather chains
+# outweighs the fori_loop's scalar-core per-iteration overhead.
+_UNROLL_G = 8
+
 
 def _ell_spmv_packed(plan: "EllPlan", packed, x2d, interpret: bool):
     """Run the kernel on pre-packed data, chunking the grid when the SMEM
     r0 table would exceed the Mosaic budget.  Returns (n_pad,) output."""
     r0 = np.asarray(plan.r0)
+    rt = plan.rt
     per_tile = int(r0[0].size) * 4
     tiles_per_chunk = max(_SMEM_R0_CAP_BYTES // max(per_tile, 1), 1)
+    tiles_per_chunk = max(tiles_per_chunk // rt, 1) * rt
     if plan.ntiles <= tiles_per_chunk:
         out = _ell_spmv_call(jnp.asarray(r0), jnp.asarray(plan.idx),
                              packed, x2d, ntiles=plan.ntiles, w=plan.w,
-                             W=plan.W, mode=plan.mode, interpret=interpret)
+                             W=plan.W, mode=plan.mode, interpret=interpret,
+                             rt=rt)
         return out.reshape(plan.n_pad)
     outs = []
     for t0 in range(0, plan.ntiles, tiles_per_chunk):
@@ -379,7 +414,7 @@ def _ell_spmv_packed(plan: "EllPlan", packed, x2d, interpret: bool):
         out = _ell_spmv_call(
             jnp.asarray(r0[t0:t1]), jnp.asarray(plan.idx[t0:t1]),
             packed[t0:t1], x2d, ntiles=t1 - t0, w=plan.w, W=plan.W,
-            mode=plan.mode, interpret=interpret)
+            mode=plan.mode, interpret=interpret, rt=rt)
         outs.append(out.reshape((t1 - t0) * ROWS_PER_TILE))
     return jnp.concatenate(outs)
 
@@ -525,6 +560,11 @@ def spmv_tier_cost(tier, plan) -> float:
     if tier == "stream":
         return 14.0 * sum(m * span for (_l, _h, m, _b, span, _g)
                           in plan.bands)
+    if tier == "scatter":
+        # plan.cost is the summed per-group cost over BOTH passes (and
+        # every part); normalize to per-128-output-row-group so the
+        # ordering and the roofline stay in one unit.
+        return plan.cost / max(plan.n_pad / LANES, 1.0)
     return float("inf")
 
 
@@ -544,14 +584,20 @@ def spmv_roofline(tier, plan, nnz: int) -> dict:
     against the ideal VPU issue rate; hbm bound: 8 B/nnz streamed tables
     plus ~3 auxiliary passes over the state vectors.  ``bound`` is their
     min; report measured/bound as pct_of_roofline."""
-    if tier not in ("resident", "stream"):
+    if tier not in ("resident", "stream", "scatter"):
         return {"bound": SEGSUM_MEASURED_NNZ_S, "model": "segsum-measured"}
     groups = max(plan.n_pad / LANES, 1.0)
     nnz_g = nnz / groups
     ops_g = max(spmv_tier_cost(tier, plan), 1e-9)
     gather_bound = VPU_VEC_OPS_PER_S * nnz_g / ops_g
     n_state = max(plan.n_rows, getattr(plan, "n_cols", plan.n_rows))
-    bytes_per_nnz = 8.0 + 12.0 * n_state / max(nnz, 1)
+    if tier == "scatter":
+        # exact streamed-table traffic: G idx+data, unit-R idx+mask
+        # (both include ELL/zone padding), product vector write+read.
+        bytes_per_nnz = (plan.table_bytes / max(nnz, 1)
+                         + 12.0 * n_state / max(nnz, 1))
+    else:
+        bytes_per_nnz = 8.0 + 12.0 * n_state / max(nnz, 1)
     hbm_bound = HBM_BYTES_PER_S / bytes_per_nnz
     bound = min(gather_bound, hbm_bound)
     return {"bound": bound,
@@ -593,12 +639,46 @@ def select_spmv_plan(indptr, indices, n_rows, n_cols):
             if rbplan.supported:
                 candidates.append(
                     ("stream", rbplan, rperm, rpinv, rdperm))
+    # The two-pass scatter tier (pallas_spmv_scatter) is the no-locality
+    # fallback: only PLANNED (an O(nnz log nnz) host sort) when the best
+    # structured tier is already paying heavily per nonzero — i.e. the
+    # pattern is scrambled enough that its windows degenerated — or when
+    # no structured tier fits at all.
+    nnz = max(len(np.asarray(indices)), 1)
     if candidates:
-        out = min(candidates, key=lambda c: spmv_tier_cost(c[0], c[1]))
+        best_pn = min(_derated_cost(c[0], c[1]) for c in candidates) \
+            * (_round_up(max(n_rows, 1), ROWS_PER_TILE) / LANES) / nnz
+    if not candidates or best_pn > _SCATTER_TRY_THRESHOLD:
+        from .pallas_spmv_scatter import scatter_plan_for
+        splan = scatter_plan_for(indptr, indices, n_rows, n_cols)
+        if splan.supported:
+            candidates.append(("scatter", splan, None, None, None))
+    if candidates:
+        out = min(candidates, key=lambda c: _derated_cost(c[0], c[1]))
     else:
         out = (None, None, None, None, None)
     _TIER_CACHE[key] = out
     return out
+
+
+# Measured v5e: walks of <= _UNROLL_G tiles are statically unrolled and
+# reach 45-92% of the op-count bound (resident-group scrambled 6.7
+# Gnnz/s = 69%, scatter OOE 2.46 = 75%, tridiag resident 7.65); walks
+# beyond it fall back to a dynamic fori_loop whose scalar-core
+# per-iteration overhead dwarfs the 12-op body (the SAME scrambled
+# kernel measured 1.48 Gnnz/s = 17% when looped) — so tier ORDERING
+# derates looped walks by ~4x.  Rooflines stay un-derated (bounds).
+_LOOP_WALK_DERATE = 4.0
+# cost-per-nnz above which the scatter plan is worth building: banded /
+# windowed selections sit at 0.1-0.25, degenerate walks well above.
+_SCATTER_TRY_THRESHOLD = 0.35
+
+
+def _derated_cost(tier, plan) -> float:
+    c = spmv_tier_cost(tier, plan)
+    if tier == "resident" and plan.W // SUBLANES > _UNROLL_G:
+        c *= _LOOP_WALK_DERATE
+    return c
 
 
 def pallas_spmv_supported(csr) -> bool:
@@ -622,6 +702,8 @@ def csr_spmv_pallas(csr, x, *, interpret=None):
         csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
     if tier == "stream":
         from .pallas_spmv_stream import band_spmv_pallas as _apply
+    elif tier == "scatter":
+        from .pallas_spmv_scatter import scatter_spmv_pallas as _apply
     else:
         _apply = functools.partial(ell_spmv_pallas)
     if perm is None:
@@ -653,6 +735,9 @@ def csr_spmv_staged(csr, *, interpret=None):
     if tier == "stream":
         from .pallas_spmv_stream import band_spmv_staged
         inner = band_spmv_staged(plan, data, interpret=interpret)
+    elif tier == "scatter":
+        from .pallas_spmv_scatter import scatter_spmv_staged
+        inner = scatter_spmv_staged(plan, data, interpret=interpret)
     else:
         packed = plan.pack_data(data)
 

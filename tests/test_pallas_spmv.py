@@ -65,11 +65,10 @@ def test_window_plan_is_tight_for_banded():
     assert plan.supported
 
 
-def test_unsupported_patterns_fall_back():
-    # fully random, dense-ish column coverage at n far beyond the
-    # resident window cap AND with no band structure (every offset class
-    # populated): no Pallas tier applies — not the resident windowed
-    # kernel, not the streamed band kernel (r4), not RCM'd variants.
+def test_unsupported_patterns_fall_back(monkeypatch):
+    # fully random at n far beyond the resident window cap, no band
+    # structure: since r4 this routes through the two-pass SCATTER tier
+    # instead of falling off the Pallas surface entirely.
     rng = np.random.default_rng(1)
     n = ps.MAX_WINDOW_ROWS * ps.LANES * 2
     w = 8
@@ -77,11 +76,24 @@ def test_unsupported_patterns_fall_back():
     cols.sort(axis=1)
     rows = np.repeat(np.arange(256), w)
     A = CSR.from_pattern(rows, cols.reshape(-1), (256, n))
-    assert not ps.pallas_spmv_supported(A)
-    # matvec still works via segment_sum (CPU backend here anyway)
+    assert ps.pallas_spmv_supported(A)
+    tier, *_ = ps.select_spmv_plan(A.indptr, A.indices, *A.shape)
+    assert tier == "scatter"
     x = jnp.asarray(rng.standard_normal(n))
-    y = A.matvec(x)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(A.matvec_xla(x)))
+    np.testing.assert_allclose(np.asarray(A.matvec(x)),
+                               np.asarray(A.matvec_xla(x)), atol=1e-10)
+
+    # a single column denser than the product-vector envelope cannot be
+    # column-split: the scatter plan itself refuses (cap shrunk so the
+    # test stays small) — the dispatch-level segment_sum fallback for
+    # tier None is covered by CSR.matvec's supported() gate.
+    import nonlinearsolve_tpu.ops.pallas_spmv_scatter as sc
+    monkeypatch.setattr(sc, "MAX_X_ELEMS_VMEM", 256)
+    rows_d = np.arange(2048)
+    cols_d = np.zeros(2048, np.int64)
+    indptr_d = np.arange(2049)
+    plan = sc.ScatterPlan(indptr_d, cols_d, 2048, 2048)
+    assert not plan.supported
 
 
 def test_sparse_long_range_rows_now_streamed():

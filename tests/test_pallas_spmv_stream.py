@@ -94,17 +94,24 @@ def test_multiple_nnz_per_band_subslots():
 
 
 def test_random_pattern_rejected():
-    """No band structure -> plan refuses (caller falls to segment_sum)."""
-    n = 4096
-    cols = RNG.integers(0, n, size=(n, 8))
+    """No band structure -> plan refuses (caller picks another tier).
+
+    n must be large enough that rejection is STRUCTURAL (offset range
+    2n/1024 > MAX_BANDS): at small n a random pattern has only a handful
+    of 1024-wide bands and acceptance hinges on the drawn per-band slot
+    maximum — an RNG-state-dependent flake."""
+    n = 65536
+    cols = RNG.integers(0, n, size=(2048, 8))
     cols.sort(axis=1)
-    indptr = np.arange(n + 1) * 8
-    plan = BandPlan(indptr, cols.reshape(-1), n, n)
+    indptr = np.arange(2049) * 8
+    plan = BandPlan(indptr, cols.reshape(-1), 2048, n)
     assert not plan.ok
 
 
 def test_tier_selection_resident_preferred():
-    """In-envelope banded patterns keep the (faster) resident tier."""
+    """In-envelope banded patterns keep the resident tier (measured v5e
+    r4, unrolled walks: tridiagonal resident 7.65 vs stream 7.80 Gnnz/s
+    — a wash on hardware; the op-count model orders resident first)."""
     n = 2000
     A = sp.diags([np.ones(n - 1), np.ones(n), np.ones(n - 1)],
                  [-1, 0, 1]).tocsr()
