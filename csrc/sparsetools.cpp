@@ -775,4 +775,69 @@ void sp_lu_factor_free(void* handle) {
   delete static_cast<SpLuFactor*>(handle);
 }
 
+// ---- factor export for DEVICE-side triangular application ----------------
+// The stored factor solves in "pivot space" (columns are eliminated in
+// order, so pivot step k == permuted column k; pivoting permutes rows
+// only).  Exported in that space the two sweeps become clean static-
+// pattern triangular systems:
+//   b_hat[k] = b[in_perm[k]]                   (in_perm = perm . prow_inv)
+//   (I + Lhat) y = b_hat   with Lhat[prow[Li[k][m]], k] = Lx[k][m]  (> k)
+//   Uhat z = y             with Uhat[Ui[k][m], k] = Ux[k][m] (< k), diag Ud
+//   x[out_perm[k]] = z[k]                      (out_perm = perm)
+// The pattern is static across numeric-only refactorizations (full-pattern
+// retention + frozen pivot order), so a host-side level schedule built
+// once stays valid until a re-pivot (detected by the caller via the
+// factorization counter).
+
+// Current factor sizes: strict-lower nnz(Lhat) and strict-upper nnz(Uhat).
+int32_t sp_lu_factor_sizes(void* handle, int64_t* nnzL, int64_t* nnzU) {
+  auto F = static_cast<SpLuFactor*>(handle);
+  int64_t nl = 0, nu = 0;
+  for (int32_t k = 0; k < F->n; ++k) {
+    nl += static_cast<int64_t>(F->Li[k].size());
+    nu += static_cast<int64_t>(F->Ui[k].size());
+  }
+  *nnzL = nl;
+  *nnzU = nu;
+  return 0;
+}
+
+// Flat CSC-by-pivot-column export (caller allocates via sizes above).
+// Lrow entries are pivot positions (> column), Urow entries are pivot
+// positions (< column).  Returns 0.
+int32_t sp_lu_factor_export(void* handle, int64_t* Lp, int32_t* Lrow,
+                            double* Lval, int64_t* Up, int32_t* Urow,
+                            double* Uval, double* Ud, int32_t* in_perm,
+                            int32_t* out_perm) {
+  auto F = static_cast<SpLuFactor*>(handle);
+  const int32_t n = F->n;
+  const int32_t* perm = F->perm.empty() ? nullptr : F->perm.data();
+  int64_t pl = 0, pu = 0;
+  for (int32_t k = 0; k < n; ++k) {
+    Lp[k] = pl;
+    Up[k] = pu;
+    const auto& li = F->Li[k];
+    const auto& lx = F->Lx[k];
+    for (size_t m = 0; m < li.size(); ++m) {
+      Lrow[pl] = F->prow[li[m]];
+      Lval[pl] = lx[m];
+      ++pl;
+    }
+    const auto& ui = F->Ui[k];
+    const auto& ux = F->Ux[k];
+    for (size_t m = 0; m < ui.size(); ++m) {
+      Urow[pu] = ui[m];
+      Uval[pu] = ux[m];
+      ++pu;
+    }
+    Ud[k] = F->Ud[k];
+    const int32_t pr = F->prow_inv[k];
+    in_perm[k] = perm ? perm[pr] : pr;
+    out_perm[k] = perm ? perm[k] : k;
+  }
+  Lp[n] = pl;
+  Up[n] = pu;
+  return 0;
+}
+
 }  // extern "C"

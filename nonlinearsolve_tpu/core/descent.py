@@ -181,9 +181,30 @@ def descent_init(cfg, ctx: DescentCtx, J, fu, u):
 # solve
 # ---------------------------------------------------------------------------
 
-def _jacobi_precond(cfg: LinearSolver, J):
-    """Jacobi (diagonal) preconditioner when the matrix is materialized
-    with an extractable diagonal."""
+def _matrix_precond(cfg: LinearSolver, J):
+    """Built-in preconditioners for materialized operators.
+
+    'jacobi': diagonal scaling.  'device_lu': the exact host-factored /
+    device-applied sparse LU (ops/device_lu.py — the KLU-preconditioned
+    Krylov role of the reference's large_systems tutorial): ONE host
+    callback per Newton linearization (the numeric refactorization),
+    then every Krylov iteration applies the factors on device."""
+    if cfg.precond == "device_lu":
+        from ..ops.sparse import CSR
+        if isinstance(J, CSR):
+            from ..ops.device_lu import device_lu_for
+            import numpy as np
+            lu = device_lu_for(np.asarray(J.indptr), np.asarray(J.indices),
+                               J.shape[0], dtype=J.data.dtype)
+            if lu is not None:
+                state = lu.refresh(J.data)
+
+                def apply(x, lu=lu, state=state):
+                    out, _ok = lu.solve(state, x)
+                    return out
+
+                return apply
+        return None
     if cfg.precond != "jacobi":
         return None
     diag = None
@@ -247,7 +268,7 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
                     # with u returned an array, so use the fn itself.
                     M = cfg.linsolve.precond_fn
         else:
-            M = _jacobi_precond(cfg.linsolve, J)
+            M = _matrix_precond(cfg.linsolve, J)
         kw = {}
         if method == "gmres" and cfg.linsolve.krylov_basis_dtype:
             kw["basis_dtype"] = {"bf16": jnp.bfloat16,

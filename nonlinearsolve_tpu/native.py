@@ -85,6 +85,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.sp_lu_factor_solve.argtypes = [ctypes.c_void_p, f64p, f64p]
         lib.sp_lu_factor_free.restype = None
         lib.sp_lu_factor_free.argtypes = [ctypes.c_void_p]
+        lib.sp_lu_factor_sizes.restype = ctypes.c_int32
+        lib.sp_lu_factor_sizes.argtypes = [ctypes.c_void_p, i64p, i64p]
+        lib.sp_lu_factor_export.restype = ctypes.c_int32
+        lib.sp_lu_factor_export.argtypes = [
+            ctypes.c_void_p, i64p, i32p, f64p, i64p, i32p, f64p, f64p,
+            i32p, i32p]
         _lib = lib
         return _lib
 
@@ -315,6 +321,48 @@ class SpLuFactor:
             self._lib.sp_lu_factor_free(self._handle)
             self._handle = None
         return self._create(data)
+
+    def export_factor(self):
+        """Flat pivot-space export of the current factors for device-side
+        triangular application (csrc sp_lu_factor_export contract):
+        dict with Lp/Lrow/Lval (strict lower, unit diag implied),
+        Up/Urow/Uval (strict upper), Ud (diagonal), in_perm/out_perm
+        (b_hat = b[in_perm]; x[out_perm] = z).  None if unfactorized.
+        The PATTERN parts stay valid across numeric-only refactorizations
+        (frozen pivot order); compare ``n_factor`` to detect a re-pivot.
+        """
+        with self._lock:
+            if self._handle is None:
+                return None
+            nl = ctypes.c_int64(0)
+            nu = ctypes.c_int64(0)
+            self._lib.sp_lu_factor_sizes(self._handle, ctypes.byref(nl),
+                                         ctypes.byref(nu))
+            nl, nu = int(nl.value), int(nu.value)
+            out = {
+                "Lp": np.empty(self.n + 1, np.int64),
+                "Lrow": np.empty(nl, np.int32),
+                "Lval": np.empty(nl, np.float64),
+                "Up": np.empty(self.n + 1, np.int64),
+                "Urow": np.empty(nu, np.int32),
+                "Uval": np.empty(nu, np.float64),
+                "Ud": np.empty(self.n, np.float64),
+                "in_perm": np.empty(self.n, np.int32),
+                "out_perm": np.empty(self.n, np.int32),
+            }
+            self._lib.sp_lu_factor_export(
+                self._handle,
+                _ptr(out["Lp"], ctypes.c_int64),
+                _ptr(out["Lrow"], ctypes.c_int32),
+                _ptr(out["Lval"], ctypes.c_double),
+                _ptr(out["Up"], ctypes.c_int64),
+                _ptr(out["Urow"], ctypes.c_int32),
+                _ptr(out["Uval"], ctypes.c_double),
+                _ptr(out["Ud"], ctypes.c_double),
+                _ptr(out["in_perm"], ctypes.c_int32),
+                _ptr(out["out_perm"], ctypes.c_int32))
+            out["n_factor"] = self.n_factor
+            return out
 
     def close(self):
         with self._lock:

@@ -35,7 +35,8 @@ class LinearSolver:
     # Krylov options (used when method is a Krylov method)
     restart: int = 20
     krylov_maxiter: Optional[int] = None
-    precond: str = "none"  # 'none' | 'jacobi'
+    precond: str = "none"  # 'none' | 'jacobi' | 'device_lu' (exact
+    # host-factored sparse LU applied on device — ops/device_lu.py)
     # User preconditioner factory: ``precond_fn(u) -> (v -> M⁻¹v)``, rebuilt
     # at each Newton linearization point (reference `precs` analogue).
     precond_fn: Any = None
