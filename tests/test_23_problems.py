@@ -148,3 +148,85 @@ def test_23_problems(name, alg, broken):
     # must be REMOVED from the broken set, so the sets can only tighten.
     assert not unexpected_passes, (
         f"{name} now PASSES {unexpected_passes} — remove from BROKEN")
+
+
+# ---------------------------------------------------------------------------
+# Large-n ring robustness (VERDICT r3 next#7): the 11 of the 23 problems
+# that generalize in dimension, lifted to n=64 — ABOVE the default
+# threshold=27, so the genuine low-rank update ring carries every step
+# (the reference positions lbroyden as its large-n/GPU tier,
+# lib/SimpleNonlinearSolve/src/lbroyden.jl:9,21-36, but never sweeps it;
+# these rows are ours).  Full Broyden at the same n is swept as the
+# control: {1, 9, 11, 18} are Broyden-FAMILY-hard at n=64 (full-rank
+# fails them too), leaving {13, 14} as the genuine price of the rank-27
+# memory.  The n=64 trajectories are threshold- and reset-independent on
+# the failures (verified th ∈ {13,27,40,55}, max_resets ∈ {3,100}):
+# the lbroyden-faithful -αI + UᵀV init/update diverges early on those
+# two, not the ring depth.
+# ---------------------------------------------------------------------------
+
+_LARGE_N = 64
+
+
+def _large_n_problems(n):
+    from nonlinearsolve_tpu.models import problems23 as p23
+    t = np.arange(1, n + 1) / (n + 1)
+    return [
+        (1, p23._rosenbrock, [-1.2] + [1.0] * (n - 1)),
+        (8, p23._brown_almost_linear, [0.5] * n),
+        (9, p23._discrete_bvp, list(t * (t - 1.0))),
+        (10, p23._discrete_integral, list(t * (t - 1.0))),
+        (11, p23._trigonometric, [1.0 / n] * n),
+        (12, p23._variably_dimensioned,
+         list(1.0 - np.arange(1, n + 1) / n)),
+        (13, p23._broyden_tridiagonal, [-1.0] * n),
+        (14, p23._broyden_banded, [-1.0] * n),
+        (18, p23._exponential_fn, [1.0 / (4.0 * n * n)] * n),
+        (19, p23._logarithmic_fn, [1.0] * n),
+        (23, p23._chandrasekhar, [1.0] * n),
+    ]
+
+
+LARGE_N_CASES = [
+    ("LimitedMemoryBroyden-n64", nls.LimitedMemoryBroyden(threshold=27),
+     {1, 9, 11, 13, 14, 18}),
+    ("Broyden-n64-control", nls.Broyden(), {1, 9, 11, 18}),
+]
+
+
+@pytest.mark.parametrize("name,alg,broken", LARGE_N_CASES,
+                         ids=[c[0] for c in LARGE_N_CASES])
+def test_large_n_ring(name, alg, broken):
+    failures, unexpected_passes = [], []
+    for idx, f, x0 in _large_n_problems(_LARGE_N):
+        prob = nls.NonlinearProblem(
+            f, jnp.asarray(np.asarray(x0, np.float64)))
+        try:
+            sol = nls.solve(prob, alg, maxiters=10000)
+            resid = float(jnp.max(jnp.abs(jnp.asarray(f(sol.u, None)))))
+            ok = resid <= EPS
+        except Exception as e:  # noqa: BLE001
+            ok, resid = False, repr(e)
+        if not ok and idx not in broken:
+            failures.append((idx, resid))
+        if ok and idx in broken:
+            unexpected_passes.append(idx)
+    assert not failures, f"{name} unexpectedly failed: {failures}"
+    assert not unexpected_passes, (
+        f"{name} now PASSES {unexpected_passes} — remove from BROKEN")
+
+
+def test_large_n_ring_scales_to_128():
+    """The ring's converged set HOLDS as n doubles past the memory (the
+    'memory adequate' demonstration proper): every n=64 passer also
+    converges at n=128 with the same rank-27 ring."""
+    passers = {8, 10, 12, 19, 23}
+    alg = nls.LimitedMemoryBroyden(threshold=27)
+    for idx, f, x0 in _large_n_problems(128):
+        if idx not in passers:
+            continue
+        prob = nls.NonlinearProblem(
+            f, jnp.asarray(np.asarray(x0, np.float64)))
+        sol = nls.solve(prob, alg, maxiters=10000)
+        resid = float(jnp.max(jnp.abs(jnp.asarray(f(sol.u, None)))))
+        assert resid <= EPS, (idx, resid)
