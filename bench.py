@@ -249,6 +249,7 @@ def main():
     pde3d_nnz_per_s = float("nan")
     pde3d_path = "?"
     pde3d_pct = float("nan")
+    ooe_pct = float("nan")
     try:
         from nonlinearsolve_tpu.ops.pallas_spmv import (
             pallas_spmv_supported, select_spmv_plan, spmv_roofline)
@@ -291,7 +292,10 @@ def main():
                 csr_m.indptr, csr_m.indices, *csr_m.shape)
             if tier is None or jax.default_backend() != "tpu":
                 return "segment_sum", None, None
-            mode = getattr(plan, "mode", "band")
+            if tier == "scatter":
+                mode = f"{len(plan.parts)}part"
+            else:
+                mode = getattr(plan, "mode", "band")
             return (f"{tier}-{mode}" + ("+rcm" if perm is not None else ""),
                     tier, plan)
 
@@ -334,10 +338,11 @@ def main():
                                   jnp.float32),
                       np.asarray(cols, np.int32),
                       np.asarray(indptr_o, np.int32), (nooe, nooe))
-        ooe_path = ("pallas" if (pallas_spmv_supported(csr_ooe)
-                                 and jax.default_backend() == "tpu")
-                    else "segment_sum")
+        ooe_path, tier_o, plan_o = tier_label(csr_ooe)
         ooe_nnz_per_s = time_matvec(csr_ooe)
+        if plan_o is not None:
+            ooe_pct = 100.0 * ooe_nnz_per_s / spmv_roofline(
+                tier_o, plan_o, len(cols))["bound"]
     except Exception:   # noqa: BLE001 — diagnostic rows, never fatal
         if os.environ.get("NLS_BENCH_DEBUG"):
             import traceback
@@ -382,6 +387,43 @@ def main():
             import traceback
             traceback.print_exc()
 
+
+    # --- device-side LU triangular-solve row (VERDICT r3 next#5) -----------
+    # apply the host-persistent 64² factor on device (the exact-LU Krylov
+    # preconditioner economics: ~0.26 ms/solve vs ~25 ms/host-round-trip).
+    devlu_ms = float("nan")
+    try:
+        import scipy.sparse as spd
+        from nonlinearsolve_tpu.ops.device_lu import DeviceLU
+        nl = 64 * 64
+        dl = np.ones(nl)
+        Ldl = spd.diags([4 * dl, -dl[:-1], -dl[:-1], -dl[:-64], -dl[:-64]],
+                        [0, 1, -1, 64, -64], format="csr")
+        lu = DeviceLU(Ldl.indptr, Ldl.indices, nl, dtype=jnp.float32)
+        if lu.supported:
+            st = jax.tree.map(jax.device_put, lu.refresh_host(Ldl.data))
+            bdl = jnp.asarray(
+                np.random.default_rng(3).standard_normal(nl), jnp.float32)
+
+            def chain_lu(length):
+                @jax.jit
+                def run(b):
+                    def body(c, _):
+                        x, _ok = lu.solve(st, c)
+                        return x / jnp.maximum(jnp.max(jnp.abs(x)),
+                                               1.0), None
+                    out, _ = jax.lax.scan(body, b, None, length=length)
+                    return jnp.sum(jnp.abs(out))
+                return run
+            cl1, cl2 = chain_lu(3), chain_lu(13)
+            float(cl1(bdl)); float(cl2(bdl))
+            devlu_ms = 1e3 * slope_time(lambda: float(cl1(bdl)),
+                                        lambda: float(cl2(bdl)),
+                                        span=10, rounds=5)
+    except Exception:   # noqa: BLE001 — diagnostic row, never fatal
+        if os.environ.get("NLS_BENCH_DEBUG"):
+            import traceback
+            traceback.print_exc()
 
     metric = "brusselator512_spmv_nnz_per_s"
     # vs_baseline: ratio against a published reference number when one
@@ -431,7 +473,9 @@ def main():
                 f"{pde3d_nnz_per_s / 1e9:.2f} Gnnz/s "
                 f"{pde3d_pct:.0f}%; "
                 f"out_of_envelope[{ooe_path}]="
-                f"{ooe_nnz_per_s / 1e9:.2f} Gnnz/s)",
+                f"{ooe_nnz_per_s / 1e9:.2f} Gnnz/s {ooe_pct:.0f}%; "
+                f"device_lu_solve={devlu_ms:.2f} ms "
+                f"(64sq factor, host round-trip ~25 ms))",
         "vs_baseline": vs_baseline,
     }))
 

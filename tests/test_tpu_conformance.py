@@ -226,3 +226,72 @@ def test_bratu_exp_refinement_on_chip():
         / np.max(np.abs(u64))
     assert rel_inf < 1e-9, rel_inf
     assert rel_inf < fast_rel / 10.0
+
+
+def test_scatter_tier_random_matvec_on_chip():
+    """The two-pass scatter tier (r4) on the REAL chip: a random pattern
+    beyond every structured envelope dispatches to tier='scatter'
+    through CSR.matvec and matches the f64 reference at f32 grade
+    (measured 2.46 Gnnz/s = 75% of its op-count bound — bench row)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from nonlinearsolve_tpu.ops.pallas_spmv import select_spmv_plan
+    from nonlinearsolve_tpu.ops.sparse import CSR
+
+    rng = np.random.default_rng(7)
+    n, w = 131072, 16
+    cols = np.sort(rng.integers(0, n, size=(n, w)), axis=1).reshape(-1)
+    indptr = np.arange(n + 1, dtype=np.int64) * w
+    A = sp.csr_matrix((rng.standard_normal(n * w),
+                       cols.astype(np.int64), indptr), shape=(n, n))
+    tier, *_ = select_spmv_plan(A.indptr, A.indices, n, n)
+    assert tier == "scatter"
+    csr = CSR(jnp.asarray(A.data, jnp.float32),
+              np.asarray(A.indices, np.int32),
+              np.asarray(A.indptr, np.int32), (n, n))
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(csr.matvec(jnp.asarray(x)))
+    y_ref = A @ x.astype(np.float64)
+    rel = np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref))
+    assert rel < 2e-5
+
+
+def test_device_lu_precond_newton_on_chip():
+    """Newton-GMRES with the frozen exact-LU device preconditioner on
+    the REAL chip (refresh_host staging — axon rejects pure_callback):
+    converges in a handful of steps and measured 3.3x faster end-to-end
+    than Jacobi preconditioning (NOTES_ROUND4 #5)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from nonlinearsolve_tpu.ops.device_lu import DeviceLU
+    from nonlinearsolve_tpu.ops.sparse import CSR
+
+    N = 64
+    n = N * N
+    d = np.ones(n)
+    L = sp.diags([4 * d, -d[:-1], -d[:-1], -d[:-N], -d[:-N]],
+                 [0, 1, -1, N, -N], format="csr")
+    csrL = CSR(jnp.asarray(L.data, jnp.float32),
+               np.asarray(L.indices, np.int32),
+               np.asarray(L.indptr, np.int32), (n, n))
+    lu = DeviceLU(L.indptr, L.indices, n, dtype=jnp.float32)
+    assert lu.supported
+    state = jax.tree.map(jax.device_put, lu.refresh_host(L.data))
+
+    def M0(x):
+        return lu.solve(state, x)[0]
+
+    def f(u, p):
+        return csrL.matvec_xla(u) - p * jnp.exp(-u)
+
+    prob = nls.NonlinearProblem(
+        nls.NonlinearFunction(f, jac_prototype=csrL),
+        jnp.zeros(n, jnp.float32), jnp.float32(1.0))
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres",
+                                  precond_fn=lambda u: M0)),
+        abstol=1e-5, maxiters=30)
+    assert bool(sol.success)
+    assert int(sol.stats.nsteps) <= 12
+    resid = float(jnp.max(jnp.abs(f(sol.u, jnp.float32(1.0)))))
+    assert resid < 1e-4
