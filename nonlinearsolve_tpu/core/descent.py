@@ -296,6 +296,35 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
         # RCM) → block cyclic reduction on-device; general patterns →
         # AMD-ordered native host LU via pure_callback; dense LU only for
         # tiny systems.  Krylov remains the intended large-N path.
+        #
+        # method='sparse_lu_device' opts into the DEVICE-applied factor
+        # (ops/device_lu.py): the per-step host callback carries only the
+        # refactorization — the triangular sweeps run on-chip, so b/x
+        # never round-trip and factor-reusing variants (jac_reuse, IFT
+        # second solves) pay no callback at all.  A re-pivot (ok=False)
+        # falls back to the exact host path for that step.
+        if (ctx.square and isinstance(J, CSR)
+                and cfg.linsolve.method == "sparse_lu_device"):
+            from ..ops.device_lu import device_lu_for
+            import numpy as np
+            lu = device_lu_for(np.asarray(J.indptr), np.asarray(J.indices),
+                               J.shape[0], dtype=J.data.dtype)
+            if lu is not None:
+                state = lu.refresh(J.data)
+                x, ok = lu.solve(state, jnp.ravel(fu))
+                from ..ops.direct_sparse import solve_sparse_direct as _ssd
+
+                def _keep(_):
+                    return x, ok
+
+                def _host(_):
+                    return _ssd(J, jnp.ravel(fu))
+
+                x, ok = jax.lax.cond(ok, _keep, _host, operand=None)
+                du = -x
+                if u is not None and jnp.ndim(u) != 1:
+                    du = du.reshape(jnp.shape(u))
+                return du, ok
         from ..ops.direct_sparse import solve_sparse_direct
         if ctx.square and not isinstance(J, ELL):
             x, ok = solve_sparse_direct(J, jnp.ravel(fu))

@@ -29,6 +29,9 @@ class LinearSolver:
     method: 'auto' | 'lu' | 'qr' | 'cholesky' | 'svd' | 'diagonal'
             | 'gmres' | 'bicgstab' | 'cg' | 'minres'  (krylov handled by the caller via
             ops.krylov with a matrix/operator-aware dispatch)
+            | 'sparse_lu_device'  (concrete sparse Jacobians: host
+            refactorization + DEVICE-applied triangular sweeps,
+            ops/device_lu.py — b/x never round-trip)
     """
 
     method: str = "auto"
@@ -124,6 +127,10 @@ def solve_dense(A: jnp.ndarray, b: jnp.ndarray,
     method = cfg.method
     if method == "auto":
         method = "lu" if m == n else "qr"
+    if method == "sparse_lu_device":
+        # opted into the device-applied sparse factor but the Jacobian
+        # materialized dense (no sparse prototype): plain dense LU
+        method = "lu"
 
     if method == "diagonal":
         x = b / jnp.diagonal(A)

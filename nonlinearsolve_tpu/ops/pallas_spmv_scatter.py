@@ -321,6 +321,21 @@ class ScatterPlan:
             staged.append((g_packed, r_packed))
         return staged
 
+    def stage_unit(self, dtype):
+        """Staged state for UNIT data (selection/permutation operators,
+        e.g. the colored-Jacobian decompression): the packed tables are
+        the plans' static validity masks — zero device gathers, safe to
+        rebuild inside any trace."""
+        staged = []
+        for (_c0, _c1, _sel, part) in self.parts:
+            g = part.g_plan
+            g_packed = jnp.asarray(g.valid, dtype).reshape(
+                g.ntiles, 8, g.w, LANES)
+            r_packed = [jnp.asarray(rp.valid, dtype).reshape(
+                rp.ntiles, 8, rp.w, LANES) for rp in part.r_plans]
+            staged.append((g_packed, r_packed))
+        return staged
+
     def apply_staged(self, staged, x, interpret: bool):
         y = None
         for (c0, c1, _sel, part), (g_packed, r_packed) in zip(

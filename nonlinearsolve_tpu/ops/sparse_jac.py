@@ -10,6 +10,15 @@ Pipeline (pattern + coloring static, computed once at trace time):
   seeds[c] = Σ_{color(j)=c} e_j                      (n_colors, n)
   compressed = vmap(jvp(f, u, seed))                 (n_colors, m)
   data[k]   = compressed[color(col(k)), row(k)]      (nnz,) gather
+
+The decompression gather is a STATIC selection — and XLA's TPU gather
+runs at ~0.14 Gelem/s (docs/tpu_tuning.md §7d), ~22 ms/step on a 512²
+Brusselator Jacobian — so on TPU it rides the windowed-ELL register
+kernel instead: over the ROW-MAJOR transpose of ``compressed`` the k-th
+nonzero reads flat index ``row(k)·C + color(col(k))``, which is
+monotone in k up to a C-wide wiggle, i.e. a tiny gather window.  The
+XLA take stays as the portable fallback (CPU, or patterns beyond the
+kernel envelope).
 """
 
 from __future__ import annotations
@@ -41,6 +50,29 @@ class ColoredJacobian:
         row_ids = pattern.row_ids
         self._gather = (self.colors[pattern.indices].astype(np.int64) * n_out
                         + row_ids.astype(np.int64))
+        # Pallas decompression plan (module docstring): selection pattern
+        # over the row-major layout, one source per nonzero, thin-plan rt
+        # amortization.  Beyond the resident envelope (source space
+        # n_out·C over ~2.6M) the two-pass scatter tier takes over — its
+        # column-range parts stream any size.  None/None -> XLA take.
+        self._sel_plan = None
+        self._sel_scatter = None
+        nnz = len(self._gather)
+        if nnz and self.n_colors:
+            from .pallas_spmv import EllPlan
+            src = (row_ids.astype(np.int64) * self.n_colors
+                   + self.colors[pattern.indices].astype(np.int64))
+            indptr1 = np.arange(nnz + 1, dtype=np.int64)
+            plan = EllPlan(indptr1, src, nnz, n_out * self.n_colors,
+                           rt=16)
+            if plan.supported:
+                self._sel_plan = plan
+            else:
+                from .pallas_spmv_scatter import scatter_plan_for
+                splan = scatter_plan_for(indptr1, src, nnz,
+                                         n_out * self.n_colors)
+                if splan.supported:
+                    self._sel_scatter = splan
 
     def __call__(self, f_flat: Callable, u) -> CSR:
         seeds = jnp.asarray(self._seeds, u.dtype)
@@ -51,7 +83,23 @@ class ColoredJacobian:
             return jnp.ravel(jax.jvp(f_flat, (u,), (seed,))[1])
 
         compressed = jax.vmap(one_color)(seeds)      # (n_colors, n_out)
-        data = compressed.reshape(-1)[jnp.asarray(self._gather)]
+        if self._sel_plan is not None:
+            from .pallas_spmv import _ell_spmv_packed, _use_interpret
+            plan = self._sel_plan
+            ones = jnp.asarray(plan.valid, compressed.dtype).reshape(
+                plan.ntiles, 8, plan.w, 128)
+            xsrc = compressed.T.reshape(-1)          # row-major source
+            data = _ell_spmv_packed(plan, ones, plan.pack_x(xsrc),
+                                    _use_interpret(None))[:len(
+                                        self._gather)]
+        elif self._sel_scatter is not None:
+            from .pallas_spmv import _use_interpret
+            sp = self._sel_scatter
+            data = sp.apply_staged(sp.stage_unit(compressed.dtype),
+                                   compressed.T.reshape(-1),
+                                   _use_interpret(None))
+        else:
+            data = compressed.reshape(-1)[jnp.asarray(self._gather)]
         return self.pattern.with_data(data)
 
 

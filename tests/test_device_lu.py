@@ -151,3 +151,28 @@ def test_device_lu_for_cache():
     lu2 = device_lu_for(np.asarray(A.indptr), np.asarray(A.indices),
                         A.shape[0])
     assert lu1 is lu2
+
+
+def test_sparse_lu_device_direct_method():
+    # LinearSolver(method='sparse_lu_device'): per Newton step ONE host
+    # callback (the refactorization) and device-side triangular sweeps —
+    # b/x never round-trip; public surface end-to-end.
+    import nonlinearsolve_tpu as nls
+
+    A = _poisson_csr(12, seed=9)
+    n = A.shape[0]
+    Aj = jnp.asarray(A.toarray())
+    b = jnp.asarray(np.random.default_rng(10).standard_normal(n))
+
+    def f(u, p):
+        return Aj @ u + 0.05 * u ** 3 - p
+
+    proto = CSR(jnp.asarray(A.data), np.asarray(A.indices, np.int32),
+                np.asarray(A.indptr, np.int32), (n, n))
+    prob = nls.NonlinearProblem(
+        nls.NonlinearFunction(f, jac_prototype=proto), jnp.zeros(n), b)
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="sparse_lu_device")),
+        abstol=1e-10)
+    assert int(sol.retcode) == 1
+    assert float(jnp.max(jnp.abs(f(sol.u, b)))) < 1e-9

@@ -632,3 +632,66 @@ def test_concrete_csr_jacobian_gmres_staged_path():
         abstol=1e-10)
     assert bool(sol.success)
     assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
+
+
+def test_colored_jacobian_pallas_decompression_matches_fallback():
+    """r4: the decompression gather rides the windowed-ELL kernel over
+    the row-major compressed transpose (XLA takes run ~0.14 Gelem/s on
+    TPU — docs/tpu_tuning.md §7d); both paths must agree exactly, and a
+    pattern beyond the kernel envelope must fall back cleanly."""
+    import numpy as np
+    from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
+
+    N = 12
+    n = N * N
+
+    def f(u):
+        up = jnp.pad(u.reshape(N, N), 1)
+        lap = (4 * up[1:-1, 1:-1] - up[:-2, 1:-1] - up[2:, 1:-1]
+               - up[1:-1, :-2] - up[1:-1, 2:]).reshape(-1)
+        return lap + 0.3 * u ** 3
+
+    plan = plan_sparse_jacobian(f, n, n)
+    assert plan._sel_plan is not None
+    u = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    J = plan(f, u)
+    Jd = np.asarray(jax.jacfwd(f)(u))
+    import scipy.sparse as sp
+    Js = sp.csr_matrix((np.asarray(J.data), np.asarray(J.indices),
+                        np.asarray(J.indptr)), shape=(n, n)).toarray()
+    np.testing.assert_allclose(Js, Jd, atol=1e-13)
+    # the XLA-take fallback produces the identical data vector
+    sel, plan._sel_plan = plan._sel_plan, None
+    J2 = plan(f, u)
+    plan._sel_plan = sel
+    np.testing.assert_allclose(np.asarray(J.data), np.asarray(J2.data),
+                               atol=0)
+
+
+def test_colored_jacobian_scatter_decompression(monkeypatch):
+    """Beyond the resident envelope the decompression rides the scatter
+    tier via stage_unit (static masks, zero device gathers) — forced
+    here by shrinking the cap."""
+    import numpy as np
+    import nonlinearsolve_tpu.ops.pallas_spmv as ps
+    from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
+
+    monkeypatch.setattr(ps, "MAX_X_ELEMS_VMEM", 256)
+    N = 12
+    n = N * N
+
+    def f(u):
+        up = jnp.pad(u.reshape(N, N), 1)
+        lap = (4 * up[1:-1, 1:-1] - up[:-2, 1:-1] - up[2:, 1:-1]
+               - up[1:-1, :-2] - up[1:-1, 2:]).reshape(-1)
+        return lap + 0.3 * u ** 3
+
+    plan = plan_sparse_jacobian(f, n, n)
+    assert plan._sel_plan is None and plan._sel_scatter is not None
+    u = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    J = plan(f, u)
+    Jd = np.asarray(jax.jacfwd(f)(u))
+    import scipy.sparse as sp
+    Js = sp.csr_matrix((np.asarray(J.data), np.asarray(J.indices),
+                        np.asarray(J.indptr)), shape=(n, n)).toarray()
+    np.testing.assert_allclose(Js, Jd, atol=1e-13)
