@@ -181,10 +181,12 @@ class DeviceLU:
 
     def __init__(self, indptr, indices, n, *, perm=None, sample_data=None,
                  dtype=jnp.float32):
+        import threading
         self.n = int(n)
         self.dtype = dtype
         self.supported = False
         self.fac = None
+        self._refresh_lock = threading.Lock()
         try:
             from ..native import SpLuFactor, amd_ordering, get_lib
             if get_lib() is None:
@@ -441,8 +443,12 @@ class DeviceLU:
                 np.asarray(True))
 
     def _refresh_np(self, data):
-        rc = self.fac.factorize(np.asarray(data, np.float64))
-        exp = self.fac.export_factor() if rc == 0 else None
+        # one lock around factorize+export: concurrent refresh callbacks
+        # on XLA's pool must not interleave another call's numeric values
+        # between the two (the factor object's own locks are per-call)
+        with self._refresh_lock:
+            rc = self.fac.factorize(np.asarray(data, np.float64))
+            exp = self.fac.export_factor() if rc == 0 else None
         if exp is not None and exp["n_factor"] != self.epoch:
             # re-pivot changed the fill pattern: the static schedule no
             # longer applies — caller must fall back for this step

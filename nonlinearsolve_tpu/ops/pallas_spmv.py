@@ -236,6 +236,19 @@ def pattern_key(indptr, indices, *extra) -> tuple:
     return (h.hexdigest(),) + tuple(int(e) for e in extra)
 
 
+def _default_rt(indptr, n_rows) -> int:
+    """Row-tiles per grid step for the public resident tier: amortize
+    the fixed per-step pipeline cost on thin plans (measured v5e, 512²
+    Brusselator CSR w=6: rt=1 13.9 → rt=2 17.3 Gnnz/s), shrunk so tiny
+    patterns keep at least two grid steps."""
+    counts = np.diff(np.asarray(indptr, np.int64))
+    w = max(int(counts.max()) if counts.size else 1, 1)
+    rt = max(1, min(16, 16 // min(w, 16)))
+    while rt > 1 and rt * ROWS_PER_TILE > max(int(n_rows), 1):
+        rt //= 2
+    return rt
+
+
 def ell_plan_for(indptr, indices, n_rows, n_cols) -> EllPlan:
     """Build (or fetch) the gather plan for a pattern, keyed by a
     fingerprint of the symbolic structure, so repeated solves and data
@@ -243,7 +256,8 @@ def ell_plan_for(indptr, indices, n_rows, n_cols) -> EllPlan:
     key = pattern_key(indptr, indices, n_rows, n_cols)
     plan = _PLAN_CACHE.get(key)
     if plan is None:
-        plan = EllPlan(indptr, indices, int(n_rows), int(n_cols))
+        plan = EllPlan(indptr, indices, int(n_rows), int(n_cols),
+                       rt=_default_rt(indptr, n_rows))
         _PLAN_CACHE[key] = plan
     return plan
 

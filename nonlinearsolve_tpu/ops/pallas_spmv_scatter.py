@@ -59,10 +59,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import pallas_spmv as _ps
 from .pallas_spmv import (LANES, MAX_SLOTS, MAX_WINDOW_ROWS,
-                          MAX_X_ELEMS_VMEM, ROWS_PER_TILE, EllPlan,
-                          _ell_spmv_packed, _round_up, _use_interpret,
-                          pattern_key)
+                          ROWS_PER_TILE, EllPlan, _ell_spmv_packed,
+                          _round_up, _use_interpret, pattern_key)
+
+
+def _x_cap() -> int:
+    # read pallas_spmv's cap DYNAMICALLY: the envelope that EllPlan's
+    # supported-check consults must be the same one the column splitter
+    # uses, including under test monkeypatching
+    return _ps.MAX_X_ELEMS_VMEM
 
 # Leave W-cap slack: the zone span bound B*w <= ~0.75 of the kernel's
 # 512-tile-row (65536-element) window ceiling.
@@ -159,7 +166,7 @@ class _TwoPassPart:
         rank = np.arange(nnz, dtype=np.int64) - zcum[sorted_blk]
         pos_sorted = zstart[sorted_blk] + rank
         P = int(zpad.sum())
-        if P > MAX_X_ELEMS_VMEM:
+        if P > _x_cap():
             return None
 
         # G: P rows, one column each at the padded position's nonzero.
@@ -248,7 +255,7 @@ class ScatterPlan:
         nnz = len(indices)
         if nnz == 0:
             return
-        cap = int(0.9 * MAX_X_ELEMS_VMEM)
+        cap = int(0.9 * _x_cap())
         nsplit = max(-(-self.n_cols // cap), -(-nnz // cap))
         # Column boundaries balancing nnz per part.
         if nsplit == 1:
@@ -267,7 +274,7 @@ class ScatterPlan:
             sel = np.flatnonzero((indices >= c0) & (indices < c1))
             if sel.size == 0:
                 continue
-            if sel.size > MAX_X_ELEMS_VMEM:
+            if sel.size > _x_cap():
                 return      # a single column range can't be split further
             prows = rows[sel]
             pindices = indices[sel] - c0

@@ -88,12 +88,13 @@ def test_unsupported_patterns_fall_back(monkeypatch):
     # test stays small) — the dispatch-level segment_sum fallback for
     # tier None is covered by CSR.matvec's supported() gate.
     import nonlinearsolve_tpu.ops.pallas_spmv_scatter as sc
-    monkeypatch.setattr(sc, "MAX_X_ELEMS_VMEM", 256)
+    monkeypatch.setattr(ps, "MAX_X_ELEMS_VMEM", 256)
     rows_d = np.arange(2048)
     cols_d = np.zeros(2048, np.int64)
     indptr_d = np.arange(2049)
     plan = sc.ScatterPlan(indptr_d, cols_d, 2048, 2048)
     assert not plan.supported
+    sc._SCATTER_PLAN_CACHE.clear()
 
 
 def test_sparse_long_range_rows_now_streamed():

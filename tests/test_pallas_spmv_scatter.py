@@ -67,11 +67,14 @@ def test_dense_rows_chain_reduction():
 def test_column_split_parts(monkeypatch):
     # Force the VMEM-resident cap low enough that the plan must split
     # into column-range parts.
+    import nonlinearsolve_tpu.ops.pallas_spmv as ps
     import nonlinearsolve_tpu.ops.pallas_spmv_scatter as mod
-    monkeypatch.setattr(mod, "MAX_X_ELEMS_VMEM", 2048)
+    mod._SCATTER_PLAN_CACHE.clear()
+    monkeypatch.setattr(ps, "MAX_X_ELEMS_VMEM", 2048)
     A = _rand_csr(512, 4096, 3, seed=5)
     plan = _check_forward(A)
     assert len(plan.parts) >= 2
+    mod._SCATTER_PLAN_CACHE.clear()
 
 
 def test_staged_matches_and_vjp():

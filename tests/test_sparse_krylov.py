@@ -674,8 +674,18 @@ def test_colored_jacobian_scatter_decompression(monkeypatch):
     here by shrinking the cap."""
     import numpy as np
     import nonlinearsolve_tpu.ops.pallas_spmv as ps
+    import nonlinearsolve_tpu.ops.pallas_spmv_scatter as sc
     from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
 
+    # plans built under a monkeypatched cap must neither reuse nor leave
+    # behind pattern-keyed cache entries (xdist workers share state)
+    def _clear():
+        ps._PLAN_CACHE.clear()
+        ps._TIER_CACHE.clear()
+        ps._REORDER_CACHE.clear()
+        sc._SCATTER_PLAN_CACHE.clear()
+
+    _clear()
     monkeypatch.setattr(ps, "MAX_X_ELEMS_VMEM", 256)
     N = 12
     n = N * N
@@ -695,3 +705,4 @@ def test_colored_jacobian_scatter_decompression(monkeypatch):
     Js = sp.csr_matrix((np.asarray(J.data), np.asarray(J.indices),
                         np.asarray(J.indptr)), shape=(n, n)).toarray()
     np.testing.assert_allclose(Js, Jd, atol=1e-13)
+    _clear()
