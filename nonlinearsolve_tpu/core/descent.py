@@ -200,8 +200,11 @@ def _matrix_precond(cfg: LinearSolver, J):
                 state = lu.refresh(J.data)
 
                 def apply(x, lu=lu, state=state):
-                    out, _ok = lu.solve(state, x)
-                    return out
+                    # a re-pivot ships the zeroed placeholder state with
+                    # ok=False: degrade to the identity preconditioner
+                    # rather than a singular one
+                    out, ok = lu.solve(state, x)
+                    return jnp.where(ok, out, x)
 
                 return apply
         return None

@@ -598,7 +598,9 @@ def device_lu_preconditioner(csr):
         state = lu.refresh(csr.data)
 
     def apply(x):
-        out, _ok = lu.solve(state, x)
-        return out
+        # ok=False (re-pivot placeholder state) degrades to the identity
+        # preconditioner instead of a singular zero map
+        out, ok = lu.solve(state, x)
+        return jnp.where(ok, out, x)
 
     return apply

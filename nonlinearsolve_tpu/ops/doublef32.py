@@ -304,6 +304,66 @@ def df_log(x: DF) -> DF:
     return df_add(DF(y0, jnp.zeros_like(y0)), corr)
 
 
+def df_expm1(x: DF) -> DF:
+    """Double-word expm1.  |x| ≤ ~ln2/2 uses the exp Taylor with the
+    constant term dropped — expm1 = x·Σ xⁿ/(n+1)! — so there is NO
+    1-subtraction to cancel; beyond that df_exp(x) − 1 is safe because
+    |expm1| ≥ 0.29 keeps the subtraction's relative error at double-word
+    grade.  (The naive exp−1 at tiny x loses ~5 decades: the 1 is
+    subtracted AFTER exp is rounded to the double-word grid.)"""
+    dtype = x.hi.dtype
+    N = 24 if np.dtype(dtype) == np.float64 else 13
+    acc = None
+    for n in range(N, -1, -1):
+        c = _df_const2(*_INV_FACT[n + 1], dtype)
+        c = DF(jnp.broadcast_to(c.hi, x.hi.shape),
+               jnp.broadcast_to(c.lo, x.hi.shape))
+        acc = c if acc is None else df_add(df_mul(acc, x), c)
+    small = df_mul(x, acc)
+    big = df_add_f(df_exp(x), jnp.asarray(-1.0, dtype))
+    use_small = jnp.abs(x.hi) <= jnp.asarray(0.3466, dtype)
+    return DF(jnp.where(use_small, small.hi, big.hi),
+              jnp.where(use_small, small.lo, big.lo))
+
+
+def _inv_n_pairs(nmax: int):
+    from fractions import Fraction
+    out = []
+    for n in range(nmax + 1):
+        q = Fraction(1, n + 1)
+        hi = float(q)
+        lo = float(q - Fraction(hi))
+        out.append((hi, lo))
+    return out
+
+
+_INV_N = _inv_n_pairs(30)
+
+
+def df_log1p(x: DF) -> DF:
+    """Double-word log1p.  |x| ≤ 0.1 uses the Mercator series
+    x·Σ (−x)ⁿ/(n+1) in double-word Horner (df_log's Newton seed
+    log(hi-of-1+x) rounds tiny x to 0, leaving only ~1e-9 relative
+    accuracy through the residual path); beyond that log(1+x) with the
+    exact two_sum 1+x is already double-word grade."""
+    dtype = x.hi.dtype
+    N = 24 if np.dtype(dtype) == np.float64 else 13
+    acc = None
+    for n in range(N, -1, -1):
+        hi64, lo64 = _INV_N[n]
+        if n % 2 == 1:
+            hi64, lo64 = -hi64, -lo64
+        c = _df_const2(hi64, lo64, dtype)
+        c = DF(jnp.broadcast_to(c.hi, x.hi.shape),
+               jnp.broadcast_to(c.lo, x.hi.shape))
+        acc = c if acc is None else df_add(df_mul(acc, x), c)
+    small = df_mul(x, acc)
+    big = df_log(df_add_f(x, jnp.asarray(1.0, dtype)))
+    use_small = jnp.abs(x.hi) <= jnp.asarray(0.1, dtype)
+    return DF(jnp.where(use_small, small.hi, big.hi),
+              jnp.where(use_small, small.lo, big.lo))
+
+
 def _df_sincos_kernel(r: DF, nterms: int):
     """Taylor sin(r), cos(r) for |r| ≤ π/4 via Horner over z = r²."""
     dtype = r.hi.dtype

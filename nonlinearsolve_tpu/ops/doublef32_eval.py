@@ -204,13 +204,23 @@ def _init_rules():
     R[lax.log_p] = lambda eqn, a: df_log(_as_df(a))
     R[lax.sin_p] = lambda eqn, a: df_sin(_as_df(a))
     R[lax.cos_p] = lambda eqn, a: df_cos(_as_df(a))
-    R[lax.pow_p] = lambda eqn, a, b: df_exp(
-        df_mul(_as_df(b), df_log(_as_df(a))))
-    R[lax.expm1_p] = lambda eqn, a: df_add_f(
-        df_exp(_as_df(a)),
-        jnp.asarray(-1.0, _as_df(a).hi.dtype))
-    R[lax.log1p_p] = lambda eqn, a: df_log(df_add_f(
-        _as_df(a), jnp.asarray(1.0, _as_df(a).hi.dtype)))
+    def _df_pow(eqn, a, b):
+        # exp(y·log x) only where x > 0; base 0 (and any non-positive
+        # base) takes plain lax.pow semantics — log(0) = -inf would
+        # otherwise NaN-poison the whole defect (0**1.5 must be 0)
+        xa, xb = _as_df(a), _as_df(b)
+        pos = xa.hi > 0
+        safe = DF(jnp.where(pos, xa.hi, jnp.ones_like(xa.hi)),
+                  jnp.where(pos, xa.lo, jnp.zeros_like(xa.lo)))
+        r = df_exp(df_mul(xb, df_log(safe)))
+        plain = jax.lax.pow(xa.hi, xb.hi)
+        return DF(jnp.where(pos, r.hi, plain),
+                  jnp.where(pos, r.lo, jnp.zeros_like(r.lo)))
+
+    R[lax.pow_p] = _df_pow
+    from .doublef32 import df_expm1, df_log1p
+    R[lax.expm1_p] = lambda eqn, a: df_expm1(_as_df(a))
+    R[lax.log1p_p] = lambda eqn, a: df_log1p(_as_df(a))
     R[lax.tan_p] = lambda eqn, a: df_div(df_sin(_as_df(a)),
                                          df_cos(_as_df(a)))
     R[lax.abs_p] = lambda eqn, a: _select_n(
@@ -487,6 +497,12 @@ def df_eval(fn: Callable, *args, rules: Dict = None, trace_wide: bool = True):
     residual constant like ``1/h²`` is f32-rounded at trace time and
     silently caps the whole defect at ~1e-8 relative — measured on Bratu
     32² (rel-inf stuck at 8.86e-9 until this fix).
+
+    Caveat: a residual that INTROSPECTS its input dtype (e.g.
+    ``jnp.finfo(u.dtype).eps`` as a guard constant) sees float64 under
+    the wide trace and embeds the f64 value — a different function than
+    the f32 one being certified.  Pass ``trace_wide=False`` for such
+    residuals (constants then f32-round as before).
     """
     flat_args = []
     hi_args = []

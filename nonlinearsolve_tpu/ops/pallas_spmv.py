@@ -78,6 +78,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def transpose_pattern_of(indptr, indices, n_rows, n_cols):
+    """(tindptr, tindices, tperm): the CSR pattern of A^T plus the
+    permutation mapping A's data order into A^T's.  Host-side; the ONE
+    implementation every plan class's ``transpose_pattern`` delegates
+    to."""
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices, np.int64)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr))
+    order = np.lexsort((rows, indices))     # sort by (col, row)
+    counts = np.bincount(indices, minlength=n_cols)
+    tindptr = np.concatenate([[0], np.cumsum(counts)])
+    return tindptr, rows[order], order
+
+
 class EllPlan:
     """Host-built slot-major windowed gather plan for one pattern.
 
@@ -212,14 +226,10 @@ class EllPlan:
                          np.diff(self.indptr))
 
     def transpose_pattern(self):
-        """(tindptr, tindices, tperm): the CSR pattern of A^T plus the
-        permutation mapping A's data order into A^T's (host, cached)."""
+        """(tindptr, tindices, tperm) of A^T (host, cached)."""
         if self._transpose is None:
-            rows = self.row_ids
-            order = np.lexsort((rows, self.indices))  # sort by (col, row)
-            counts = np.bincount(self.indices, minlength=self.n_cols)
-            tindptr = np.concatenate([[0], np.cumsum(counts)])
-            self._transpose = (tindptr, rows[order], order)
+            self._transpose = transpose_pattern_of(
+                self.indptr, self.indices, self.n_rows, self.n_cols)
         return self._transpose
 
 

@@ -88,16 +88,13 @@ def _rt_for(w: int, n_rows: int) -> int:
 
 
 def _ell_cost(plan: EllPlan, *, effective=False) -> float:
-    """Weighted vector-ops per 128-row group of ``plan`` (the same
-    per-visit weights as pallas_spmv.spmv_tier_cost's resident row).
-    ``effective=True`` additionally derates window walks too deep for
-    the kernel's static unroll (fori_loop scalar overhead — measured
-    ~4x), used when comparing zone-height candidates."""
-    G = plan.W // 8
-    c = 12.0 * plan.w * G if plan.mode == "slot" else (12.0 * plan.w + 2.0) * G
-    if effective and G > 8:
-        c *= 4.0
-    return c
+    """Weighted vector-ops per 128-row group of ``plan`` — delegated to
+    pallas_spmv's model so the weights, the unroll threshold, and the
+    dynamic-loop derate stay in ONE place.  ``effective=True`` applies
+    the derate, used when comparing zone-height candidates."""
+    if effective:
+        return _ps._derated_cost("resident", plan)
+    return _ps.spmv_tier_cost("resident", plan)
 
 
 class _TwoPassPart:
@@ -238,9 +235,10 @@ class ScatterPlan:
     """Host-built two-pass plan for one pattern, with column-range parts
     when n_cols or the product vector exceed the VMEM-resident envelope.
 
-    ``parts`` is a list of (c0, data_sel, _TwoPassPart): ``data_sel``
-    maps A's CSR data order to the part's CSR data order (a static
-    take, hoisted by the staged closure)."""
+    ``parts`` is a list of (c0, c1, data_sel, _TwoPassPart): the column
+    range [c0, c1) and ``data_sel``, which maps A's CSR data order to
+    the part's CSR data order (a static take, hoisted by the staged
+    closure)."""
 
     def __init__(self, indptr, indices, n_rows, n_cols):
         self.ok = False
@@ -306,11 +304,8 @@ class ScatterPlan:
     def transpose_pattern(self):
         """(tindptr, tindices, tperm) of A^T (host, cached)."""
         if self._transpose is None:
-            rows = self.row_ids
-            order = np.lexsort((rows, self.indices))
-            counts = np.bincount(self.indices, minlength=self.n_cols)
-            tindptr = np.concatenate([[0], np.cumsum(counts)])
-            self._transpose = (tindptr, rows[order], order)
+            self._transpose = _ps.transpose_pattern_of(
+                self.indptr, self.indices, self.n_rows, self.n_cols)
         return self._transpose
 
     # -- traced application -------------------------------------------------

@@ -95,6 +95,14 @@ class BandPlan:
         if nnz == 0 or n_rows == 0:
             return
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        # Canonicalize to per-row-SORTED column order: the (row, band)
+        # run/rank logic below requires it, but CSR permits unsorted
+        # columns — without this, interleaved band entries restarted
+        # rank at 0 and silently collided in one ELL slot.  ``order0``
+        # maps sorted position -> original CSR position (identity when
+        # already sorted; rows are invariant under the stable sort).
+        order0 = np.lexsort((indices, rows))
+        indices = indices[order0]
         offs = indices - rows
 
         # Greedy band clustering of the distinct diagonal offsets.
@@ -177,7 +185,7 @@ class BandPlan:
         idx_t = np.zeros((w, n_pad), np.int32)
         perm = np.full((w, n_pad), -1, np.int64)
         idx_t[slots, rows] = packed
-        perm[slots, rows] = np.arange(nnz, dtype=np.int64)
+        perm[slots, rows] = order0      # slot -> ORIGINAL CSR position
 
         def to_tiles(a):
             return (a.reshape(w, ntiles, SUBLANES, LANES)
@@ -246,11 +254,9 @@ class BandPlan:
     def transpose_pattern(self):
         """(tindptr, tindices, tperm) of A^T (host, cached)."""
         if self._transpose is None:
-            rows = self.row_ids
-            order = np.lexsort((rows, self.indices))
-            counts = np.bincount(self.indices, minlength=self.n_cols)
-            tindptr = np.concatenate([[0], np.cumsum(counts)])
-            self._transpose = (tindptr, rows[order], order)
+            from .pallas_spmv import transpose_pattern_of
+            self._transpose = transpose_pattern_of(
+                self.indptr, self.indices, self.n_rows, self.n_cols)
         return self._transpose
 
 

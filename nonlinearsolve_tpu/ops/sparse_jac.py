@@ -32,6 +32,9 @@ import numpy as np
 from .coloring import detect_sparsity, greedy_column_coloring, pattern_from
 from .sparse import CSR
 
+# test hook: exercise the Pallas decompression paths off-TPU (interpret)
+_FORCE_PALLAS_DECOMPRESS = False
+
 
 class ColoredJacobian:
     """Precomputed plan for sparse Jacobian assembly into CSR."""
@@ -83,7 +86,13 @@ class ColoredJacobian:
             return jnp.ravel(jax.jvp(f_flat, (u,), (seed,))[1])
 
         compressed = jax.vmap(one_color)(seeds)      # (n_colors, n_out)
-        if self._sel_plan is not None:
+        # The Pallas decompression only pays off on real hardware; on the
+        # CPU backend interpret-mode grid execution would be far slower
+        # than the one-line XLA gather (tests force the kernel paths via
+        # _FORCE_PALLAS_DECOMPRESS).
+        use_pallas = (jax.default_backend() == "tpu"
+                      or _FORCE_PALLAS_DECOMPRESS)
+        if use_pallas and self._sel_plan is not None:
             from .pallas_spmv import _ell_spmv_packed, _use_interpret
             plan = self._sel_plan
             ones = jnp.asarray(plan.valid, compressed.dtype).reshape(
@@ -92,7 +101,7 @@ class ColoredJacobian:
             data = _ell_spmv_packed(plan, ones, plan.pack_x(xsrc),
                                     _use_interpret(None))[:len(
                                         self._gather)]
-        elif self._sel_scatter is not None:
+        elif use_pallas and self._sel_scatter is not None:
             from .pallas_spmv import _use_interpret
             sp = self._sel_scatter
             data = sp.apply_staged(sp.stage_unit(compressed.dtype),

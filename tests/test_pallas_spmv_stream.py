@@ -226,3 +226,27 @@ def test_csr_matvec_dispatch_correct():
                        np.asarray(patt.indptr)), shape=(n, n))
     np.testing.assert_allclose(np.asarray(csr.matvec(jnp.asarray(x))),
                                A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_unsorted_columns_within_rows_exact():
+    """CSR permits unsorted per-row columns; the band plan canonicalizes
+    to sorted order internally (r4 review: interleaved band entries used
+    to restart the rank and silently collide in one slot — max error 6.2
+    on a two-band pattern)."""
+    n = 4096
+    rows = np.repeat(np.arange(n - 2048), 3)
+    cols = np.empty(rows.size, np.int64)
+    cols[0::3] = np.arange(n - 2048)            # diagonal
+    cols[1::3] = np.arange(n - 2048) + 2048     # far band FIRST
+    cols[2::3] = np.arange(n - 2048) + 1        # then near band (unsorted!)
+    import scipy.sparse as ssp
+    data = RNG.standard_normal(rows.size)
+    indptr = np.arange(n - 2048 + 1) * 3
+    plan = BandPlan(indptr, cols, n - 2048, n)
+    A = ssp.csr_matrix((data, cols, indptr), shape=(n - 2048, n))
+    if plan.ok:
+        from nonlinearsolve_tpu.ops.pallas_spmv_stream import \
+            band_spmv_pallas
+        x = RNG.standard_normal(n)
+        y = band_spmv_pallas(plan, jnp.asarray(data), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), A @ x, atol=1e-10)

@@ -488,3 +488,30 @@ class TestAutoRefine:
         after = np.abs(u_ref - r.x).max()
         assert after < 1e-7          # measured 8e-9
         assert after < before / 10
+
+
+def test_df_eval_pow_zero_base_and_small_expm1_log1p():
+    """r4 review fixes: pow at base 0 must not NaN-poison the defect
+    (exp(y*log 0)); expm1/log1p at small arguments keep double-word
+    relative accuracy (series kernels, not exp(x)-1 / log(1+x))."""
+    import numpy as np
+    from nonlinearsolve_tpu.ops.doublef32 import (DF, df_expm1, df_log1p,
+                                                  df_value_f64)
+    from nonlinearsolve_tpu.ops.doublef32_eval import df_eval
+
+    u = jnp.asarray(np.array([0.0, 1.0, 4.0], np.float32))
+    out = df_eval(lambda v: v ** jnp.asarray(1.5, v.dtype), u)
+    np.testing.assert_allclose(np.asarray(df_value_f64(out)),
+                               [0.0, 1.0, 8.0], atol=1e-12)
+
+    xs = np.array([1e-10, 1e-6, 1e-3, 0.02, 0.09, 0.3, 2.0, -1e-8,
+                   -0.09, -0.4], np.float32)
+    x = DF(jnp.asarray(xs), jnp.zeros(xs.shape, jnp.float32))
+    rel = np.abs((np.asarray(df_value_f64(df_expm1(x)))
+                  - np.expm1(xs.astype(np.float64)))
+                 / np.expm1(xs.astype(np.float64)))
+    assert rel.max() < 1e-13
+    rel2 = np.abs((np.asarray(df_value_f64(df_log1p(x)))
+                   - np.log1p(xs.astype(np.float64)))
+                  / np.log1p(xs.astype(np.float64)))
+    assert rel2.max() < 1e-13

@@ -634,13 +634,16 @@ def test_concrete_csr_jacobian_gmres_staged_path():
     assert float(jnp.max(jnp.abs(sol.resid))) < 1e-9
 
 
-def test_colored_jacobian_pallas_decompression_matches_fallback():
+def test_colored_jacobian_pallas_decompression_matches_fallback(monkeypatch):
     """r4: the decompression gather rides the windowed-ELL kernel over
     the row-major compressed transpose (XLA takes run ~0.14 Gelem/s on
     TPU — docs/tpu_tuning.md §7d); both paths must agree exactly, and a
     pattern beyond the kernel envelope must fall back cleanly."""
     import numpy as np
+    import nonlinearsolve_tpu.ops.sparse_jac as sj
     from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
+
+    monkeypatch.setattr(sj, "_FORCE_PALLAS_DECOMPRESS", True)
 
     N = 12
     n = N * N
@@ -675,7 +678,10 @@ def test_colored_jacobian_scatter_decompression(monkeypatch):
     import numpy as np
     import nonlinearsolve_tpu.ops.pallas_spmv as ps
     import nonlinearsolve_tpu.ops.pallas_spmv_scatter as sc
+    import nonlinearsolve_tpu.ops.sparse_jac as sj
     from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
+
+    monkeypatch.setattr(sj, "_FORCE_PALLAS_DECOMPRESS", True)
 
     # plans built under a monkeypatched cap must neither reuse nor leave
     # behind pattern-keyed cache entries (xdist workers share state)
