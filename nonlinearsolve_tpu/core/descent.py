@@ -181,16 +181,31 @@ def descent_init(cfg, ctx: DescentCtx, J, fu, u):
 # solve
 # ---------------------------------------------------------------------------
 
-def _matrix_precond(cfg: LinearSolver, J):
+def _matrix_precond(cfg: LinearSolver, J, verbosity=None):
     """Built-in preconditioners for materialized operators.
 
     'jacobi': diagonal scaling.  'device_lu': the exact host-factored /
     device-applied sparse LU (ops/device_lu.py — the KLU-preconditioned
     Krylov role of the reference's large_systems tutorial): ONE host
     callback per Newton linearization (the numeric refactorization),
-    then every Krylov iteration applies the factors on device."""
+    then every Krylov iteration applies the factors on device.  An
+    unavailable 'device_lu' (non-CSR J, no native lib, unsupported
+    schedule) degrades to no preconditioner — visibly, via the linear
+    'precond_unavailable' verbosity class (plan availability is static,
+    so the message is emitted host-side at trace time)."""
     if cfg.precond == "device_lu":
         from ..ops.sparse import CSR
+        from .verbosity import NonlinearVerbosity
+
+        def _notify(why):
+            lin = (getattr(verbosity, "linear", None)
+                   if isinstance(verbosity, NonlinearVerbosity)
+                   else verbosity)
+            if lin is not None and hasattr(lin, "emit"):
+                lin.emit("precond_unavailable",
+                         f"precond='device_lu' requested but {why}; "
+                         "proceeding unpreconditioned")
+
         if isinstance(J, CSR):
             from ..ops.device_lu import device_lu_for
             import numpy as np
@@ -207,6 +222,10 @@ def _matrix_precond(cfg: LinearSolver, J):
                     return jnp.where(ok, out, x)
 
                 return apply
+            _notify("no device-LU plan applies to this pattern "
+                    "(native lib missing or schedule unsupported)")
+        else:
+            _notify(f"the operator is {type(J).__name__}, not CSR")
         return None
     if cfg.precond != "jacobi":
         return None
@@ -271,7 +290,7 @@ def _newton_solve(cfg: NewtonDescent, ctx: DescentCtx, J, fu,
                     # with u returned an array, so use the fn itself.
                     M = cfg.linsolve.precond_fn
         else:
-            M = _matrix_precond(cfg.linsolve, J)
+            M = _matrix_precond(cfg.linsolve, J, ctx.verbosity)
         kw = {}
         if method == "gmres" and cfg.linsolve.krylov_basis_dtype:
             kw["basis_dtype"] = {"bf16": jnp.bfloat16,

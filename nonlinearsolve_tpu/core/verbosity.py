@@ -44,11 +44,12 @@ _PRESETS = {
 # nested linear-solver message classes (the reference forwards a
 # LinearVerbosity to LinearSolve; ours feeds ops/linear_solve + ops/krylov)
 _LINEAR_CLASSES = ("rank_deficient_fallback", "krylov_breakdown",
-                   "krylov_unconverged")
+                   "krylov_unconverged", "precond_unavailable")
 _LINEAR_PRESETS = {
     "none": frozenset(),
     "minimal": frozenset({"rank_deficient_fallback"}),
-    "standard": frozenset({"rank_deficient_fallback", "krylov_unconverged"}),
+    "standard": frozenset({"rank_deficient_fallback", "krylov_unconverged",
+                           "precond_unavailable"}),
     "detailed": frozenset(_LINEAR_CLASSES),
     "all": frozenset(_LINEAR_CLASSES),
 }

@@ -186,6 +186,8 @@ class DeviceLU:
         self.dtype = dtype
         self.supported = False
         self.fac = None
+        self.repivoted = False     # a refresh hit a pivot-order change
+        self._repivot_data = None  # the data that forced it (rebase seed)
         self._refresh_lock = threading.Lock()
         try:
             from ..native import SpLuFactor, amd_ordering, get_lib
@@ -451,7 +453,22 @@ class DeviceLU:
             exp = self.fac.export_factor() if rc == 0 else None
         if exp is not None and exp["n_factor"] != self.epoch:
             # re-pivot changed the fill pattern: the static schedule no
-            # longer applies — caller must fall back for this step
+            # longer applies — caller must fall back for this step.  A
+            # compiled program with this plan baked in stays degraded
+            # (ok=False -> identity apply); record the offending data so
+            # device_lu_for rebases the CACHED plan against the new pivot
+            # order for future traces, and tell the user once.
+            if not self.repivoted:
+                self.repivoted = True
+                self._repivot_data = np.asarray(data, np.float64).copy()
+                import sys
+                print(
+                    "[nonlinearsolve_tpu:linear:precond_unavailable] "
+                    "device_lu re-pivoted: the static schedule no longer "
+                    "matches the factor; this compiled program degrades "
+                    "to the identity preconditioner on re-pivoted steps "
+                    "(the plan cache rebases on the next trace)",
+                    file=sys.stderr)
             exp = None
         return self._state_arrays(exp)
 
@@ -567,12 +584,27 @@ _DEVICE_LU_CACHE: dict = {}
 def device_lu_for(indptr, indices, n, **kw) -> Optional[DeviceLU]:
     """Pattern-keyed cache of DeviceLU plans (host symbolic work runs
     once per pattern, like every other plan cache).  Returns None when
-    the plan is unsupported."""
+    the plan is unsupported.  The key includes the resolved dtype and a
+    fingerprint of any explicit ``perm`` — two requests differing only
+    in dtype (e.g. an f32 solve then an x64 refinement on the same
+    pattern) must NOT share a plan, or solve() silently runs the
+    triangular sweeps at the first request's precision."""
     from .pallas_spmv import pattern_key
-    key = pattern_key(indptr, indices, n)
+    dt = jnp.dtype(kw.get("dtype", jnp.float32))
+    perm = kw.get("perm")
+    perm_fp = (-1 if perm is None else
+               int(np.int64(np.sum(np.asarray(perm, np.int64)
+                                   * np.arange(1, len(perm) + 1)))))
+    key = pattern_key(indptr, indices, n) + (dt.name, perm_fp)
     hit = _DEVICE_LU_CACHE.get(key, False)
     if hit is not False:
-        return hit
+        if hit is None or not hit.repivoted:
+            return hit
+        # epoch rebase: the cached plan's frozen pivot order was rejected
+        # by real data — rebuild the schedule seeded with that data so
+        # the new plan's pivot order (and static schedule) matches what
+        # refactorization will actually produce.
+        kw = {**kw, "sample_data": hit._repivot_data}
     lu = DeviceLU(indptr, indices, n, **kw)
     out = lu if lu.supported else None
     _DEVICE_LU_CACHE[key] = out

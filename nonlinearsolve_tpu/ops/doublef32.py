@@ -341,11 +341,15 @@ _INV_N = _inv_n_pairs(30)
 
 
 def df_log1p(x: DF) -> DF:
-    """Double-word log1p.  |x| ≤ 0.1 uses the Mercator series
+    """Double-word log1p.  |x| ≤ 0.05 uses the Mercator series
     x·Σ (−x)ⁿ/(n+1) in double-word Horner (df_log's Newton seed
     log(hi-of-1+x) rounds tiny x to 0, leaving only ~1e-9 relative
     accuracy through the residual path); beyond that log(1+x) with the
-    exact two_sum 1+x is already double-word grade."""
+    exact two_sum 1+x is already double-word grade.  The switch sits at
+    0.05, not 0.1: series truncation is ~x^(N+1)/(N+2) relative, which
+    at 0.1 (~7e-15 for N=13) misses the f32-pair grade of ~2e-15, while
+    at 0.05 it is ~4e-20 (f32 pairs) / ~1e-34 (f64 pairs) — below grade
+    on both branches."""
     dtype = x.hi.dtype
     N = 24 if np.dtype(dtype) == np.float64 else 13
     acc = None
@@ -359,7 +363,7 @@ def df_log1p(x: DF) -> DF:
         acc = c if acc is None else df_add(df_mul(acc, x), c)
     small = df_mul(x, acc)
     big = df_log(df_add_f(x, jnp.asarray(1.0, dtype)))
-    use_small = jnp.abs(x.hi) <= jnp.asarray(0.1, dtype)
+    use_small = jnp.abs(x.hi) <= jnp.asarray(0.05, dtype)
     return DF(jnp.where(use_small, small.hi, big.hi),
               jnp.where(use_small, small.lo, big.lo))
 

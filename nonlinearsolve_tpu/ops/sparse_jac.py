@@ -62,12 +62,15 @@ class ColoredJacobian:
         self._sel_scatter = None
         nnz = len(self._gather)
         if nnz and self.n_colors:
-            from .pallas_spmv import EllPlan
+            from .pallas_spmv import EllPlan, _default_rt
             src = (row_ids.astype(np.int64) * self.n_colors
                    + self.colors[pattern.indices].astype(np.int64))
             indptr1 = np.arange(nnz + 1, dtype=np.int64)
+            # rt shrinks with the problem (same rule as the public tier):
+            # a constant 16 padded small-nnz patterns up to 16384-entry
+            # grids where nearly all kernel work was padding.
             plan = EllPlan(indptr1, src, nnz, n_out * self.n_colors,
-                           rt=16)
+                           rt=_default_rt(indptr1, nnz))
             if plan.supported:
                 self._sel_plan = plan
             else:

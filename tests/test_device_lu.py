@@ -153,6 +153,70 @@ def test_device_lu_for_cache():
     assert lu1 is lu2
 
 
+def test_device_lu_for_cache_keyed_by_dtype():
+    # ADVICE r4 (medium): an f64 request after an f32 one on the same
+    # pattern must NOT reuse the f32 plan — the cached plan's dtype
+    # decides the precision of every triangular sweep.
+    A = _poisson_csr(8, seed=11)
+    n = A.shape[0]
+    lu32 = device_lu_for(np.asarray(A.indptr), np.asarray(A.indices), n,
+                         dtype=jnp.float32)
+    lu64 = device_lu_for(np.asarray(A.indptr), np.asarray(A.indices), n,
+                         dtype=jnp.float64)
+    assert lu32 is not lu64
+    assert jnp.dtype(lu64.dtype) == jnp.dtype(jnp.float64)
+    b = np.random.default_rng(12).standard_normal(n)
+    x, ok = lu64.solve(lu64.refresh_host(A.data), jnp.asarray(b))
+    assert bool(ok)
+    ref = scipy_sparse.linalg.spsolve(A.tocsc(), b)
+    assert np.abs(np.asarray(x) - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_device_lu_repivot_rebases_cached_plan():
+    # After a refresh detects a pivot-order change the compiled program
+    # stays degraded (ok=False), but the plan cache must hand future
+    # traces a REBASED plan seeded with the offending data.
+    A = _poisson_csr(8, seed=13)
+    n = A.shape[0]
+    lu = device_lu_for(np.asarray(A.indptr), np.asarray(A.indices), n,
+                       dtype=jnp.float64)
+    assert lu is not None
+    lu.repivoted = True
+    lu._repivot_data = np.asarray(A.data, np.float64)
+    lu2 = device_lu_for(np.asarray(A.indptr), np.asarray(A.indices), n,
+                        dtype=jnp.float64)
+    assert lu2 is not lu and lu2 is not None and lu2.supported
+    # the rebased plan solves correctly with the data that triggered it
+    b = np.random.default_rng(14).standard_normal(n)
+    x, ok = lu2.solve(lu2.refresh_host(A.data), jnp.asarray(b))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(x),
+                               scipy_sparse.linalg.spsolve(A.tocsc(), b),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_precond_unavailable_message(capsys):
+    # ADVICE r4 (low): precond='device_lu' on a dense J must say so
+    # through the linear 'precond_unavailable' verbosity class instead
+    # of silently degrading to the unpreconditioned solve.
+    import nonlinearsolve_tpu as nls
+
+    rng = np.random.default_rng(15)
+    Ad = jnp.asarray(np.eye(6) * 4.0 + 0.1 * rng.standard_normal((6, 6)))
+    b = jnp.asarray(rng.standard_normal(6))
+
+    def f(u, p):
+        return Ad @ u - p
+
+    prob = nls.NonlinearProblem(nls.NonlinearFunction(f), jnp.zeros(6), b)
+    sol = nls.solve(prob, nls.NewtonRaphson(
+        linsolve=nls.LinearSolver(method="gmres", precond="device_lu")),
+        abstol=1e-10, verbose="detailed")
+    assert int(sol.retcode) == 1
+    err = capsys.readouterr().err
+    assert "precond_unavailable" in err and "device_lu" in err
+
+
 def test_sparse_lu_device_direct_method():
     # LinearSolver(method='sparse_lu_device'): per Newton step ONE host
     # callback (the refactorization) and device-side triangular sweeps —

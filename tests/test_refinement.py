@@ -504,8 +504,12 @@ def test_df_eval_pow_zero_base_and_small_expm1_log1p():
     np.testing.assert_allclose(np.asarray(df_value_f64(out)),
                                [0.0, 1.0, 8.0], atol=1e-12)
 
-    xs = np.array([1e-10, 1e-6, 1e-3, 0.02, 0.09, 0.3, 2.0, -1e-8,
-                   -0.09, -0.4], np.float32)
+    # includes probes straddling df_log1p's series/log switch at 0.05
+    # (ADVICE r4: at the old 0.1 switch the Mercator truncation ~x^(N+1)
+    # missed the f32-pair grade near the boundary)
+    xs = np.array([1e-10, 1e-6, 1e-3, 0.02, 0.0499, 0.05, 0.0501, 0.09,
+                   0.0999, 0.3, 2.0, -1e-8, -0.0499, -0.0501, -0.09,
+                   -0.4], np.float32)
     x = DF(jnp.asarray(xs), jnp.zeros(xs.shape, jnp.float32))
     rel = np.abs((np.asarray(df_value_f64(df_expm1(x)))
                   - np.expm1(xs.astype(np.float64)))
