@@ -100,3 +100,69 @@ def chained_solve_time(prob, alg=None, k: int = 4, reps: int = 3,
     float(ck(u0))
     return slope_time(lambda: float(c1(u0)), lambda: float(ck(u0)),
                       span=k - 1, rounds=reps)
+
+
+# ---------------------------------------------------------------------------
+# Load-calibration probes (VERDICT r4 next#2)
+# ---------------------------------------------------------------------------
+# The tunnel chip is time-sliced: the same kernel moves ±30-100% between
+# bench invocations with chip load (r3->r4 flagship 662->569 Gnnz/s).
+# These probes measure two known-bound primitives IN THE SAME WINDOW as
+# a bench row so raw numbers can be normalized by the chip time actually
+# available:
+#   * hbm_triad_probe  — y = a*x + y over arrays far beyond VMEM: pure
+#     HBM stream, reports achieved GB/s (3 accesses/element/iteration).
+#   * vpu_issue_probe  — a long fused elementwise chain on a VMEM-
+#     resident tile: pure vector-issue, reports achieved Gop/s.
+# Both use the chain-length slope discipline (slope_time) — fixed
+# dispatch/fetch terms cancel.
+
+def hbm_triad_probe(elems: int = 1 << 24, rounds: int = 5) -> float:
+    """Achieved HBM stream bandwidth in GB/s (f32 triad)."""
+    x = jnp.arange(elems, dtype=jnp.float32) * 1e-9 + 1.0
+
+    def make(length):
+        @jax.jit
+        def run(xa, y0):
+            def body(y, _):
+                # read x + read y + write y: 3 * 4 * elems bytes/iter —
+                # ONE fused pass, no reduction (values grow only to
+                # ~length, bounded without a clamp)
+                return 0.999 * xa + y, None
+            out, _ = jax.lax.scan(body, y0, None, length=length)
+            return jnp.sum(out[:8])
+        return run
+
+    y0 = jnp.ones((elems,), jnp.float32)
+    l1, l2 = 4, 36
+    r1, r2 = make(l1), make(l2)
+    float(r1(x, y0)); float(r2(x, y0))            # compile + warm
+    t = max(slope_time(lambda: float(r1(x, y0)), lambda: float(r2(x, y0)),
+                       span=l2 - l1, rounds=rounds), 1e-12)
+    return 3.0 * 4.0 * elems / t / 1e9
+
+
+def vpu_issue_probe(rounds: int = 5) -> float:
+    """Achieved vector-issue rate in Gop/s (fused mul-add chain on a
+    VMEM-resident (8, 128) tile; 64 unrolled fma ops per scan step)."""
+    UNROLL = 64
+    tile = jnp.full((8, 128), 1.0001, jnp.float32)
+
+    def make(length):
+        @jax.jit
+        def run(t0):
+            def body(t, _):
+                for _i in range(UNROLL):
+                    t = t * 1.0000001 + 1e-7     # one fused mul-add
+                # growth ≈ 1.0000064^length: bounded, no clamp needed
+                return t, None
+            out, _ = jax.lax.scan(body, t0, None, length=length)
+            return jnp.sum(out)
+        return run
+
+    l1, l2 = 64, 4160
+    r1, r2 = make(l1), make(l2)
+    float(r1(tile)); float(r2(tile))
+    t = max(slope_time(lambda: float(r1(tile)), lambda: float(r2(tile)),
+                       span=l2 - l1, rounds=rounds), 1e-12)
+    return 2.0 * UNROLL * tile.size / t / 1e9

@@ -45,6 +45,12 @@ CASES = [
      nls.LevenbergMarquardt(linsolve=nls.LinearSolver(method="cholesky")),
      {11, 21}),
     ("PseudoTransient", nls.PseudoTransient(alpha_initial=10.0), {1, 8, 11}),
+    # vs the reference's {1,5,11} (item7.jl, tested at ε=1e-3; no row here
+    # moves between 1e-3 and 1e-4): the extra {6,18} are PROVEN fixture/
+    # rounding artifacts by the reference-formula oracle — #18 fails under
+    # the exact reference arithmetic on our fixture (16/16 ulp
+    # perturbations), #6 is an 11/16 knife-edge the engine's rounding path
+    # lands outside (tests/test_qn_oracle.py, tools/oracle_qn.py).
     ("Broyden", nls.Broyden(), {1, 5, 6, 11, 18}),
     # reference item7 rows 2-4: true_jacobian broken {1,5,8,11,18} (ours
     # additionally #6/#21, passes #18); bad_broyden {1,5,6,9,11} (ours
@@ -58,6 +64,10 @@ CASES = [
     ("Broyden-TrueJacobian-Bad",
      nls.Broyden(init_jacobian="true_jacobian", update_rule="bad_broyden"),
      {1, 5, 6, 8, 11}),
+    # vs the reference's {1,2,4,5,11,18,22} (item8.jl): our #6 is PROVEN
+    # fixture drift (exact reference formulas fail it 16/16 on our
+    # fixture), #7 is a 9/16 knife-edge, and #18 passes here because the
+    # same drift cuts the other way (tests/test_qn_oracle.py).
     ("Klement", nls.Klement(), {1, 2, 4, 5, 6, 7, 11, 22}),
     # reference item8 row 2: Klement with a true-jacobian diagonal init
     # (their broken set {2,4,5,7,18,22}; fixture-variant differences move
