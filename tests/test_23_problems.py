@@ -198,6 +198,10 @@ def _large_n_problems(n):
 
 
 LARGE_N_CASES = [
+    # The {13,14} rank price is INHERENT: the reference's exact L-Broyden
+    # formula (oracle, tools/oracle_qn.py:reference_lbroyden) lands on
+    # this identical broken set at n=64/threshold=27 — see
+    # tests/test_qn_oracle.py::test_oracle_lbroyden_rank_price_is_inherent.
     ("LimitedMemoryBroyden-n64", nls.LimitedMemoryBroyden(threshold=27),
      {1, 9, 11, 13, 14, 18}),
     ("Broyden-n64-control", nls.Broyden(), {1, 9, 11, 18}),

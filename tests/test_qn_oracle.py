@@ -86,6 +86,35 @@ def test_oracle_fixture_drift_rows():
 
 
 @pytest.mark.slow
+def test_oracle_lbroyden_rank_price_is_inherent():
+    """VERDICT r4 next#6: the reference's exact L-Broyden formula
+    (lbroyden.jl:21-36 — ring-buffered U Vᵀ − αI inverse, Good-Broyden
+    append, max_resets=3) at n=64/threshold=27 diverges on #13/#14
+    exactly as our engine does (full oracle broken set {1,9,11,13,14,18}
+    == the engine's LimitedMemoryBroyden-n64 row): the rank-27 price on
+    the Broyden tridiagonal/banded problems is inherent to the low-rank
+    form, not an engine deviation."""
+    from tools.oracle_qn import reference_lbroyden
+    from nonlinearsolve_tpu.models import problems23 as p23
+    n = 64
+    for fn in (p23._broyden_tridiagonal, p23._broyden_banded):
+        ff = jax.jit(lambda x: fn(x, None))
+        x0 = np.full(n, -1.0)
+        np.asarray(ff(x0))
+        f = lambda u: np.asarray(ff(np.asarray(u, np.float64)), np.float64)
+        r = reference_lbroyden(f, x0, threshold=27, maxiters=4000)
+        assert float(np.max(np.abs(f(r["u"])))) > 1e-4
+    # control: a problem the ring DOES solve converges under the oracle
+    # too (the oracle is not simply broken)
+    ffc = jax.jit(lambda x: p23._chandrasekhar(x, None))
+    x0c = np.ones(n)
+    np.asarray(ffc(x0c))
+    fc = lambda u: np.asarray(ffc(np.asarray(u, np.float64)), np.float64)
+    rc = reference_lbroyden(fc, x0c, threshold=27, maxiters=4000)
+    assert float(np.max(np.abs(fc(rc["u"])))) <= 1e-4
+
+
+@pytest.mark.slow
 def test_oracle_knife_edge_rows():
     """#6 (Broyden) / #7 (Klement): the exact reference formulas CONVERGE
     on the unperturbed fixtures (while one-ulp x0 perturbations flip

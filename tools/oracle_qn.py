@@ -173,6 +173,73 @@ def reference_broyden(f, x0, *, maxiters=10000, max_resets=100,
             "nresets": nresets}
 
 
+def reference_lbroyden(f, x0, *, threshold=10, maxiters=10000,
+                       max_resets=3, abstol=ABSTOL_F64, record=None):
+    """The reference's ``LimitedMemoryBroyden()`` (lbroyden.jl:21-36 +
+    BroydenLowRankInitialization/BroydenLowRankJacobian,
+    initialization.jl:139-296): J⁻¹ ≐ U Vᵀ − αI with α = 1/α_scale,
+    ring-buffered (U, V) columns (newest overwrites oldest beyond
+    ``threshold``), Good-Broyden append
+    U₊ = (du − J⁻¹dfu)/⟨du, J⁻¹dfu⟩, V₊ = J⁻¹ᵀ du,
+    NoChangeInStateReset with max_resets = 3 (the lbroyden default)."""
+    u = np.array(x0, np.float64)
+    fu = np.asarray(f(u), np.float64)
+    n = len(u)
+    U = np.zeros((n, threshold))
+    V = np.zeros((n, threshold))
+    idx = 0
+    alpha = 1.0 / _alpha(u, fu)
+
+    def jinv_mul(x):          # J⁻¹ x = U(Vᵀx) − αx  (mul! semantics)
+        if idx == 0:
+            return -alpha * x
+        k = min(idx, threshold)
+        return U[:, :k] @ (V[:, :k].T @ x) - alpha * x
+
+    def jinv_tmul(x):         # J⁻ᵀ x = V(Uᵀx) − αx
+        if idx == 0:
+            return -alpha * x
+        k = min(idx, threshold)
+        return V[:, :k] @ (U[:, :k].T @ x) - alpha * x
+
+    term = _SafeBest(u, fu, abstol)
+    reset = _NoChangeReset(fu)
+    dfu_cache = np.array(fu)
+    du = np.zeros(n)
+    nresets = 0
+    retcode = "MaxIters"
+    for nsteps in range(maxiters):
+        if nsteps > 0 and reset.check(fu, du):
+            nresets += 1
+            if nresets >= max_resets:
+                retcode = "ConvergenceFailure"
+                break
+            idx = 0
+            alpha = 1.0 / _alpha(u, fu)
+        du = -jinv_mul(fu)
+        uprev = u
+        u = u + du
+        fu = np.asarray(f(u), np.float64)
+        if record is not None:
+            record.append((u.copy(), float(np.max(np.abs(fu)))))
+        if term.check(fu, u, uprev):
+            retcode = term.retcode
+            break
+        dfu = fu - dfu_cache
+        Jinv_dfu = jinv_mul(dfu)
+        w = jinv_tmul(du)
+        denom = float(du @ Jinv_dfu)
+        if denom == 0.0:
+            denom = 1.0e-5
+        slot = idx % threshold        # mod1(idx+1, threshold) in 0-based
+        U[:, slot] = (du - Jinv_dfu) / denom
+        V[:, slot] = w
+        idx += 1
+        dfu_cache = np.array(fu)
+    return {"u": term.u_best, "best": term.best, "retcode": retcode,
+            "nresets": nresets}
+
+
 def reference_klement(f, x0, *, maxiters=10000, max_resets=100,
                       abstol=ABSTOL_F64, record=None):
     """The reference's default ``Klement()`` — diagonal structure,
