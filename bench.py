@@ -34,6 +34,44 @@ def main():
     u0 = brusselator.init_u0(N, dtype)
     p = brusselator.default_p(N, dtype)
 
+    # --- load-calibration probes (VERDICT r4 next#2) -----------------------
+    # The tunnel chip is time-sliced; raw numbers move ±30-100% with
+    # load (r3->r4: flagship 662->569, general 6.72->3.40).  Known-bound
+    # probes (pure HBM triad + pure VPU-issue chain, utils/profiling.py)
+    # run in the same window as each row group; rows are normalized by
+    # probe/nominal, with nominal = the best probe window ever recorded
+    # on this chip (BENCH_PROBE.json, updated as a running max).  Every
+    # SpMV row's roofline is gather-issue-bound, so the VPU probe is the
+    # matching normalizer; the triad tracks stream-bound work.
+    from nonlinearsolve_tpu.utils.profiling import (hbm_triad_probe,
+                                                    vpu_issue_probe)
+    probe_log = []
+    on_tpu = jax.default_backend() == "tpu"
+
+    def probe_now(tag):
+        rec = {"tag": tag, "triad_gbps": float("nan"),
+               "vpu_gops": float("nan")}
+        if on_tpu:
+            try:
+                rec["triad_gbps"] = hbm_triad_probe(rounds=3)
+                rec["vpu_gops"] = vpu_issue_probe(rounds=3)
+            except Exception:   # noqa: BLE001 — probes are diagnostic
+                pass
+        probe_log.append(rec)
+        return rec
+
+    def segment_load(tag_a, tag_b, kind, nominal):
+        """probe/nominal for the window bounded by two probe tags."""
+        if not nominal or not np.isfinite(nominal):
+            return float("nan")
+        vals = [pr[kind] for pr in probe_log if pr["tag"] in (tag_a, tag_b)
+                and np.isfinite(pr[kind])]
+        if not vals:
+            return float("nan")
+        return float(np.mean(vals)) / float(nominal)
+
+    probe_now("start")
+
     def f_shaped(U):
         return brusselator.brusselator_2d(U, p)
 
@@ -80,6 +118,7 @@ def main():
                                lambda: float(s2(u0d, pd, v0)),
                                span=L2 - L1, rounds=7), 1e-9)
     nnz_per_s = nnz / spmv_time
+    probe_now("post_flagship")
 
     # --- Newton-GMRES time-to-solve ----------------------------------------
     prob = brusselator.make_problem(N, dtype, pallas_jvp=True)
@@ -234,6 +273,7 @@ def main():
             gtier, gplan, Ag.nnz)["bound"]
     except Exception:   # noqa: BLE001 — diagnostic row, never fatal
         pass
+    probe_now("post_general")
 
     # --- PDE-scale + out-of-envelope SpMV rows (VERDICT r2 next#7) ---------
     # (a) the ASSEMBLED 512² Brusselator CSR Jacobian (3.1M nnz) through
@@ -347,6 +387,7 @@ def main():
         if os.environ.get("NLS_BENCH_DEBUG"):
             import traceback
             traceback.print_exc()
+    probe_now("post_pde")
 
     # Golden cross-validation in a SUBPROCESS (ADVICE r2: never flip
     # jax_enable_x64 inside this process): tools/golden_polish.py polishes
@@ -425,6 +466,58 @@ def main():
             import traceback
             traceback.print_exc()
 
+    probe_now("end")
+
+    # nominal = best probe window ever recorded on this chip: persists in
+    # BENCH_PROBE.json and only ratchets upward, so load_norm <= ~1 and
+    # two invocations under different chip load agree after division.
+    here_p = os.path.dirname(os.path.abspath(__file__))
+    probe_path = os.path.join(here_p, "BENCH_PROBE.json")
+    nominal = {"triad_gbps": float("nan"), "vpu_gops": float("nan")}
+    try:
+        with open(probe_path) as fh:
+            nominal.update(json.load(fh))
+    except (OSError, ValueError):
+        pass
+    seen_t = [pr["triad_gbps"] for pr in probe_log
+              if np.isfinite(pr["triad_gbps"])]
+    seen_v = [pr["vpu_gops"] for pr in probe_log
+              if np.isfinite(pr["vpu_gops"])]
+    if seen_t and seen_v and on_tpu:
+        nominal["triad_gbps"] = float(np.nanmax(
+            [nominal.get("triad_gbps", float("nan")), max(seen_t)]))
+        nominal["vpu_gops"] = float(np.nanmax(
+            [nominal.get("vpu_gops", float("nan")), max(seen_v)]))
+        try:
+            with open(probe_path, "w") as fh:
+                json.dump(nominal, fh, indent=1)
+        except OSError:
+            pass
+
+    # per-window load factors (VPU matches every gather-issue-bound SpMV
+    # roofline; triad tracks stream-bound work)
+    load_flagship = segment_load("start", "post_flagship", "vpu_gops",
+                                 nominal["vpu_gops"])
+    load_general = segment_load("post_flagship", "post_general",
+                                "vpu_gops", nominal["vpu_gops"])
+    load_pde = segment_load("post_general", "post_pde", "vpu_gops",
+                            nominal["vpu_gops"])
+    load_med = (float(np.median(seen_v)) / nominal["vpu_gops"]
+                if seen_v and np.isfinite(nominal["vpu_gops"])
+                else float("nan"))
+
+    def norm(val, load):
+        return (val / load if np.isfinite(load) and load > 0
+                else float("nan"))
+
+    def jr(x, nd=3):
+        """JSON-safe round: None instead of NaN (strict parsers)."""
+        try:
+            xf = float(x)
+        except (TypeError, ValueError):
+            return None
+        return round(xf, nd) if np.isfinite(xf) else None
+
     metric = "brusselator512_spmv_nnz_per_s"
     # vs_baseline: ratio against a published reference number when one
     # exists in BASELINE.json (the reference publishes none — published={} —
@@ -455,6 +548,24 @@ def main():
     print(json.dumps({
         "metric": metric,
         "value": nnz_per_s,
+        "value_norm": jr(norm(nnz_per_s, load_flagship), 0),
+        "load_norm": {
+            "flagship": jr(load_flagship),
+            "general": jr(load_general),
+            "pde": jr(load_pde),
+            "median": jr(load_med),
+        },
+        "rows_norm_gnnz_s": {
+            "general": jr(norm(gen_nnz_per_s, load_general) / 1e9),
+            "brusselator512_csr": jr(norm(pde_nnz_per_s, load_pde) / 1e9),
+            "stencil3d_128": jr(norm(pde3d_nnz_per_s, load_pde) / 1e9),
+            "out_of_envelope": jr(norm(ooe_nnz_per_s, load_pde) / 1e9),
+        },
+        "probes": {
+            "vpu_gops": [jr(pr["vpu_gops"], 1) for pr in probe_log],
+            "triad_gbps": [jr(pr["triad_gbps"], 1) for pr in probe_log],
+            "nominal": {k: jr(v, 1) for k, v in nominal.items()},
+        },
         "unit": f"nnz/s/chip (secondary: newton_gmres_fft solve "
                 f"{solve_time:.3f}s @eta=0.1 / {solve_time_tight:.3f}s "
                 f"@eta=1e-2, |resid|_inf={resid:.2e}/{resid_tight:.2e}, "

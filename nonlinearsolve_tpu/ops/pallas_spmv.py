@@ -592,11 +592,14 @@ def spmv_tier_cost(tier, plan) -> float:
     return float("inf")
 
 
-# v5e single-chip model constants for the per-tier rooflines (VERDICT r3
-# next#2): HBM ~819 GB/s; VPU issue 4 ALUs x (8,128) lanes at ~940 MHz =
-# ~3.76e9 vector-ops/s ideal (gathers/selects cannot beat 1 vec-op/ALU-
-# cycle — the BOUND, not an attainable rate).
-HBM_BYTES_PER_S = 819e9
+# Single-chip model constants for the per-tier rooflines (VERDICT r3
+# next#2): HBM from the measured streamed triad on the bench chip
+# (utils/profiling.hbm_triad_probe: ~2.2 TB/s sustained, r5 — the
+# public v5e spec's 819 GB/s is far below what this part streams, and
+# understating it inflates hbm-bound pct); VPU issue 4 ALUs x (8,128)
+# lanes at ~940 MHz = ~3.76e9 vector-ops/s ideal (gathers/selects
+# cannot beat 1 vec-op/ALU-cycle — the BOUND, not an attainable rate).
+HBM_BYTES_PER_S = 2.2e12
 VPU_VEC_OPS_PER_S = 4 * 940e6
 SEGSUM_MEASURED_NNZ_S = 0.065e9   # measured XLA gather+scatter path, v5e
 

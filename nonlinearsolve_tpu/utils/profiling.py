@@ -118,7 +118,13 @@ def chained_solve_time(prob, alg=None, k: int = 4, reps: int = 3,
 # dispatch/fetch terms cancel.
 
 def hbm_triad_probe(elems: int = 1 << 24, rounds: int = 5) -> float:
-    """Achieved HBM stream bandwidth in GB/s (f32 triad)."""
+    """Achieved HBM stream bandwidth in GB/s (f32 triad).
+
+    The recurrence is NONLINEAR (y ← x + y − εy², bounded fixed point
+    ≈ √(x/ε)) so XLA cannot strength-reduce the loop to a closed form
+    (an affine y += c body measured 2.4 TB/s — folded, not streamed).
+    The span is sized so the long chain runs tens of ms of device time,
+    well above the tunnel's dispatch noise."""
     x = jnp.arange(elems, dtype=jnp.float32) * 1e-9 + 1.0
 
     def make(length):
@@ -126,15 +132,14 @@ def hbm_triad_probe(elems: int = 1 << 24, rounds: int = 5) -> float:
         def run(xa, y0):
             def body(y, _):
                 # read x + read y + write y: 3 * 4 * elems bytes/iter —
-                # ONE fused pass, no reduction (values grow only to
-                # ~length, bounded without a clamp)
-                return 0.999 * xa + y, None
+                # ONE fused pass, no reduction
+                return xa + y - 1e-6 * (y * y), None
             out, _ = jax.lax.scan(body, y0, None, length=length)
             return jnp.sum(out[:8])
         return run
 
     y0 = jnp.ones((elems,), jnp.float32)
-    l1, l2 = 4, 36
+    l1, l2 = 8, 264
     r1, r2 = make(l1), make(l2)
     float(r1(x, y0)); float(r2(x, y0))            # compile + warm
     t = max(slope_time(lambda: float(r1(x, y0)), lambda: float(r2(x, y0)),
@@ -143,10 +148,12 @@ def hbm_triad_probe(elems: int = 1 << 24, rounds: int = 5) -> float:
 
 
 def vpu_issue_probe(rounds: int = 5) -> float:
-    """Achieved vector-issue rate in Gop/s (fused mul-add chain on a
-    VMEM-resident (8, 128) tile; 64 unrolled fma ops per scan step)."""
-    UNROLL = 64
-    tile = jnp.full((8, 128), 1.0001, jnp.float32)
+    """Achieved vector-issue rate in Gop/s: 32 unrolled mul-adds per
+    scan step over a VMEM-resident (64, 128) tile — wide elementwise
+    ops pipeline across the 8 native sublane tiles, so the chain is
+    ISSUE-bound, not fma-latency-bound."""
+    UNROLL = 32
+    tile = jnp.full((64, 128), 1.0001, jnp.float32)
 
     def make(length):
         @jax.jit
@@ -154,13 +161,13 @@ def vpu_issue_probe(rounds: int = 5) -> float:
             def body(t, _):
                 for _i in range(UNROLL):
                     t = t * 1.0000001 + 1e-7     # one fused mul-add
-                # growth ≈ 1.0000064^length: bounded, no clamp needed
+                # growth ≈ 1.0000032^length: bounded, no clamp needed
                 return t, None
             out, _ = jax.lax.scan(body, t0, None, length=length)
             return jnp.sum(out)
         return run
 
-    l1, l2 = 64, 4160
+    l1, l2 = 1024, 132096
     r1, r2 = make(l1), make(l2)
     float(r1(tile)); float(r2(tile))
     t = max(slope_time(lambda: float(r1(tile)), lambda: float(r2(tile)),
