@@ -334,6 +334,8 @@ def main():
                 return "segment_sum", None, None
             if tier == "scatter":
                 mode = f"{len(plan.parts)}part"
+            elif tier == "dia":
+                mode = f"{plan.ndiag}off"
             else:
                 mode = getattr(plan, "mode", "band")
             return (f"{tier}-{mode}" + ("+rcm" if perm is not None else ""),

@@ -589,6 +589,13 @@ def spmv_tier_cost(tier, plan) -> float:
         # every part); normalize to per-128-output-row-group so the
         # ordering and the roofline stay in one unit.
         return plan.cost / max(plan.n_pad / LANES, 1.0)
+    if tier == "dia":
+        # zero gathers: per group, ndiag streamed (data + shifted-x)
+        # fma passes.  HBM-equivalent ops (streamed bytes at the vec-op
+        # rate) vs the ~2-op/diagonal VPU floor, whichever binds.
+        hbm_equiv = (VPU_VEC_OPS_PER_S * (8.0 * plan.ndiag + 8.0) * LANES
+                     / HBM_BYTES_PER_S)
+        return max(hbm_equiv, 2.0 * plan.ndiag)
     return float("inf")
 
 
@@ -610,7 +617,20 @@ def spmv_roofline(tier, plan, nnz: int) -> dict:
     gather bound: weighted vec-ops per 128-row group (spmv_tier_cost)
     against the ideal VPU issue rate; hbm bound: 8 B/nnz streamed tables
     plus ~3 auxiliary passes over the state vectors.  ``bound`` is their
-    min; report measured/bound as pct_of_roofline."""
+    min; report measured/bound as pct_of_roofline.  The dia tier has no
+    gathers at all: its bounds are the streamed traffic of ndiag
+    (data + shifted-x) passes and ~2 vec-ops per diagonal per group."""
+    if tier == "dia":
+        groups = max(plan.n_pad / LANES, 1.0)
+        bytes_per_nnz = (8.0 * plan.ndiag + 8.0) * plan.n_rows / max(nnz, 1)
+        hbm_bound = HBM_BYTES_PER_S / bytes_per_nnz
+        vpu_bound = (VPU_VEC_OPS_PER_S * nnz
+                     / max(2.0 * plan.ndiag * groups, 1e-9))
+        bound = min(hbm_bound, vpu_bound)
+        return {"bound": bound,
+                "model": ("hbm-stream" if hbm_bound <= vpu_bound
+                          else "gather-issue"),
+                "gather_bound": vpu_bound, "hbm_bound": hbm_bound}
     if tier not in ("resident", "stream", "scatter"):
         return {"bound": SEGSUM_MEASURED_NNZ_S, "model": "segsum-measured"}
     groups = max(plan.n_pad / LANES, 1.0)
@@ -652,6 +672,13 @@ def select_spmv_plan(indptr, indices, n_rows, n_cols):
     plan, perm, pinv, dperm = _plan_maybe_reordered(
         indptr, indices, n_rows, n_cols)
     candidates = []
+    # dia first: stencil-born patterns (few generalized diagonals) beat
+    # every gather kernel with shifted streamed fmas (ops/spmv_dia.py —
+    # 512² Brusselator 15.9 -> 111.7 Gnnz/s measured r5)
+    from .spmv_dia import dia_plan_for
+    dplan = dia_plan_for(indptr, indices, n_rows, n_cols)
+    if dplan.supported:
+        candidates.append(("dia", dplan, None, None, None))
     if plan.supported:
         candidates.append(("resident", plan, perm, pinv, dperm))
     bplan = band_plan_for(indptr, indices, n_rows, n_cols)
@@ -727,7 +754,9 @@ def csr_spmv_pallas(csr, x, *, interpret=None):
     pattern fit a kernel envelope — y = P⁻¹ · K(P A Pᵀ) · P x)."""
     tier, plan, perm, pinv, dperm = select_spmv_plan(
         csr.indptr, csr.indices, csr.shape[0], csr.shape[1])
-    if tier == "stream":
+    if tier == "dia":
+        from .spmv_dia import dia_spmv_pallas as _apply
+    elif tier == "stream":
         from .pallas_spmv_stream import band_spmv_pallas as _apply
     elif tier == "scatter":
         from .pallas_spmv_scatter import scatter_spmv_pallas as _apply
@@ -759,7 +788,10 @@ def csr_spmv_staged(csr, *, interpret=None):
     perm_j = None if perm is None else jnp.asarray(perm)
     pinv_j = None if pinv is None else jnp.asarray(pinv)
 
-    if tier == "stream":
+    if tier == "dia":
+        from .spmv_dia import dia_spmv_staged
+        inner = dia_spmv_staged(plan, data, interpret=interpret)
+    elif tier == "stream":
         from .pallas_spmv_stream import band_spmv_staged
         inner = band_spmv_staged(plan, data, interpret=interpret)
     elif tier == "scatter":

@@ -53,32 +53,20 @@ class ColoredJacobian:
         row_ids = pattern.row_ids
         self._gather = (self.colors[pattern.indices].astype(np.int64) * n_out
                         + row_ids.astype(np.int64))
-        # Pallas decompression plan (module docstring): selection pattern
-        # over the row-major layout, one source per nonzero, thin-plan rt
-        # amortization.  Beyond the resident envelope (source space
-        # n_out·C over ~2.6M) the two-pass scatter tier takes over — its
-        # column-range parts stream any size.  None/None -> XLA take.
-        self._sel_plan = None
-        self._sel_scatter = None
+        # Pallas decompression plan (module docstring): a static
+        # selection over the row-major layout, one source per nonzero —
+        # rides the shared StaticSelection machinery (ops/selection.py:
+        # windowed-ELL within the resident envelope, two-pass scatter
+        # beyond it, XLA take as the portable fallback).
+        self._select = None
         nnz = len(self._gather)
         if nnz and self.n_colors:
-            from .pallas_spmv import EllPlan, _default_rt
+            from .selection import StaticSelection
             src = (row_ids.astype(np.int64) * self.n_colors
                    + self.colors[pattern.indices].astype(np.int64))
-            indptr1 = np.arange(nnz + 1, dtype=np.int64)
-            # rt shrinks with the problem (same rule as the public tier):
-            # a constant 16 padded small-nnz patterns up to 16384-entry
-            # grids where nearly all kernel work was padding.
-            plan = EllPlan(indptr1, src, nnz, n_out * self.n_colors,
-                           rt=_default_rt(indptr1, nnz))
-            if plan.supported:
-                self._sel_plan = plan
-            else:
-                from .pallas_spmv_scatter import scatter_plan_for
-                splan = scatter_plan_for(indptr1, src, nnz,
-                                         n_out * self.n_colors)
-                if splan.supported:
-                    self._sel_scatter = splan
+            sel = StaticSelection(src, n_out * self.n_colors)
+            if sel.uses_kernel:
+                self._select = sel
 
     def __call__(self, f_flat: Callable, u) -> CSR:
         seeds = jnp.asarray(self._seeds, u.dtype)
@@ -95,21 +83,9 @@ class ColoredJacobian:
         # _FORCE_PALLAS_DECOMPRESS).
         use_pallas = (jax.default_backend() == "tpu"
                       or _FORCE_PALLAS_DECOMPRESS)
-        if use_pallas and self._sel_plan is not None:
-            from .pallas_spmv import _ell_spmv_packed, _use_interpret
-            plan = self._sel_plan
-            ones = jnp.asarray(plan.valid, compressed.dtype).reshape(
-                plan.ntiles, 8, plan.w, 128)
-            xsrc = compressed.T.reshape(-1)          # row-major source
-            data = _ell_spmv_packed(plan, ones, plan.pack_x(xsrc),
-                                    _use_interpret(None))[:len(
-                                        self._gather)]
-        elif use_pallas and self._sel_scatter is not None:
-            from .pallas_spmv import _use_interpret
-            sp = self._sel_scatter
-            data = sp.apply_staged(sp.stage_unit(compressed.dtype),
-                                   compressed.T.reshape(-1),
-                                   _use_interpret(None))
+        if use_pallas and self._select is not None:
+            data = self._select.apply(compressed.T.reshape(-1),
+                                      force=True)
         else:
             data = compressed.reshape(-1)[jnp.asarray(self._gather)]
         return self.pattern.with_data(data)

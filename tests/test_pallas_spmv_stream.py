@@ -109,23 +109,34 @@ def test_random_pattern_rejected():
 
 
 def test_tier_selection_resident_preferred():
-    """In-envelope banded patterns keep the resident tier (measured v5e
-    r4, unrolled walks: tridiagonal resident 7.65 vs stream 7.80 Gnnz/s
-    — a wash on hardware; the op-count model orders resident first)."""
+    """A pure-banded pattern now routes to the dia tier (r5 — shifted
+    streamed fmas beat every gather kernel on few-offset patterns);
+    with dia knocked out, the in-envelope banded pattern keeps the
+    resident tier (measured v5e r4, unrolled walks: tridiagonal
+    resident 7.65 vs stream 7.80 Gnnz/s — a wash on hardware; the
+    op-count model orders resident first)."""
+    from nonlinearsolve_tpu.ops import pallas_spmv as mod
     n = 2000
     A = sp.diags([np.ones(n - 1), np.ones(n), np.ones(n - 1)],
                  [-1, 0, 1]).tocsr()
     tier, plan, perm, _, _ = select_spmv_plan(A.indptr, A.indices, n, n)
-    assert tier == "resident"
+    assert tier == "dia"
+    from nonlinearsolve_tpu.ops.pallas_spmv import EllPlan
+    rplan, *_ = mod._plan_maybe_reordered(A.indptr, A.indices, n, n)
+    assert rplan.supported           # resident still covers the pattern
 
 
 def test_tier_selection_stream_beyond_envelope(monkeypatch):
-    """Past the resident x-VMEM cap the dispatch must pick the streamed
-    tier (simulated by shrinking the cap so the test stays small)."""
+    """Past the resident x-VMEM cap the non-dia dispatch must pick the
+    streamed tier (dia knocked out via its offset cap; the resident cap
+    shrunk so the test stays small)."""
     from nonlinearsolve_tpu.ops import pallas_spmv as mod
+    from nonlinearsolve_tpu.ops import spmv_dia as dmod
     monkeypatch.setattr(mod, "MAX_X_ELEMS_VMEM", 1000)
+    monkeypatch.setattr(dmod, "DIA_MAX_OFFSETS", 0)
     mod._TIER_CACHE.clear()
     mod._REORDER_CACHE.clear()
+    dmod._DIA_PLAN_CACHE.clear()
     n = 5000
     A = sp.diags([np.ones(n - 1), np.ones(n), np.ones(n - 1)],
                  [-1, 0, 1]).tocsr()
@@ -133,6 +144,7 @@ def test_tier_selection_stream_beyond_envelope(monkeypatch):
     assert tier == "stream" and perm is None
     mod._TIER_CACHE.clear()
     mod._REORDER_CACHE.clear()
+    dmod._DIA_PLAN_CACHE.clear()
 
 
 def test_tier_selection_stream_after_rcm(monkeypatch):

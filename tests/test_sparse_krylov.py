@@ -655,7 +655,7 @@ def test_colored_jacobian_pallas_decompression_matches_fallback(monkeypatch):
         return lap + 0.3 * u ** 3
 
     plan = plan_sparse_jacobian(f, n, n)
-    assert plan._sel_plan is not None
+    assert plan._select is not None and plan._select._plan is not None
     u = jnp.asarray(np.random.default_rng(0).standard_normal(n))
     J = plan(f, u)
     Jd = np.asarray(jax.jacfwd(f)(u))
@@ -664,9 +664,9 @@ def test_colored_jacobian_pallas_decompression_matches_fallback(monkeypatch):
                         np.asarray(J.indptr)), shape=(n, n)).toarray()
     np.testing.assert_allclose(Js, Jd, atol=1e-13)
     # the XLA-take fallback produces the identical data vector
-    sel, plan._sel_plan = plan._sel_plan, None
+    sel, plan._select = plan._select, None
     J2 = plan(f, u)
-    plan._sel_plan = sel
+    plan._select = sel
     np.testing.assert_allclose(np.asarray(J.data), np.asarray(J2.data),
                                atol=0)
 
@@ -693,6 +693,10 @@ def test_colored_jacobian_scatter_decompression(monkeypatch):
 
     _clear()
     monkeypatch.setattr(ps, "MAX_X_ELEMS_VMEM", 256)
+    # disable the monotone-chunk path so the scatter fallback (the tier
+    # under test) actually engages under the shrunk cap
+    from nonlinearsolve_tpu.ops.selection import StaticSelection
+    monkeypatch.setattr(StaticSelection, "_MAX_CHUNKS", 0)
     N = 12
     n = N * N
 
@@ -703,7 +707,9 @@ def test_colored_jacobian_scatter_decompression(monkeypatch):
         return lap + 0.3 * u ** 3
 
     plan = plan_sparse_jacobian(f, n, n)
-    assert plan._sel_plan is None and plan._sel_scatter is not None
+    assert plan._select is not None
+    assert (plan._select._plan is None
+            and plan._select._scatter is not None)
     u = jnp.asarray(np.random.default_rng(1).standard_normal(n))
     J = plan(f, u)
     Jd = np.asarray(jax.jacfwd(f)(u))
