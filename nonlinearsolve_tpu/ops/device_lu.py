@@ -43,7 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MAX_LEVELS = 512          # unrolled per-level ops in the traced solve
+MAX_LEVELS = 768          # unrolled per-level ops in the traced solve
+                          # (r5: a width-bucketed 256² Bratu factor
+                          # needs 675 stages; compile cost measured
+                          # acceptable — docs/tpu_tuning.md)
 PAD_RATIO_CAP = 4.0       # per-level ELL padding budget vs nnz
 # Levels at most this many rows are absorbed into dense triangular
 # blocks (runs of consecutive thin levels, each block one fused XLA
@@ -87,7 +90,7 @@ def _ell_rows(rows, row_start, kk, ee, counts, nnz):
     return cols, vmap
 
 
-def _stage_schedule(colptr, rowidx, n, lvl):
+def _stage_schedule(colptr, rowidx, n, lvl, *, width_buckets=False):
     """The level schedule as an ordered list of STAGES.
 
     A wide level stays a sparse ELL stage ('ell', rows (M,), cols (M, w),
@@ -152,15 +155,41 @@ def _stage_schedule(colptr, rowidx, n, lvl):
             total += blk["pre_cols"].size
             pending, pending_rows = [], 0
 
+    def ell_width_buckets(rows):
+        """Split a level's rows into width classes (max ≤ ~2× min per
+        bucket): ELL-padding a whole level to its widest row explodes
+        past PAD_RATIO_CAP on 192²+ factors (measured: one U level's
+        padding alone 26.5M slots vs 6M nnz); buckets bound the waste at
+        ~2× while staying same-depth (order within a level is free)."""
+        w_r = counts[rows]
+        nnz_lvl = max(int(w_r.sum()), 1)
+        pad_one = rows.size * int(w_r.max()) - nnz_lvl
+        if not width_buckets or pad_one <= 0.5 * nnz_lvl:
+            return [rows]          # whole level in one stage: fine
+        order_w = np.argsort(w_r, kind="stable")
+        rows_s, w_s = rows[order_w], w_r[order_w]
+        start = 0
+        out = []
+        while start < len(rows_s):
+            w0 = max(int(w_s[start]), 1)
+            end = int(np.searchsorted(w_s, max(2 * w0, w0 + 8),
+                                      side="right"))
+            end = max(end, start + 1)
+            out.append(rows_s[start:end])
+            start = end
+        return out
+
     for ell in range(1, nlev):
         rows = np.flatnonzero(lvl == ell)
         if rows.size == 0:
             continue
         if rows.size > DENSE_TAIL_MAX_LEVEL_ROWS:
             flush()
-            cols, vmap = _ell_rows(rows, row_start, kk, ee, counts, nnz)
-            stages.append(("ell", rows, cols, vmap))
-            total += cols.size
+            for bucket in ell_width_buckets(rows):
+                cols, vmap = _ell_rows(bucket, row_start, kk, ee,
+                                       counts, nnz)
+                stages.append(("ell", bucket, cols, vmap))
+                total += cols.size
         else:
             if pending_rows + rows.size > DENSE_TAIL_ROWS_CAP:
                 flush()
@@ -228,6 +257,16 @@ class DeviceLU:
                                              self.n, lvlL)
         self.Ustages, padU = _stage_schedule(exp["Up"], exp["Urow"],
                                              self.n, lvlU)
+        if padL + padU > PAD_RATIO_CAP * max(self.nnzL + self.nnzU, 1):
+            # rebuild with per-level width buckets: uneven U levels on
+            # 192²+ factors pad 8-9x in one-stage-per-level form (a
+            # single wide row pads the whole level); bucketing bounds
+            # the waste at ~2x per stage at the price of more stages,
+            # so it is the FALLBACK, not the default
+            self.Lstages, padL = _stage_schedule(
+                exp["Lp"], exp["Lrow"], self.n, lvlL, width_buckets=True)
+            self.Ustages, padU = _stage_schedule(
+                exp["Up"], exp["Urow"], self.n, lvlU, width_buckets=True)
         if len(self.Lstages) + len(self.Ustages) > MAX_LEVELS:
             return
         if padL + padU > PAD_RATIO_CAP * max(self.nnzL + self.nnzU, 1):
@@ -307,10 +346,16 @@ class DeviceLU:
     def _plan_stage_gathers(self):
         """Attach a windowed-ELL SpMV plan to every gather table (ELL
         stages and dense-stage pre-gathers) that fits the kernel
-        envelope; others keep the XLA-take fallback."""
+        envelope; others keep the XLA-take fallback.  TPU backend only:
+        plan layout decides the refresh packing, and interpret-mode grid
+        execution on CPU is orders slower than the take it replaces
+        (a 128² factor's 34 ELL stages hang for minutes eagerly)."""
         from .pallas_spmv import MAX_SLOTS, EllPlan as SpmvPlan
+        on_tpu = jax.default_backend() == "tpu"
 
         def plan_for(cols, vmap, nnz_flat):
+            if not on_tpu:
+                return None
             M, w = vmap.shape
             if M == 0 or w == 0:
                 return None
@@ -500,7 +545,10 @@ class DeviceLU:
     @staticmethod
     def _gather_dot(stage_vals, gather, cols, vec, m):
         """Σⱼ vals[i, j] · vec[cols[i, j]] per row — the register-gather
-        kernel when a plan fits, the XLA-take fallback otherwise."""
+        kernel when a plan fits (TPU only: interpret-mode grid execution
+        on CPU is orders slower than the take it replaces — a 128²
+        factor's 34 ELL stages hang for minutes eagerly), the XLA-take
+        fallback otherwise."""
         if m == 0:
             return jnp.zeros((0,), vec.dtype)
         if gather is not None:

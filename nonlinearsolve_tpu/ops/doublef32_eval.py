@@ -480,6 +480,63 @@ def _eval_jaxpr_df(jaxpr, consts, *args, rules=None):
     return [read(v) for v in jaxpr.outvars]
 
 
+def _walk_jaxpr(jaxpr):
+    """(primitive-name sequence, float consts/literals) of a jaxpr,
+    recursing into sub-jaxpr params (cond/scan/pjit bodies)."""
+    names = []
+    consts = []
+
+    def visit(j):
+        for eqn in j.eqns:
+            names.append(eqn.primitive.name)
+            for v in eqn.invars:
+                val = getattr(v, "val", None)
+                if val is not None and np.issubdtype(
+                        np.asarray(val).dtype, np.floating):
+                    consts.append(np.asarray(val, np.float64))
+            for p in eqn.params.values():
+                maybe_visit(p)
+
+    def maybe_visit(p):
+        if hasattr(p, "jaxpr") and hasattr(p.jaxpr, "eqns"):
+            visit(p.jaxpr)               # ClosedJaxpr
+        elif hasattr(p, "eqns"):
+            visit(p)                     # Jaxpr
+        elif isinstance(p, (tuple, list)):
+            for q in p:
+                maybe_visit(q)
+
+    visit(jaxpr)
+    return names, consts
+
+
+def _wide_trace_consistent(closed_n, closed_w) -> bool:
+    """True when the narrow (f32) and wide (f64) traces describe the
+    SAME function: identical primitive sequences and every embedded
+    float constant agreeing to f32 rounding (~100 ulp headroom for
+    constant chains).  A dtype-introspecting residual fails either test
+    (e.g. jnp.finfo(x.dtype).eps embeds 1.2e-7 vs 2.2e-16)."""
+    names_n, lits_n = _walk_jaxpr(closed_n.jaxpr)
+    names_w, lits_w = _walk_jaxpr(closed_w.jaxpr)
+    if names_n != names_w or len(lits_n) != len(lits_w):
+        return False
+    consts_n = [np.asarray(c, np.float64) for c in closed_n.consts
+                if hasattr(c, "dtype")
+                and np.issubdtype(np.asarray(c).dtype, np.floating)]
+    consts_w = [np.asarray(c, np.float64) for c in closed_w.consts
+                if hasattr(c, "dtype")
+                and np.issubdtype(np.asarray(c).dtype, np.floating)]
+    if len(consts_n) != len(consts_w):
+        return False
+    for a, b in zip(lits_n + consts_n, lits_w + consts_w):
+        if a.shape != b.shape:
+            return False
+        if not np.allclose(a, b, rtol=2e-5, atol=1e-37,
+                           equal_nan=True):
+            return False
+    return True
+
+
 def df_eval(fn: Callable, *args, rules: Dict = None, trace_wide: bool = True):
     """Evaluate ``fn(*values)`` in double-f32.
 
@@ -498,11 +555,14 @@ def df_eval(fn: Callable, *args, rules: Dict = None, trace_wide: bool = True):
     silently caps the whole defect at ~1e-8 relative — measured on Bratu
     32² (rel-inf stuck at 8.86e-9 until this fix).
 
-    Caveat: a residual that INTROSPECTS its input dtype (e.g.
+    A residual that INTROSPECTS its input dtype (e.g.
     ``jnp.finfo(u.dtype).eps`` as a guard constant) sees float64 under
-    the wide trace and embeds the f64 value — a different function than
-    the f32 one being certified.  Pass ``trace_wide=False`` for such
-    residuals (constants then f32-round as before).
+    the wide trace and would embed the f64 value — a different function
+    than the f32 one being certified.  r5: this is AUTO-GUARDED — the
+    function is traced both ways and the wide trace is kept only when
+    the graphs match and every constant agrees to f32 rounding; on a
+    mismatch a warning is emitted and the narrow trace is used
+    (``trace_wide=False`` forces the narrow trace silently).
     """
     flat_args = []
     hi_args = []
@@ -543,6 +603,20 @@ def df_eval(fn: Callable, *args, rules: Dict = None, trace_wide: bool = True):
         with jax.enable_x64():
             closed, out_shape = jax.make_jaxpr(
                 flat_fn, return_shape=True)(*wide_args)
+        closed_n, out_shape_n = jax.make_jaxpr(
+            flat_fn, return_shape=True)(*hi_args)
+        if not _wide_trace_consistent(closed_n, closed):
+            import warnings
+            warnings.warn(
+                "df_eval: the residual embeds different constants (or a "
+                "different graph) under a float64 trace — it likely "
+                "introspects its input dtype (e.g. jnp.finfo(x.dtype)). "
+                "Falling back to the narrow f32 trace; trace-time "
+                "constants are f32-rounded (defect floor ~1e-8 "
+                "relative).  Pass trace_wide=False to silence.",
+                stacklevel=2)
+            wide = False
+            closed, out_shape = closed_n, out_shape_n
     else:
         closed, out_shape = jax.make_jaxpr(
             flat_fn, return_shape=True)(*hi_args)

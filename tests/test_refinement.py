@@ -519,3 +519,44 @@ def test_df_eval_pow_zero_base_and_small_expm1_log1p():
                    - np.log1p(xs.astype(np.float64)))
                   / np.log1p(xs.astype(np.float64)))
     assert rel2.max() < 1e-13
+
+
+def test_trace_wide_auto_guard():
+    """r5 (VERDICT r4 next#7): a dtype-introspecting residual under the
+    wide f64 trace embeds different constants than the f32 function
+    being certified — df_eval now detects the mismatch (dual trace +
+    constant comparison), warns, and falls back to the narrow trace;
+    well-behaved residuals keep the wide trace silently."""
+    import warnings
+
+    import numpy as np
+    from nonlinearsolve_tpu.ops.doublef32 import DF, df_value_f64
+    from nonlinearsolve_tpu.ops.doublef32_eval import df_eval
+
+    u32 = jnp.asarray(np.linspace(0.1, 0.2, 16), jnp.float32)
+    h = 1.0 / 31.0
+
+    def resid(u):
+        return (u - 0.3) / (h * h) + u * u
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # wide path: no warning
+        out = df_eval(resid, DF(u32, jnp.zeros_like(u32)))
+    u64 = np.asarray(u32, np.float64)
+    ref = (u64 - 0.3) / (h * h) + u64 * u64
+    assert np.abs(np.asarray(df_value_f64(out)) - ref).max() < 1e-9
+
+    def resid_introspect(u):
+        return u * u + jnp.finfo(u.dtype).eps
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out2 = df_eval(resid_introspect, DF(u32, jnp.zeros_like(u32)))
+    assert any("narrow" in str(w.message) for w in rec)
+    ref2 = u64 * u64 + np.finfo(np.float32).eps   # the F32 constant
+    assert np.abs(np.asarray(df_value_f64(out2)) - ref2).max() < 1e-12
+    # explicit trace_wide=False stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        df_eval(resid_introspect, DF(u32, jnp.zeros_like(u32)),
+                trace_wide=False)
