@@ -85,6 +85,16 @@ def construct_jacobian(policy: JacobianPolicy, linsolve, ctx,
             plan = plan_sparse_jacobian(
                 ctx.f_flat, ctx.n_in, ctx.n_out, sparsity=spec.sparsity,
                 colorvec=spec.colorvec)
+        # Assembly-direct DIA (r5): Krylov consumers of a stencil-born
+        # (dia-tier) pattern get the Jacobian assembled STRAIGHT into
+        # the (ndiag, n) streaming layout — one selection pass instead
+        # of decompress-to-CSR + per-step CSR→DIA repack.  Concrete-CSR
+        # consumers (sparse direct methods, the device-LU
+        # preconditioner) keep the CSR path.
+        if (is_krylov and getattr(linsolve, "precond", None) != "device_lu"
+                and jax.default_backend() == "tpu"
+                and plan.dia_plan is not None):
+            return (lambda u: plan.dia(ctx.f_flat, u)), "sparse"
         return (lambda u: plan(ctx.f_flat, u)), "sparse"
 
     jac_fn = construct_dense_jacobian_fn(ctx.f_flat, policy, ctx.n_in,

@@ -377,17 +377,29 @@ class DeviceLU:
                 return None
             return {"plan": plan, "valid": valid, "S": S, "M": M}
 
+        def warm(g):
+            # materialize the kernel tables as device arrays NOW (outside
+            # any trace): a fresh jnp.asarray per trace embeds them as
+            # HLO literals — the axon remote-compile rejected the 128²
+            # factor's ~30 MB of stage tables with HTTP 413, and the
+            # tunnel re-ships program constants per execution
+            if g is not None:
+                from .pallas_spmv import _dev_table
+                _dev_table(g["plan"], "r0")
+                _dev_table(g["plan"], "idx")
+            return g
+
         def attach(stages, nnz_flat):
             out = []
             for stage in stages:
                 if stage[0] == "ell":
                     _tag, rows, cols, vmap = stage
                     out.append(("ell", rows, cols, vmap,
-                                plan_for(cols, vmap, nnz_flat)))
+                                warm(plan_for(cols, vmap, nnz_flat))))
                 else:
                     blk = stage[1]
-                    blk["pre_plan"] = plan_for(blk["pre_cols"],
-                                               blk["pre_vmap"], nnz_flat)
+                    blk["pre_plan"] = warm(plan_for(
+                        blk["pre_cols"], blk["pre_vmap"], nnz_flat))
                     out.append(stage)
             return out
 

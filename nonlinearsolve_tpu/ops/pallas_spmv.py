@@ -204,8 +204,8 @@ class EllPlan:
     def pack_data(self, csr_data):
         """Scatter CSR-ordered nonzeros into the slot-major tile layout
         (traced; indices static)."""
-        vals = jnp.where(jnp.asarray(self.valid),
-                         jnp.take(csr_data, jnp.asarray(self.safe_perm)),
+        vals = jnp.where(_dev_table(self, "valid"),
+                         jnp.take(csr_data, _dev_table(self, "safe_perm")),
                          jnp.zeros((), csr_data.dtype))
         return vals.reshape(self.ntiles, SUBLANES, self.w, LANES)
 
@@ -418,6 +418,33 @@ _SMEM_R0_CAP_BYTES = 24 * 1024
 _UNROLL_G = 8
 
 
+def _dev_table(plan, name):
+    """Static table as a CACHED device array: a fresh ``jnp.asarray``
+    of the numpy table at every trace embeds an HLO literal per trace —
+    the axon tunnel re-ships program constants per execution and its
+    remote-compile rejects programs past a body-size limit (HTTP 413,
+    observed at the 128² device-LU factor's ~30 MB of stage tables).  A
+    plan-cached concrete array is captured once and shared."""
+    key = "_" + name + "_dev"
+    arr = getattr(plan, key, None)
+    if arr is None:
+        # inside an active trace jnp.asarray returns a TRACER — caching
+        # it would poison later traces ("no constant handler"); only
+        # cache the concrete array created outside any trace
+        try:
+            from jax.core import trace_state_clean
+            clean = trace_state_clean()
+        except (ImportError, AttributeError):
+            clean = False
+        arr = jnp.asarray(getattr(plan, name))
+        if clean:
+            try:
+                setattr(plan, key, arr)
+            except AttributeError:
+                pass
+    return arr
+
+
 def _ell_spmv_packed(plan: "EllPlan", packed, x2d, interpret: bool):
     """Run the kernel on pre-packed data, chunking the grid when the SMEM
     r0 table would exceed the Mosaic budget.  Returns (n_pad,) output."""
@@ -427,16 +454,20 @@ def _ell_spmv_packed(plan: "EllPlan", packed, x2d, interpret: bool):
     tiles_per_chunk = max(_SMEM_R0_CAP_BYTES // max(per_tile, 1), 1)
     tiles_per_chunk = max(tiles_per_chunk // rt, 1) * rt
     if plan.ntiles <= tiles_per_chunk:
-        out = _ell_spmv_call(jnp.asarray(r0), jnp.asarray(plan.idx),
+        out = _ell_spmv_call(_dev_table(plan, "r0"),
+                             _dev_table(plan, "idx"),
                              packed, x2d, ntiles=plan.ntiles, w=plan.w,
                              W=plan.W, mode=plan.mode, interpret=interpret,
                              rt=rt)
         return out.reshape(plan.n_pad)
     outs = []
+    r0_dev = _dev_table(plan, "r0")
+    idx_dev = _dev_table(plan, "idx")
     for t0 in range(0, plan.ntiles, tiles_per_chunk):
         t1 = min(t0 + tiles_per_chunk, plan.ntiles)
         out = _ell_spmv_call(
-            jnp.asarray(r0[t0:t1]), jnp.asarray(plan.idx[t0:t1]),
+            jax.lax.slice_in_dim(r0_dev, t0, t1, axis=0),
+            jax.lax.slice_in_dim(idx_dev, t0, t1, axis=0),
             packed[t0:t1], x2d, ntiles=t1 - t0, w=plan.w, W=plan.W,
             mode=plan.mode, interpret=interpret, rt=rt)
         outs.append(out.reshape((t1 - t0) * ROWS_PER_TILE))

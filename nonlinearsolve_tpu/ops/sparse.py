@@ -126,7 +126,17 @@ class CSR:
         return mv
 
     def rmatvec(self, y):
-        """Transpose SpMV: Aᵀ y."""
+        """Transpose SpMV: Aᵀ y.  Stencil-born (few-generalized-
+        diagonal) patterns ride the dia tier's shifted-fma chain — the
+        transpose is the same chain with data and vector shifted
+        together (ops/spmv_dia.py) — so the NLLS normal-form Krylov
+        path (JᵀJ via rmv∘mv) gets the same 8× as the forward matvec."""
+        if jax.default_backend() == "tpu" and jnp.ndim(self.data) == 1:
+            from .pallas_spmv import select_spmv_plan
+            tier, plan, perm, _, _ = select_spmv_plan(
+                self.indptr, self.indices, *self.shape)
+            if tier == "dia" and perm is None:
+                return plan.rmatvec_packed(plan.pack(self.data), y)
         prod = self.data * jnp.take(y, jnp.asarray(self.row_ids), axis=0)
         return jax.ops.segment_sum(prod, jnp.asarray(self.indices),
                                    num_segments=self.shape[1])

@@ -68,7 +68,55 @@ class ColoredJacobian:
             if sel.uses_kernel:
                 self._select = sel
 
-    def __call__(self, f_flat: Callable, u) -> CSR:
+    # -- assembly-direct DIA (r5) -------------------------------------------
+
+    @property
+    def dia_plan(self):
+        """The pattern's DiaPlan when the dia SpMV tier owns it, else
+        None — decides whether :meth:`dia` is available."""
+        if not hasattr(self, "_dia_plan"):
+            from .pallas_spmv import select_spmv_plan
+            n_out, n_in = self.pattern.shape
+            tier, dplan, perm, _, _ = select_spmv_plan(
+                self.pattern.indptr, self.pattern.indices, n_out, n_in)
+            self._dia_plan = (dplan if tier == "dia" and perm is None
+                              else None)
+            self._dia_sel = None
+        return self._dia_plan
+
+    def dia(self, f_flat: Callable, u):
+        """Assemble DIRECTLY into the dia tier's (ndiag, n) streaming
+        layout: slot (d, i) reads compressed[color(i+off_d), i] — ONE
+        static selection from the compressed JVP stack, skipping both
+        the CSR decompression and the per-step CSR→DIA repack the
+        staged matvec would pay (each ≈ a kernel pass).  Returns a DIA
+        container (data convention data[d, i] = J[i, i+off_d])."""
+        dplan = self.dia_plan
+        if dplan is None:
+            raise ValueError("pattern is not dia-tier eligible")
+        if self._dia_sel is None:
+            from .selection import StaticSelection
+            n_out = self.pattern.shape[0]
+            n_src = n_out * self.n_colors
+            # row-major flat source (row*C + color) over the transposed
+            # compressed stack; pattern-absent slots stay at the n_src
+            # sentinel (-> 0)
+            src = np.full((dplan.ndiag, n_out), n_src, np.int64)
+            row_ids = self.pattern.row_ids.astype(np.int64)
+            src[dplan._dpos, dplan._row_ids] = (
+                row_ids * self.n_colors
+                + self.colors[self.pattern.indices].astype(np.int64))
+            self._dia_sel = StaticSelection(src.reshape(-1), n_src)
+        compressed = self._compressed(f_flat, u)
+        use_pallas = (jax.default_backend() == "tpu"
+                      or _FORCE_PALLAS_DECOMPRESS)
+        dd = self._dia_sel.apply(compressed.T.reshape(-1),
+                                 force=use_pallas).reshape(
+            dplan.ndiag, self.pattern.shape[0])
+        from .sparse import DIA
+        return DIA(dd, dplan.offsets, self.pattern.shape)
+
+    def _compressed(self, f_flat: Callable, u):
         seeds = jnp.asarray(self._seeds, u.dtype)
         if jnp.ndim(u) != 1:
             seeds = seeds.reshape((seeds.shape[0],) + jnp.shape(u))
@@ -76,7 +124,10 @@ class ColoredJacobian:
         def one_color(seed):
             return jnp.ravel(jax.jvp(f_flat, (u,), (seed,))[1])
 
-        compressed = jax.vmap(one_color)(seeds)      # (n_colors, n_out)
+        return jax.vmap(one_color)(seeds)            # (n_colors, n_out)
+
+    def __call__(self, f_flat: Callable, u) -> CSR:
+        compressed = self._compressed(f_flat, u)
         # The Pallas decompression only pays off on real hardware; on the
         # CPU backend interpret-mode grid execution would be far slower
         # than the one-line XLA gather (tests force the kernel paths via

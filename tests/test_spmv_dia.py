@@ -176,3 +176,40 @@ def test_newton_gmres_through_dia_tier():
                                   restart=40)), abstol=1e-10)
     assert int(sol.retcode) == 1
     assert float(jnp.max(jnp.abs(f(sol.u, b)))) < 1e-8
+
+
+def test_assembly_direct_dia_matches_csr_assembly():
+    """r5: ColoredJacobian.dia assembles straight into the (ndiag, n)
+    streaming layout — bit-identical to the CSR assembly densified, and
+    the Krylov jacobian path uses it on TPU (one selection pass instead
+    of decompress + repack)."""
+    from nonlinearsolve_tpu.ops.sparse_jac import plan_sparse_jacobian
+
+    N = 12
+    n = N * N
+
+    def f(u):
+        up = jnp.pad(u.reshape(N, N), 1)
+        lap = (4 * up[1:-1, 1:-1] - up[:-2, 1:-1] - up[2:, 1:-1]
+               - up[1:-1, :-2] - up[1:-1, 2:]).reshape(-1)
+        return lap + 0.3 * u ** 3
+
+    plan = plan_sparse_jacobian(f, n, n)
+    assert plan.dia_plan is not None
+    u = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+    J_csr = plan(f, u)
+    J_dia = plan.dia(f, u)
+    A1 = scipy_sparse.csr_matrix(
+        (np.asarray(J_csr.data), np.asarray(J_csr.indices),
+         np.asarray(J_csr.indptr)), shape=(n, n)).toarray()
+    np.testing.assert_allclose(np.asarray(J_dia.todense()), A1, atol=0)
+    # kernel selection path (interpret) agrees with the take fallback
+    import nonlinearsolve_tpu.ops.selection as selm
+    old = selm._FORCE_PALLAS_SELECT
+    selm._FORCE_PALLAS_SELECT = True
+    try:
+        J_dia2 = plan.dia(f, u)
+    finally:
+        selm._FORCE_PALLAS_SELECT = old
+    np.testing.assert_allclose(np.asarray(J_dia2.data),
+                               np.asarray(J_dia.data), atol=0)
