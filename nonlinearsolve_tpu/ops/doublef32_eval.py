@@ -518,7 +518,13 @@ def _wide_trace_consistent(closed_n, closed_w) -> bool:
     (e.g. jnp.finfo(x.dtype).eps embeds 1.2e-7 vs 2.2e-16)."""
     names_n, lits_n = _walk_jaxpr(closed_n.jaxpr)
     names_w, lits_w = _walk_jaxpr(closed_w.jaxpr)
-    if names_n != names_w or len(lits_n) != len(lits_w):
+    # the wide trace inserts convert_element_type for captured f32
+    # constants (f32 -> f64 widening — exactly the intended semantics);
+    # strip dtype-conversion ops before comparing the graphs
+    drop = {"convert_element_type"}
+    if ([p for p in names_n if p not in drop]
+            != [p for p in names_w if p not in drop]
+            or len(lits_n) != len(lits_w)):
         return False
     consts_n = [np.asarray(c, np.float64) for c in closed_n.consts
                 if hasattr(c, "dtype")
