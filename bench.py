@@ -312,7 +312,10 @@ def main():
             x0 = jnp.asarray(
                 np.random.default_rng(1).standard_normal(csr_m.shape[1]),
                 jnp.float32)
-            La, Lb = 5, 55
+            # dia-tier matvecs run tens of µs: short chains left the
+            # slope inside dispatch noise (observed 126 vs 199 Gnnz/s
+            # across runs) — longer spans stabilize it
+            La, Lb = 10, 210
             ca, cb = chain(La), chain(Lb)
             float(ca(x0)); float(cb(x0))
             t = max(slope_time(lambda: float(ca(x0)),

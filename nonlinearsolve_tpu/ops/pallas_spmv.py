@@ -621,12 +621,13 @@ def spmv_tier_cost(tier, plan) -> float:
         # ordering and the roofline stay in one unit.
         return plan.cost / max(plan.n_pad / LANES, 1.0)
     if tier == "dia":
-        # zero gathers: per group, ndiag streamed (data + shifted-x)
-        # fma passes.  HBM-equivalent ops (streamed bytes at the vec-op
-        # rate) vs the ~2-op/diagonal VPU floor, whichever binds.
+        # zero gathers: per diagonal one data pass + one shifted-x read
+        # + y (the roofline's traffic model).  HBM-equivalent ops
+        # (streamed bytes at the vec-op rate) vs the mul+add-per-
+        # diagonal-per-native-(8,128)-tile VPU floor.
         hbm_equiv = (VPU_VEC_OPS_PER_S * (8.0 * plan.ndiag + 8.0) * LANES
                      / HBM_BYTES_PER_S)
-        return max(hbm_equiv, 2.0 * plan.ndiag)
+        return max(hbm_equiv, 0.25 * plan.ndiag)
     return float("inf")
 
 
@@ -653,10 +654,15 @@ def spmv_roofline(tier, plan, nnz: int) -> dict:
     (data + shifted-x) passes and ~2 vec-ops per diagonal per group."""
     if tier == "dia":
         groups = max(plan.n_pad / LANES, 1.0)
+        # traffic: per diagonal one data pass + one shifted-x read
+        # (XLA's fusion does NOT share shifted windows between
+        # diagonals — long-chain sustained rates sit at ~80% of THIS
+        # model and ~50% of a shared-x one), plus the y write.
         bytes_per_nnz = (8.0 * plan.ndiag + 8.0) * plan.n_rows / max(nnz, 1)
         hbm_bound = HBM_BYTES_PER_S / bytes_per_nnz
+        # issue: mul+add per diagonal per native (8,128) tile = 8 groups
         vpu_bound = (VPU_VEC_OPS_PER_S * nnz
-                     / max(2.0 * plan.ndiag * groups, 1e-9))
+                     / max(0.25 * plan.ndiag * groups, 1e-9))
         bound = min(hbm_bound, vpu_bound)
         return {"bound": bound,
                 "model": ("hbm-stream" if hbm_bound <= vpu_bound
