@@ -20,6 +20,14 @@ from ..ops.operators import JacobianOperator
 from ..ops.sparse_jac import plan_sparse_jacobian
 from .autodiff import JacobianPolicy, construct_dense_jacobian_fn
 
+# test hook: route dia-eligible Krylov Jacobians through the
+# assembly-direct DIA path off-TPU too, so the end-to-end solve with a
+# DIA-typed J (as_matvec routing, jacobi precond on DIA, densify paths)
+# is exercisable by the CPU suite (the gate is TPU-only in production
+# because the XLA-take selection fallback makes DIA assembly a wash on
+# CPU while the dia matvec chain still wins on chip)
+_FORCE_DIA_JAC = False
+
 
 @dataclasses.dataclass(frozen=True)
 class JacobianSpec:
@@ -92,7 +100,7 @@ def construct_jacobian(policy: JacobianPolicy, linsolve, ctx,
         # consumers (sparse direct methods, the device-LU
         # preconditioner) keep the CSR path.
         if (is_krylov and getattr(linsolve, "precond", None) != "device_lu"
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu" or _FORCE_DIA_JAC)
                 and plan.dia_plan is not None):
             return (lambda u: plan.dia(ctx.f_flat, u)), "sparse"
         return (lambda u: plan(ctx.f_flat, u)), "sparse"

@@ -124,7 +124,12 @@ class NonlinearVerbosity:
                     f"unknown message class or group {k!r}; known classes: "
                     f"{_CLASSES}, groups: {tuple(_GROUPS)}")
             resolved[k] = bool(v)
-        if linear_verbosity is None and preset in ("detailed", "all"):
+        if linear_verbosity is None and preset != "none":
+            # every preset carries its matching linear sub-specifier —
+            # 'standard' includes precond_unavailable/krylov_unconverged,
+            # so verbose=True surfaces linear-layer degradations (a
+            # detailed/all-only sub-spec left those classes dead at the
+            # advertised verbose=True configuration)
             linear_verbosity = LinearVerbosity(preset)
         elif isinstance(linear_verbosity, str):
             linear_verbosity = LinearVerbosity(linear_verbosity)

@@ -652,9 +652,15 @@ def device_lu_for(indptr, indices, n, **kw) -> Optional[DeviceLU]:
     from .pallas_spmv import pattern_key
     dt = jnp.dtype(kw.get("dtype", jnp.float32))
     perm = kw.get("perm")
-    perm_fp = (-1 if perm is None else
-               int(np.int64(np.sum(np.asarray(perm, np.int64)
-                                   * np.arange(1, len(perm) + 1)))))
+    if perm is None:
+        perm_fp = -1
+    else:
+        # collision-free fingerprint (a weighted sum collides: e.g.
+        # (2,0,1) and (1,2,0) both sum to 5 — the cached plan's static
+        # elimination schedule would silently serve the wrong ordering)
+        import hashlib
+        perm_fp = hashlib.sha1(np.ascontiguousarray(
+            np.asarray(perm, np.int64))).hexdigest()
     key = pattern_key(indptr, indices, n) + (dt.name, perm_fp)
     hit = _DEVICE_LU_CACHE.get(key, False)
     if hit is not False:

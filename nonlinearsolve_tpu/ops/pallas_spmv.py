@@ -418,26 +418,28 @@ _SMEM_R0_CAP_BYTES = 24 * 1024
 _UNROLL_G = 8
 
 
-def _dev_table(plan, name):
+def _dev_table(plan, name, dtype=None):
     """Static table as a CACHED device array: a fresh ``jnp.asarray``
     of the numpy table at every trace embeds an HLO literal per trace —
     the axon tunnel re-ships program constants per execution and its
     remote-compile rejects programs past a body-size limit (HTTP 413,
     observed at the 128² device-LU factor's ~30 MB of stage tables).  A
-    plan-cached concrete array is captured once and shared."""
-    key = "_" + name + "_dev"
+    plan-cached concrete array is captured once and shared.  ``dtype``
+    converts (and caches per dtype — e.g. validity masks applied in the
+    value dtype)."""
+    key = ("_" + name + "_dev" if dtype is None
+           else "_" + name + "_" + jnp.dtype(dtype).name + "_dev")
     arr = getattr(plan, key, None)
     if arr is None:
+        arr = (jnp.asarray(getattr(plan, name)) if dtype is None
+               else jnp.asarray(getattr(plan, name), dtype))
         # inside an active trace jnp.asarray returns a TRACER — caching
         # it would poison later traces ("no constant handler"); only
-        # cache the concrete array created outside any trace
-        try:
-            from jax.core import trace_state_clean
-            clean = trace_state_clean()
-        except (ImportError, AttributeError):
-            clean = False
-        arr = jnp.asarray(getattr(plan, name))
-        if clean:
+        # cache the concrete array created outside any trace (checked
+        # directly on the result: trace_state_clean moved between jax
+        # releases, and the import-error fallback silently disabled the
+        # cache on jax 0.9)
+        if not isinstance(arr, jax.core.Tracer):
             try:
                 setattr(plan, key, arr)
             except AttributeError:

@@ -282,6 +282,7 @@ class ScatterPlan:
             part = _TwoPassPart(pindptr, pindices, self.n_rows, c1 - c0)
             if not part.ok:
                 return
+            part.sel = sel          # also on the part: _dev_table caching
             parts.append((int(c0), int(c1), sel, part))
         if not parts:
             return
@@ -312,13 +313,17 @@ class ScatterPlan:
 
     def stage(self, csr_data, interpret: bool):
         """Hoistable per-data state: packed G tables + packed unit R
-        tables per part (one pass over the data, once per Newton step)."""
+        tables per part (one pass over the data, once per Newton step).
+        Static tables (sel/sigma/validity masks, nnz-scale) ride
+        _dev_table — per-trace jnp.asarray embeds them as HLO literals
+        (pallas_spmv.py)."""
+        from .pallas_spmv import _dev_table
         staged = []
-        for (_c0, _c1, sel, part) in self.parts:
-            pdata = jnp.take(csr_data, jnp.asarray(sel))
-            gdata = jnp.take(pdata, jnp.asarray(part.sigma))
+        for (_c0, _c1, _sel, part) in self.parts:
+            pdata = jnp.take(csr_data, _dev_table(part, "sel"))
+            gdata = jnp.take(pdata, _dev_table(part, "sigma"))
             g_packed = part.g_plan.pack_data(gdata)
-            r_packed = [jnp.asarray(rp.valid, csr_data.dtype).reshape(
+            r_packed = [_dev_table(rp, "valid", csr_data.dtype).reshape(
                 rp.ntiles, 8, rp.w, LANES) for rp in part.r_plans]
             staged.append((g_packed, r_packed))
         return staged
@@ -328,12 +333,13 @@ class ScatterPlan:
         e.g. the colored-Jacobian decompression): the packed tables are
         the plans' static validity masks — zero device gathers, safe to
         rebuild inside any trace."""
+        from .pallas_spmv import _dev_table
         staged = []
         for (_c0, _c1, _sel, part) in self.parts:
             g = part.g_plan
-            g_packed = jnp.asarray(g.valid, dtype).reshape(
+            g_packed = _dev_table(g, "valid", dtype).reshape(
                 g.ntiles, 8, g.w, LANES)
-            r_packed = [jnp.asarray(rp.valid, dtype).reshape(
+            r_packed = [_dev_table(rp, "valid", dtype).reshape(
                 rp.ntiles, 8, rp.w, LANES) for rp in part.r_plans]
             staged.append((g_packed, r_packed))
         return staged
@@ -391,8 +397,9 @@ def _scatter_spmv_bwd(plan, interpret, res, ybar):
             prod, jnp.asarray(np.repeat(np.arange(plan.n_cols),
                                         np.diff(tindptr))),
             num_segments=plan.n_cols)
-    dbar = (jnp.take(ybar, jnp.asarray(plan.row_ids))
-            * jnp.take(x, jnp.asarray(plan.indices)))
+    from .pallas_spmv import _dev_table
+    dbar = (jnp.take(ybar, _dev_table(plan, "row_ids"))
+            * jnp.take(x, _dev_table(plan, "indices")))
     return dbar.astype(csr_data.dtype), xbar.astype(x.dtype)
 
 

@@ -135,10 +135,16 @@ class StaticSelection:
         """values (n_src,) traced -> (n_out,) selected (pad slots 0)."""
         use_pallas = (force or jax.default_backend() == "tpu"
                       or _FORCE_PALLAS_SELECT)
+        # every static table rides _dev_table: a fresh jnp.asarray per
+        # trace embeds a multi-MB HLO literal per trace (the 512² dia
+        # repack's valid mask is ~5.8M slots) — the same remote-compile
+        # body-size / per-execution-reshipping failure _dev_table exists
+        # to prevent (pallas_spmv.py)
+        from .pallas_spmv import _dev_table
         if use_pallas and self._plan is not None:
             from .pallas_spmv import _ell_spmv_packed, _use_interpret
             plan = self._plan
-            ones = jnp.asarray(plan.valid, values.dtype).reshape(
+            ones = _dev_table(plan, "valid", values.dtype).reshape(
                 plan.ntiles, 8, plan.w, 128)
             return _ell_spmv_packed(plan, ones, plan.pack_x(values),
                                     _use_interpret(None))[:self.n_out]
@@ -146,7 +152,7 @@ class StaticSelection:
             from .pallas_spmv import _ell_spmv_packed, _use_interpret
             outs = []
             for (_r0, _r1, s0, s1, plan) in self._chunks:
-                ones = jnp.asarray(plan.valid, values.dtype).reshape(
+                ones = _dev_table(plan, "valid", values.dtype).reshape(
                     plan.ntiles, 8, plan.w, 128)
                 outs.append(_ell_spmv_packed(
                     plan, ones, plan.pack_x(
@@ -159,4 +165,4 @@ class StaticSelection:
             return sp.apply_staged(sp.stage_unit(values.dtype), values,
                                    _use_interpret(None))
         ext = jnp.concatenate([values, jnp.zeros((1,), values.dtype)])
-        return ext[jnp.asarray(self.src)]
+        return ext[_dev_table(self, "src")]

@@ -129,8 +129,13 @@ class CSR:
         """Transpose SpMV: Aᵀ y.  Stencil-born (few-generalized-
         diagonal) patterns ride the dia tier's shifted-fma chain — the
         transpose is the same chain with data and vector shifted
-        together (ops/spmv_dia.py) — so the NLLS normal-form Krylov
-        path (JᵀJ via rmv∘mv) gets the same 8× as the forward matvec."""
+        together (ops/spmv_dia.py).  Consumers: the gradient/Cauchy
+        rmv(J, fu) in trust-region, steepest-descent and dogleg steps
+        (the dia tier is square-only, so the non-square NLLS normal
+        form never routes here).  One repack per call — even unstaged
+        the repack + zero-gather chain beats the gather-issue-bound
+        segment_sum alternative per single application; use
+        ``rmatvec_fn`` to hoist the repack across repeated calls."""
         if jax.default_backend() == "tpu" and jnp.ndim(self.data) == 1:
             from .pallas_spmv import select_spmv_plan
             tier, plan, perm, _, _ = select_spmv_plan(
@@ -140,6 +145,27 @@ class CSR:
         prod = self.data * jnp.take(y, jnp.asarray(self.row_ids), axis=0)
         return jax.ops.segment_sum(prod, jnp.asarray(self.indices),
                                    num_segments=self.shape[1])
+
+    def rmatvec_fn(self):
+        """Staged transpose-matvec closure (mirror of ``matvec_fn``):
+        on the dia tier the CSR→(ndiag, n) repack runs once HERE
+        instead of inside every application."""
+        if jax.default_backend() == "tpu" and jnp.ndim(self.data) == 1:
+            from .pallas_spmv import select_spmv_plan
+            tier, plan, perm, _, _ = select_spmv_plan(
+                self.indptr, self.indices, *self.shape)
+            if tier == "dia" and perm is None:
+                dd = plan.pack(self.data)
+                return lambda y: plan.rmatvec_packed(dd, y)
+        data = self.data
+        row_ids = jnp.asarray(self.row_ids)
+        indices = jnp.asarray(self.indices)
+        m = self.shape[1]
+
+        def rmv_(y):
+            prod = data * jnp.take(y, row_ids, axis=0)
+            return jax.ops.segment_sum(prod, indices, num_segments=m)
+        return rmv_
 
     def diagonal(self):
         """Extract the main diagonal (for Jacobi preconditioning)."""
@@ -257,21 +283,26 @@ class DIA:
         return DIA(data, self.offsets, self.shape)
 
     def matvec(self, x):
-        # zero-fill shifted fma chain: concat(slice, zeros) fuses with
-        # the multiply into ONE streamed pass per diagonal — measured
-        # 3.6x the .at[slice].add form on the 512² Brusselator pattern
-        # (31 -> 112 Gnnz/s, r5; in-place slice updates serialize)
+        # zero-fill shifted fma chain: concat(slice-product, zeros)
+        # fuses into ONE streamed pass per diagonal — measured 3.6x the
+        # .at[slice].add form on the 512² Brusselator pattern
+        # (31 -> 112 Gnnz/s, r5; in-place slice updates serialize).
+        # The multiply runs on the VALID data region only: out-of-range
+        # tail slots are never read, so uninitialized/non-finite pad
+        # values can't poison the output through 0*inf = NaN.
         n = self.shape[0]
         out = None
         for d, off in enumerate(self.offsets):
             if off == 0:
                 seg = self.data[d] * x
             elif off > 0:
-                seg = self.data[d] * jnp.concatenate(
-                    [x[off:], jnp.zeros((off,), x.dtype)])
+                seg = jnp.concatenate(
+                    [self.data[d, :n - off] * x[off:],
+                     jnp.zeros((off,), x.dtype)])
             else:
-                seg = self.data[d] * jnp.concatenate(
-                    [jnp.zeros((-off,), x.dtype), x[:off]])
+                seg = jnp.concatenate(
+                    [jnp.zeros((-off,), x.dtype),
+                     self.data[d, -off:] * x[:off]])
             out = seg if out is None else out + seg
         return (jnp.zeros_like(x, shape=(n,)) if out is None else out)
 
@@ -281,15 +312,16 @@ class DIA:
         n = self.shape[0]
         out = None
         for d, off in enumerate(self.offsets):
-            prod = self.data[d] * y
             if off == 0:
-                seg = prod
+                seg = self.data[d] * y
             elif off > 0:
                 seg = jnp.concatenate(
-                    [jnp.zeros((off,), y.dtype), prod[:n - off]])
+                    [jnp.zeros((off,), y.dtype),
+                     self.data[d, :n - off] * y[:n - off]])
             else:
                 seg = jnp.concatenate(
-                    [prod[-off:], jnp.zeros((-off,), y.dtype)])
+                    [self.data[d, -off:] * y[-off:],
+                     jnp.zeros((-off,), y.dtype)])
             out = seg if out is None else out + seg
         return (jnp.zeros_like(y, shape=(n,)) if out is None else out)
 
