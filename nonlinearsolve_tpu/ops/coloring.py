@@ -39,6 +39,21 @@ def detect_sparsity(f_flat: Callable, n: int, *, n_probes: int = 2,
     exact = detect_sparsity_exact(f_flat, n, dtype=dtype)
     if exact is not None:
         return exact
+    # Probe fallback builds DENSE (n_out, n) jacobians on device — guard
+    # with an informative error instead of an opaque device OOM (a 65k²
+    # f32 jacobian is 17 GB; observed as RESOURCE_EXHAUSTED on-chip when
+    # a large residual used a tracer-unsupported primitive).
+    n_out = int(np.prod(jax.eval_shape(
+        f_flat, jax.ShapeDtypeStruct((n,), dtype)).shape, dtype=np.int64))
+    if n * max(n_out, 1) > 16_777_216:
+        raise ValueError(
+            "sparsity detection fell back to dense jacobian probing (the "
+            "residual uses a primitive the exact jaxpr tracer does not "
+            f"support), but a dense ({n_out}, {n}) probe is infeasible at "
+            "this size.  Pass the pattern explicitly via "
+            "NonlinearFunction(sparsity=...) or jac_prototype=..., or use "
+            "a matrix-free Krylov linear solver instead of a concrete "
+            "sparse jacobian.")
     rng = np.random.default_rng(seed)
     mask = None
     for _ in range(n_probes):

@@ -2,19 +2,33 @@
 
 The reference gets Jacobian sparsity from SparseConnectivityTracer
 (operator-overloading index-set propagation, SURVEY §2.9).  The JAX-native
-equivalent interprets the residual's jaxpr once, propagating a boolean
-dependency matrix ``deps[element, input_index]`` through every primitive:
+equivalent interprets the residual's jaxpr once, propagating a SPARSE
+boolean dependency matrix ``deps[element, input_index]`` through every
+primitive:
 
 * elementwise ops union their operands' dependencies,
-* structural ops (slice/concatenate/reshape/transpose/pad/rev/broadcast)
-  permute rows,
-* contractions/reductions OR over the contracted axes (conservative:
-  no value-level cancellation is assumed, exactly like the tracer).
+* structural ops (slice/concatenate/reshape/transpose/pad/rev/broadcast/
+  split) are pure ROW PERMUTATIONS/SELECTIONS of the dependency matrix,
+* contractions/reductions union over the contracted axes (conservative:
+  no value-level cancellation is assumed, exactly like the tracer),
+* ``gather``/``scatter*``/``dynamic_(update_)slice`` with STATIC indices
+  (literals/constants and whitelisted arithmetic on them — the form
+  every ``u[idx]``/``jnp.take``/``.at[...].set/add`` with a constant
+  index lowers to) resolve exactly: constant VALUES are propagated
+  alongside dependencies, and the element mapping is computed by running
+  the primitive itself on an index array (on the CPU backend).  Traced
+  (data-dependent) indices raise and the caller falls back to probing.
 
-The result is EXACT for the supported primitive set (no probabilistic
-misses, unlike random-probe detection); unsupported primitives raise and
-the caller falls back to probing.  Host-side numpy throughout — this is
-a once-per-problem symbolic pass.
+Dependencies are scipy.sparse CSR matrices of shape (numel, n_in) (r5 —
+previously dense O(n²) bool arrays capped at n=4096: a 512² two-component
+residual then silently fell through to the DENSE random-probe jacfwd,
+which is O(n²) floats ON DEVICE and exhausted chip memory at n=65k).
+With index-SET propagation the cost is O(nnz of the pattern) per
+primitive, so stencil-born residuals trace exactly at any n — the same
+scale-independence the reference's tracer has.
+
+Host-side scipy/numpy throughout — this is a once-per-problem symbolic
+pass.
 """
 
 from __future__ import annotations
@@ -23,6 +37,7 @@ from typing import Optional
 
 import jax
 import numpy as np
+import scipy.sparse as sps
 from jax.extend import core as jex_core
 
 
@@ -43,29 +58,226 @@ _ELEMENTWISE = {
     "stop_gradient", "real", "imag", "conj", "complex",
 }
 
-_ZERO_DEP = {"iota", "rng_bit_generator", "eq_to", "broadcasted_iota"}
+_ZERO_DEP = {"rng_bit_generator", "eq_to"}
+
+# safety valve: a value whose dependency matrix exceeds this many set
+# entries is treated as unsupported (dependency explosion — e.g. a huge
+# dense matmul; such Jacobians are dense anyway and belong on the dense
+# AD path, not colored sparse assembly)
+_NNZ_CAP = 100_000_000
+
+# constant-VALUE propagation (for static gather/scatter indices): numpy
+# rules for the primitives index pipelines are built from.  A rule gets
+# (invals, eqn) with all invals known ndarrays and returns the out value
+# (or None to drop tracking).
+_VAL_ELEMENTWISE = {
+    "add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b, "rem": lambda a, b: np.remainder(a, b),
+    "max": np.maximum, "min": np.minimum, "neg": lambda a: -a,
+    "abs": np.abs, "sign": np.sign, "floor": np.floor, "ceil": np.ceil,
+    "round": np.round, "integer_pow": None,  # handled via params
+    "lt": lambda a, b: a < b, "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b, "ge": lambda a, b: a >= b,
+    "eq": lambda a, b: a == b, "ne": lambda a, b: a != b,
+    "and": np.logical_and, "or": np.logical_or, "not": np.logical_not,
+    "select_n": None,  # handled below (n-ary)
+}
+
+
+def _numel(shape) -> int:
+    return int(np.prod(shape, dtype=np.int64)) if len(shape) else 1
+
+
+def _empty_mat(shape, n_in):
+    return sps.csr_matrix((_numel(shape), n_in), dtype=bool)
+
+
+def _check(mat):
+    if mat.nnz > _NNZ_CAP:
+        raise UnsupportedPrimitive("dependency explosion")
+    return mat
+
+
+def _rows_take(mat, idx, n_in):
+    """Row selection out[i] = mat[idx[i]]; idx outside [0, rows) reads a
+    zero row (the pad / out-of-bounds sentinel)."""
+    idx = np.asarray(idx, np.int64).ravel()
+    if np.any((idx < 0) | (idx >= mat.shape[0])):
+        mat = sps.vstack(
+            [mat, sps.csr_matrix((1, n_in), dtype=bool)], format="csr")
+        idx = np.where((idx < 0) | (idx >= mat.shape[0] - 1),
+                       mat.shape[0] - 1, idx)
+    return _check(mat[idx])
+
+
+def _group_union(mat, out_idx_per_row, out_rows, n_in):
+    """out[g] = OR of mat rows mapped to g (reductions/contractions)."""
+    coo = mat.tocoo()
+    if coo.nnz == 0:
+        return sps.csr_matrix((out_rows, n_in), dtype=bool)
+    rows = np.asarray(out_idx_per_row, np.int64)[coo.row]
+    # int64 ones: the constructor SUMS duplicates — a bool/int8 build
+    # could wrap to zero on high-multiplicity entries
+    out = sps.csr_matrix(
+        (np.ones(coo.nnz, np.int64), (rows, coo.col)),
+        shape=(out_rows, n_in))
+    return _check((out > 0).astype(bool))
+
+
+def _broadcast_rows(shape, mat, out_shape, n_in):
+    """Broadcast a value's rows to out_shape (numpy semantics on the
+    element axes)."""
+    if tuple(shape) == tuple(out_shape):
+        return mat
+    src = np.arange(_numel(shape), dtype=np.int64).reshape(shape)
+    src = np.broadcast_to(src, out_shape)
+    return _rows_take(mat, src, n_in)
+
+
+def _iota_val(params):
+    shp = tuple(params["shape"])
+    d = params["dimension"]
+    base = np.arange(shp[d], dtype=params["dtype"]).reshape(
+        tuple(shp[d] if i == d else 1 for i in range(len(shp))))
+    return np.broadcast_to(base, shp)
+
+
+def _on_cpu(fn):
+    """Run a jax op on the CPU backend (the mapping passes must not
+    dispatch to an accelerator)."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return fn()
+    with jax.default_device(cpu):
+        return fn()
+
+
+def _gather_map(xs, idx_val, eqn):
+    """Per-out-element flat source index of a gather, by running the
+    gather itself on an index array (CPU).  Out-of-bounds/fill slots
+    resolve to -1 (zero deps)."""
+    import jax.numpy as jnp
+    base = np.arange(_numel(xs), dtype=np.int64).reshape(xs)
+    p = dict(eqn.params)
+    p.pop("sharding", None)
+    p["fill_value"] = np.int64(-1)
+    p["mode"] = jax.lax.GatherScatterMode.FILL_OR_DROP
+
+    def run():
+        return eqn.primitive.bind(jnp.asarray(base),
+                                  jnp.asarray(idx_val), **p)
+    out = np.asarray(_on_cpu(run))
+    return out
+
+
+def _scatter_map(xs, us, idx_val, eqn):
+    """(per-out-element update source or -1, any_duplicate_targets) of a
+    scatter, via a replace-scatter of update ids on a -1 operand and a
+    count pass (CPU)."""
+    import jax.numpy as jnp
+    from jax import lax
+    dnums = eqn.params["dimension_numbers"]
+    upd_ids = np.arange(_numel(us), dtype=np.int64).reshape(us)
+    neg = np.full(xs, -1, np.int64)
+
+    def run():
+        placed = lax.scatter(
+            jnp.asarray(neg), jnp.asarray(idx_val), jnp.asarray(upd_ids),
+            dnums, indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        counts = lax.scatter_add(
+            jnp.zeros(xs, jnp.int64), jnp.asarray(idx_val),
+            jnp.ones(us, jnp.int64), dnums,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        return placed, counts
+    placed, counts = _on_cpu(run)
+    return np.asarray(placed), bool(np.asarray(counts).max(initial=0) > 1)
+
+
+def _dot_const_exact(cval, cshp, oshp, omat, cc, oc, cb, ob,
+                     out_shape, n_in, const_is_lhs):
+    """Exact dot_general deps when one operand is a known constant:
+    out(batch, i, j) depends on other(batch, k, j) exactly where
+    const(batch, i, k) != 0.  Returns None when the selection would
+    exceed the nnz cap (caller falls back to the conservative union)."""
+    if len(cshp) == 0:
+        return None     # scalar operand: leave to the conservative path
+    free_c = tuple(d for d in range(len(cshp)) if d not in cc + cb)
+    free_o = tuple(d for d in range(len(oshp)) if d not in oc + ob)
+    n_fc = _numel(tuple(cshp[d] for d in free_c))
+    n_fo = _numel(tuple(oshp[d] for d in free_o))
+    nz = np.nonzero(np.asarray(cval))
+    nnz_c = len(nz[0])
+    if nnz_c * max(n_fo, 1) > _NNZ_CAP:
+        return None
+    if nnz_c == 0:
+        return _empty_mat(out_shape, n_in)
+    strides_o = np.ones(max(len(oshp), 1), np.int64)
+    for d in range(len(oshp) - 2, -1, -1):
+        strides_o[d] = strides_o[d + 1] * oshp[d + 1]
+
+    def lin(dims):
+        if not dims:
+            return np.zeros(nnz_c, np.int64)
+        sizes = tuple(cshp[d] for d in dims)
+        return np.ravel_multi_index(tuple(nz[d] for d in dims), sizes)
+
+    B_lin = lin(cb)
+    Ic_lin = lin(free_c)
+    col_base = np.zeros(nnz_c, np.int64)
+    for t, d in enumerate(cb):
+        col_base += np.asarray(nz[d], np.int64) * strides_o[ob[t]]
+    for t, d in enumerate(cc):
+        col_base += np.asarray(nz[d], np.int64) * strides_o[oc[t]]
+    if free_o:
+        jgrid = np.unravel_index(np.arange(n_fo),
+                                 tuple(oshp[d] for d in free_o))
+        col_off = np.zeros(n_fo, np.int64)
+        for t, d in enumerate(free_o):
+            col_off += np.asarray(jgrid[t], np.int64) * strides_o[d]
+    else:
+        col_off = np.zeros(1, np.int64)
+        n_fo = 1
+    if const_is_lhs:
+        row_base = (B_lin * n_fc + Ic_lin) * n_fo
+        row_off = np.arange(n_fo, dtype=np.int64)
+    else:
+        row_base = B_lin * n_fo * n_fc + Ic_lin
+        row_off = np.arange(n_fo, dtype=np.int64) * n_fc
+    rows = (row_base[:, None] + row_off[None, :]).ravel()
+    cols = (col_base[:, None] + col_off[None, :]).ravel()
+    R = sps.csr_matrix(
+        (np.ones(len(rows), np.int64), (rows, cols)),
+        shape=(_numel(out_shape), omat.shape[0]))
+    return _check(((R @ omat.astype(np.int64)) > 0).astype(bool))
 
 
 def _eval_sparsity_jaxpr(jaxpr, consts, in_deps, n_in):
-    """Interpret ``jaxpr`` propagating per-element dependency matrices.
-
-    Each value's entry is a numpy bool array of shape
-    ``aval.shape + (n_in,)`` (scalars: ``(n_in,)``)."""
+    """Interpret ``jaxpr`` propagating per-element sparse dependency
+    matrices.  Each env value is ``(shape, csr_matrix(numel, n_in),
+    known_value_or_None)``."""
     env = {}
 
     def read(atom):
         if isinstance(atom, jex_core.Literal):
-            return np.zeros(np.shape(atom.val) + (n_in,), bool)
+            v = np.asarray(atom.val)
+            return (tuple(np.shape(atom.val)),
+                    _empty_mat(np.shape(atom.val), n_in), v)
         return env[atom]
 
-    def write(var, val):
-        env[var] = val
+    def write(var, shape, mat, val=None):
+        env[var] = (tuple(shape), mat, val)
 
     for var, const in zip(jaxpr.constvars, consts):
         shape = tuple(getattr(var.aval, "shape", ()))
-        write(var, np.zeros(shape + (n_in,), bool))
+        try:
+            val = np.asarray(const)
+        except Exception:  # noqa: BLE001 — value tracking is best-effort
+            val = None
+        write(var, shape, _empty_mat(shape, n_in), val)
     for var, dep in zip(jaxpr.invars, in_deps):
-        write(var, dep)
+        write(var, dep[0], dep[1], dep[2] if len(dep) > 2 else None)
 
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
@@ -73,9 +285,10 @@ def _eval_sparsity_jaxpr(jaxpr, consts, in_deps, n_in):
         out_shapes = [tuple(getattr(v.aval, "shape", ()))
                       for v in eqn.outvars]
 
-        if name in ("pjit", "jit", "closed_call", "core_call", "custom_jvp_call",
-                    "custom_vjp_call", "custom_vjp_call_jaxpr", "remat",
-                    "checkpoint", "custom_jvp_call_jaxpr"):
+        if name in ("pjit", "jit", "closed_call", "core_call",
+                    "custom_jvp_call", "custom_vjp_call",
+                    "custom_vjp_call_jaxpr", "remat", "checkpoint",
+                    "custom_jvp_call_jaxpr"):
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr") \
                 or eqn.params.get("fun_jaxpr")
             if inner is None:
@@ -87,116 +300,297 @@ def _eval_sparsity_jaxpr(jaxpr, consts, in_deps, n_in):
                                             ins, n_in)
             else:
                 outs = _eval_sparsity_jaxpr(inner, [], ins, n_in)
-            for v, o in zip(eqn.outvars, outs):
-                write(v, o)
+            for v, (shp, o, val) in zip(eqn.outvars, outs):
+                write(v, shp, o, val)
+            continue
+
+        if name == "iota":
+            shp = out_shapes[0]
+            write(eqn.outvars[0], shp, _empty_mat(shp, n_in),
+                  _iota_val(eqn.params))
             continue
 
         if name in _ZERO_DEP:
             for v, shp in zip(eqn.outvars, out_shapes):
-                write(v, np.zeros(shp + (n_in,), bool))
+                write(v, shp, _empty_mat(shp, n_in))
             continue
 
         if name in _ELEMENTWISE:
-            out = ins[0]
-            for x in ins[1:]:
-                out = out | x
-            out = np.broadcast_to(out, out_shapes[0] + (n_in,))
-            write(eqn.outvars[0], out)
+            shp = out_shapes[0]
+            out = None
+            for xs, xm, _xv in ins:
+                xm = _broadcast_rows(xs, xm, shp, n_in)
+                out = xm if out is None else _check(out.maximum(xm))
+            # best-effort value tracking for index pipelines
+            val = None
+            vals = [xv for _xs, _xm, xv in ins]
+            if all(v is not None for v in vals):
+                if name == "select_n":
+                    val = np.select(
+                        [np.broadcast_to(vals[0], shp) == i
+                         for i in range(len(vals) - 1)],
+                        [np.broadcast_to(v, shp) for v in vals[1:]])
+                elif name == "integer_pow":
+                    val = vals[0] ** eqn.params["y"]
+                elif name == "convert_element_type":
+                    val = vals[0].astype(eqn.params["new_dtype"])
+                elif name in ("copy", "stop_gradient"):
+                    val = vals[0]
+                else:
+                    rule = _VAL_ELEMENTWISE.get(name)
+                    if rule is not None:
+                        try:
+                            val = rule(*vals)
+                        except Exception:  # noqa: BLE001 — best-effort
+                            val = None
+            write(eqn.outvars[0], shp, out, val)
             continue
 
         if name == "broadcast_in_dim":
-            shp = eqn.params["shape"]
+            shp = tuple(eqn.params["shape"])
             bdims = eqn.params["broadcast_dimensions"]
-            x = ins[0]
+            xs, xm, xv = ins[0]
             expand = [1] * len(shp)
             for i, d in enumerate(bdims):
-                expand[d] = x.shape[i]
-            x = x.reshape(tuple(expand) + (n_in,))
-            write(eqn.outvars[0], np.broadcast_to(x, tuple(shp) + (n_in,)))
+                expand[d] = xs[i] if i < len(xs) else 1
+            src = np.arange(_numel(xs), dtype=np.int64).reshape(expand)
+            src = np.broadcast_to(src, shp)
+            val = (np.broadcast_to(np.asarray(xv).reshape(expand), shp)
+                   if xv is not None else None)
+            write(eqn.outvars[0], shp, _rows_take(xm, src, n_in), val)
             continue
 
-        if name == "reshape":
-            write(eqn.outvars[0],
-                  ins[0].reshape(tuple(eqn.params["new_sizes"]) + (n_in,)))
-            continue
-
-        if name == "squeeze":
-            dims = eqn.params["dimensions"]
-            write(eqn.outvars[0], np.squeeze(ins[0], axis=tuple(dims)))
+        if name in ("reshape", "squeeze"):
+            if name == "reshape" and eqn.params.get("dimensions"):
+                raise UnsupportedPrimitive("reshape(dimensions)")
+            # row-major flattening is preserved: same matrix, new shape
+            xv = ins[0][2]
+            write(eqn.outvars[0], out_shapes[0], ins[0][1],
+                  None if xv is None else np.reshape(xv, out_shapes[0]))
             continue
 
         if name == "transpose":
-            perm = tuple(eqn.params["permutation"]) + (ins[0].ndim - 1,)
-            write(eqn.outvars[0], np.transpose(ins[0], perm))
+            xs, xm, xv = ins[0]
+            perm = tuple(eqn.params["permutation"])
+            idx = np.transpose(
+                np.arange(_numel(xs), dtype=np.int64).reshape(xs), perm)
+            write(eqn.outvars[0], out_shapes[0], _rows_take(xm, idx, n_in),
+                  None if xv is None else np.transpose(xv, perm))
             continue
 
         if name == "rev":
-            write(eqn.outvars[0],
-                  np.flip(ins[0], axis=tuple(eqn.params["dimensions"])))
+            xs, xm, xv = ins[0]
+            dims = tuple(eqn.params["dimensions"])
+            idx = np.flip(np.arange(_numel(xs), dtype=np.int64).reshape(xs),
+                          axis=dims)
+            write(eqn.outvars[0], out_shapes[0], _rows_take(xm, idx, n_in),
+                  None if xv is None else np.flip(xv, axis=dims))
             continue
 
         if name == "slice":
-            idx = tuple(slice(s, l, st) for s, l, st in
-                        zip(eqn.params["start_indices"],
-                            eqn.params["limit_indices"],
-                            eqn.params["strides"] or
-                            [1] * len(eqn.params["start_indices"])))
-            write(eqn.outvars[0], ins[0][idx])
+            xs, xm, xv = ins[0]
+            sl = tuple(slice(s, l, st) for s, l, st in
+                       zip(eqn.params["start_indices"],
+                           eqn.params["limit_indices"],
+                           eqn.params["strides"] or
+                           [1] * len(eqn.params["start_indices"])))
+            idx = np.arange(_numel(xs), dtype=np.int64).reshape(xs)[sl]
+            write(eqn.outvars[0], out_shapes[0], _rows_take(xm, idx, n_in),
+                  None if xv is None else np.asarray(xv)[sl])
+            continue
+
+        if name == "split":
+            xs, xm, xv = ins[0]
+            axis = eqn.params["axis"]
+            sizes = [int(s) for s in eqn.params["sizes"]]
+            base = np.arange(_numel(xs), dtype=np.int64).reshape(xs)
+            off = 0
+            for v, sz, shp in zip(eqn.outvars, sizes, out_shapes):
+                take = np.arange(off, off + sz)
+                idx = np.take(base, take, axis=axis)
+                write(v, shp, _rows_take(xm, idx, n_in),
+                      None if xv is None else np.take(xv, take, axis=axis))
+                off += sz
             continue
 
         if name == "concatenate":
-            write(eqn.outvars[0],
-                  np.concatenate(ins, axis=eqn.params["dimension"]))
+            dim = eqn.params["dimension"]
+            mats = [m for _s, m, _v in ins]
+            offs = np.cumsum([0] + [m.shape[0] for m in mats[:-1]])
+            idx = np.concatenate(
+                [off + np.arange(_numel(s), dtype=np.int64).reshape(s)
+                 for (s, _m, _v), off in zip(ins, offs)], axis=dim)
+            vals = [v for _s, _m, v in ins]
+            val = (np.concatenate(vals, axis=dim)
+                   if all(v is not None for v in vals) else None)
+            write(eqn.outvars[0], out_shapes[0],
+                  _rows_take(sps.vstack(mats, format="csr"), idx, n_in),
+                  val)
             continue
 
         if name == "pad":
             cfg = eqn.params["padding_config"]
-            x = ins[0]
+            xs, xm, _xv = ins[0]
             if any(lo < 0 or hi < 0 or interior for lo, hi, interior in cfg):
                 raise UnsupportedPrimitive("pad(negative/interior)")
-            pads = [(lo, hi) for lo, hi, _ in cfg] + [(0, 0)]
-            write(eqn.outvars[0], np.pad(x, pads, constant_values=False))
+            # pad slots -> the zero sentinel row
+            idx = np.pad(np.arange(_numel(xs), dtype=np.int64).reshape(xs),
+                         [(lo, hi) for lo, hi, _ in cfg],
+                         constant_values=-1)
+            write(eqn.outvars[0], out_shapes[0], _rows_take(xm, idx, n_in))
             continue
 
         if name in ("reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
                     "reduce_and", "reduce_or", "argmax", "argmin"):
             axes = tuple(eqn.params["axes"])
-            write(eqn.outvars[0], np.any(ins[0], axis=axes))
+            xs, xm, _xv = ins[0]
+            shp = out_shapes[0]
+            grp = np.arange(_numel(shp), dtype=np.int64).reshape(
+                tuple(1 if d in axes else s for d, s in enumerate(xs)))
+            grp = np.broadcast_to(grp, xs).ravel()
+            write(eqn.outvars[0], shp,
+                  _group_union(xm, grp, _numel(shp), n_in))
             continue
 
         if name in ("cumsum", "cumprod", "cummax", "cummin",
                     "cumlogsumexp"):
             ax = eqn.params["axis"]
-            out = np.logical_or.accumulate(ins[0], axis=ax)
-            if eqn.params.get("reverse"):
-                out = np.flip(np.logical_or.accumulate(
-                    np.flip(ins[0], ax), axis=ax), ax)
-            write(eqn.outvars[0], out)
+            xs, xm, _xv = ins[0]
+            k = xs[ax]
+            # out[i] = OR of rows j <= i along the axis (j >= i when
+            # reversed): O(numel·k) selection entries — guard the cap
+            if _numel(xs) * (k + 1) // 2 > _NNZ_CAP:
+                raise UnsupportedPrimitive("cumulative (axis too large)")
+            base = np.arange(_numel(xs), dtype=np.int64).reshape(xs)
+            pos = np.arange(k)
+            out = None
+            for j in range(k):
+                take = np.minimum(pos, j) if not eqn.params.get("reverse") \
+                    else np.maximum(pos, j)
+                idx = np.take(base, take, axis=ax)
+                m = _rows_take(xm, idx, n_in)
+                out = m if out is None else _check(out.maximum(m))
+            write(eqn.outvars[0], out_shapes[0], out)
             continue
 
         if name == "dot_general":
             ((lc, rc), (lb, rb)) = eqn.params["dimension_numbers"]
-            a, b = ins
-            # conservative: out element depends on the union over the
-            # contracted axes of both operands' dependencies
-            a_any = np.any(a, axis=tuple(lc))
-            b_any = np.any(b, axis=tuple(rc))
-            # batch dims must align; a_any shape = batch+rest_a+(n,),
-            # b_any = batch+rest_b+(n,)
+            (ashp, amat, _av), (bshp, bmat, _bv) = ins
+            shp = out_shapes[0]
+
+            # one operand a KNOWN CONSTANT (e.g. residuals written as
+            # ``A @ u`` with a dense-stored sparse matrix): the out
+            # pattern is EXACTLY const's nonzero structure applied to
+            # the other operand's deps — the conservative union below
+            # would wrongly densify every row the constant touches
+            exact = None
+            if _av is not None and amat.nnz == 0 and bmat.nnz:
+                exact = _dot_const_exact(
+                    np.asarray(_av), ashp, bshp, bmat,
+                    tuple(lc), tuple(rc), tuple(lb), tuple(rb),
+                    shp, n_in, const_is_lhs=True)
+            elif _bv is not None and bmat.nnz == 0 and amat.nnz:
+                exact = _dot_const_exact(
+                    np.asarray(_bv), bshp, ashp, amat,
+                    tuple(rc), tuple(lc), tuple(rb), tuple(lb),
+                    shp, n_in, const_is_lhs=False)
+            if exact is not None:
+                write(eqn.outvars[0], shp, exact)
+                continue
+
+            def contract(xshp, xmat, cdims, bdims):
+                keep = tuple(d for d in range(len(xshp))
+                             if d not in cdims)
+                kshape = tuple(xshp[d] for d in keep)
+                kidx = np.arange(_numel(kshape), dtype=np.int64).reshape(
+                    tuple(xshp[d] if d in keep else 1
+                          for d in range(len(xshp))))
+                grp = np.broadcast_to(kidx, xshp).ravel()
+                red = _group_union(xmat, grp, _numel(kshape), n_in)
+                # reorder kept dims: batch dims first (in bdims order),
+                # then the remaining free dims in ascending order
+                order = tuple(bdims) + tuple(d for d in keep
+                                             if d not in bdims)
+                pos = [keep.index(d) for d in order]
+                idx = np.transpose(
+                    np.arange(_numel(kshape), dtype=np.int64).reshape(
+                        kshape), pos)
+                return (tuple(kshape[p] for p in pos),
+                        _rows_take(red, idx, n_in))
+
+            a_s, a_red = contract(ashp, amat, tuple(lc), tuple(lb))
+            b_s, b_red = contract(bshp, bmat, tuple(rc), tuple(rb))
             nb = len(lb)
-            ra = a_any.shape[nb:-1]
-            rbs = b_any.shape[nb:-1]
-            batch = a_any.shape[:nb]
-            a_e = a_any.reshape(batch + ra + (1,) * len(rbs) + (n_in,))
-            b_e = b_any.reshape(batch + (1,) * len(ra) + rbs + (n_in,))
-            write(eqn.outvars[0], a_e | b_e)
+            ra, rbs = a_s[nb:], b_s[nb:]
+            batch = a_s[:nb]
+            a_idx = np.arange(_numel(a_s), dtype=np.int64).reshape(
+                batch + ra + (1,) * len(rbs))
+            b_idx = np.arange(_numel(b_s), dtype=np.int64).reshape(
+                batch + (1,) * len(ra) + rbs)
+            a_e = _rows_take(a_red, np.broadcast_to(a_idx, shp), n_in)
+            b_e = _rows_take(b_red, np.broadcast_to(b_idx, shp), n_in)
+            write(eqn.outvars[0], shp, _check(a_e.maximum(b_e)))
             continue
 
         if name == "dynamic_slice":
-            raise UnsupportedPrimitive("dynamic_slice (traced start)")
+            (xs, xm, _xv), *starts = ins
+            if any(s[2] is None for s in starts):
+                raise UnsupportedPrimitive("dynamic_slice (traced start)")
+            sizes = eqn.params["slice_sizes"]
+            st = [int(np.clip(int(s[2]), 0, xs[d] - sizes[d]))
+                  for d, s in enumerate(starts)]
+            idx = np.arange(_numel(xs), dtype=np.int64).reshape(xs)[
+                tuple(slice(s, s + sizes[d]) for d, s in enumerate(st))]
+            write(eqn.outvars[0], out_shapes[0], _rows_take(xm, idx, n_in))
+            continue
+
+        if name == "dynamic_update_slice":
+            (xs, xm, _xv), (us, um, _uv), *starts = ins
+            if any(s[2] is None for s in starts):
+                raise UnsupportedPrimitive(
+                    "dynamic_update_slice (traced start)")
+            st = [int(np.clip(int(s[2]), 0, xs[d] - us[d]))
+                  for d, s in enumerate(starts)]
+            idx = np.arange(_numel(xs), dtype=np.int64).reshape(xs).copy()
+            upd = _numel(xs) + np.arange(_numel(us),
+                                         dtype=np.int64).reshape(us)
+            idx[tuple(slice(s, s + us[d]) for d, s in enumerate(st))] = upd
+            write(eqn.outvars[0], out_shapes[0],
+                  _rows_take(sps.vstack([xm, um], format="csr"), idx,
+                             n_in))
+            continue
 
         if name == "gather":
-            raise UnsupportedPrimitive("gather")
+            (xs, xm, _xv), (_is, imat, ival) = ins
+            if ival is None or imat.nnz:
+                raise UnsupportedPrimitive("gather (traced indices)")
+            idx = _gather_map(xs, ival, eqn)
+            write(eqn.outvars[0], out_shapes[0], _rows_take(xm, idx, n_in))
+            continue
+
+        if name in ("scatter", "scatter-add", "scatter-sub", "scatter-mul",
+                    "scatter-min", "scatter-max"):
+            (xs, xm, _xv), (_is, imat, ival), (us, um, _uv) = ins
+            if ival is None or imat.nnz:
+                raise UnsupportedPrimitive(f"{name} (traced indices)")
+            placed, dup = _scatter_map(xs, us, ival, eqn)
+            if dup and name != "scatter":
+                # colliding accumulating updates: every touched row
+                # unions ALL update deps (coarse but a safe superset)
+                touched = np.flatnonzero(placed.ravel() >= 0)
+                u_any = um.max(axis=0)  # (1, n_in) union of update deps
+                add = sps.csr_matrix(
+                    (np.ones(len(touched) * u_any.nnz, bool),
+                     (np.repeat(touched, u_any.nnz),
+                      np.tile(u_any.tocoo().col, len(touched)))),
+                    shape=(xm.shape[0], n_in))
+                write(eqn.outvars[0], out_shapes[0],
+                      _check(xm.maximum(add)))
+            else:
+                mapped = _rows_take(um, placed, n_in)
+                write(eqn.outvars[0], out_shapes[0],
+                      _check(xm.maximum(mapped)))
+            continue
 
         raise UnsupportedPrimitive(name)
 
@@ -204,10 +598,12 @@ def _eval_sparsity_jaxpr(jaxpr, consts, in_deps, n_in):
 
 
 def detect_sparsity_exact(f_flat, n_in: int, dtype=np.float64,
-                          max_n: int = 4096) -> Optional["CSR"]:
+                          max_n: int = 16_777_216) -> Optional["CSR"]:
     """Exact Jacobian sparsity of ``f_flat(u_vec) -> resid_vec`` by jaxpr
-    interpretation, or None if the trace uses unsupported primitives or
-    ``n_in > max_n`` (dependency matrices are O(n²) bools)."""
+    interpretation, or None if the trace uses unsupported primitives,
+    ``n_in > max_n``, or the dependency pattern explodes past the nnz
+    cap.  Sparse index-set propagation (r5): cost scales with the
+    PATTERN's nnz, not n², so stencil residuals trace at any n."""
     from .sparse import CSR
     import jax.numpy as jnp
 
@@ -215,14 +611,16 @@ def detect_sparsity_exact(f_flat, n_in: int, dtype=np.float64,
         return None
     try:
         closed = jax.make_jaxpr(f_flat)(jnp.zeros((n_in,), dtype))
-        in_deps = [np.eye(n_in, dtype=bool)]
+        in_deps = [((n_in,),
+                    sps.identity(n_in, dtype=bool, format="csr"), None)]
         outs = _eval_sparsity_jaxpr(closed.jaxpr, closed.consts, in_deps,
                                     n_in)
     except UnsupportedPrimitive:
         return None
     except Exception:  # noqa: BLE001 — any trace failure → probe fallback
         return None
-    dep = outs[0]
-    dep = dep.reshape(-1, n_in)
-    rows, cols = np.nonzero(dep)
-    return CSR.from_pattern(rows, cols, dep.shape)
+    _shp, dep, _val = outs[0]
+    dep = dep.tocoo()
+    return CSR.from_pattern(np.asarray(dep.row, np.int64),
+                            np.asarray(dep.col, np.int64),
+                            (dep.shape[0], n_in))

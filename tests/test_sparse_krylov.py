@@ -326,14 +326,166 @@ class TestExactSparsityTracer:
 
     def test_unsupported_falls_back(self):
         from nonlinearsolve_tpu.ops.sparsity_trace import detect_sparsity_exact
-        assert detect_sparsity_exact(
-            lambda u: u[jnp.array([2, 0, 1])], 3) is None
-        # and the public path still returns a correct pattern via probing
-        from nonlinearsolve_tpu.ops.coloring import detect_sparsity
-        p = detect_sparsity(lambda u: u[jnp.array([2, 0, 1])], 3)
+        # constant-index gather now traces EXACTLY (r5 value propagation)
+        p = detect_sparsity_exact(lambda u: u[jnp.array([2, 0, 1])], 3)
         m = np.zeros((3, 3), bool)
         m[p.row_ids, p.indices] = True
-        assert m[0, 2] and m[1, 0] and m[2, 1]
+        assert m[0, 2] and m[1, 0] and m[2, 1] and m.sum() == 3
+        # a genuinely data-dependent index still falls back to probing
+        def f(u):
+            j = jnp.clip(jnp.int32(u[0]), 0, 2)
+            return u * jax.lax.dynamic_index_in_dim(u, j, keepdims=False)
+        assert detect_sparsity_exact(f, 3) is None
+        from nonlinearsolve_tpu.ops.coloring import detect_sparsity
+        p2 = detect_sparsity(f, 3)   # probe path (small n: allowed)
+        assert p2.nnz >= 3
+
+    def test_structural_and_contraction_rules(self):
+        """The r5 sparse index-set interpreter: transpose/rev/concat,
+        reductions, cumulative ops and (batched) dot_general against the
+        true jacobian."""
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((12, 12))
+        A[np.abs(A) < 1.2] = 0.0
+        Aj = jnp.asarray(A)
+        W = jnp.asarray(rng.standard_normal((2, 4, 3)))
+        cases = [
+            (lambda u: jnp.concatenate(
+                [u[::-1][:5], u.reshape(4, 4).T.reshape(-1)]), 16),
+            (lambda u: Aj @ u + u ** 2, 12),
+            (lambda u: jnp.array([u[:4].sum(), u[4:].max()]), 8),
+            (lambda u: jnp.cumsum(u), 8),
+            (lambda u: jnp.cumsum(u[::-1])[::-1], 8),
+            (lambda u: jnp.einsum(
+                "bij,bjk->bik", u.reshape(2, 3, 4), W).reshape(-1), 24),
+        ]
+        for f, n in cases:
+            m = self._pattern(f, n)
+            assert m is not None
+            J = np.asarray(jax.jacfwd(f)(
+                jnp.asarray(np.random.default_rng(3).standard_normal(n))))
+            assert not ((J != 0) & ~m).any()
+
+    def test_scales_past_dense_cap(self):
+        """524,288-unknown 2-component pad-stencil residual traces
+        EXACTLY (the r4 dense interpreter capped at n=4096 and the
+        probe fallback would need a 2 TB dense jacobian).  Pattern must
+        equal the hand-assembled [[5pt, diag], [diag, 5pt]]."""
+        from nonlinearsolve_tpu.ops.sparsity_trace import detect_sparsity_exact
+        import scipy.sparse as sp
+        N = 64
+        n = 2 * N * N
+
+        def f(u):
+            U = u.reshape(N, N, 2)
+            Up = jnp.pad(U, ((1, 1), (1, 1), (0, 0)))
+            lap = (Up[:-2, 1:-1] + Up[2:, 1:-1] + Up[1:-1, :-2]
+                   + Up[1:-1, 2:] - 4 * U)
+            a, b = U[..., 0], U[..., 1]
+            fu = lap[..., 0] + 1.0 + a * a * b - 4.0 * a
+            fv = lap[..., 1] + 3.0 * a - a * a * b
+            return jnp.stack([fu, fv], axis=-1).reshape(-1)
+
+        csr = detect_sparsity_exact(f, n)
+        assert csr is not None
+        # 2D Dirichlet 5-point pattern via Kronecker sum (a flat ±1
+        # diags build would wrongly wrap across grid-row boundaries)
+        d1 = np.ones(N)
+        T1 = sp.diags([d1, d1[:-1], d1[:-1]], [0, 1, -1], format="csr")
+        I1 = sp.identity(N, format="csr")
+        L = ((sp.kron(I1, T1) + sp.kron(T1, I1)) != 0).astype(
+            np.float64).tocsr()
+        I = sp.identity(N * N, format="csr")
+        # interleaved (i, comp) layout: row 2i+c
+        rows, cols, vals = [], [], []
+        for (rr, cc, M) in ((0, 0, L), (0, 1, I), (1, 0, I), (1, 1, L)):
+            Mc = M.tocoo()
+            rows.append(2 * Mc.row + rr)
+            cols.append(2 * Mc.col + cc)
+            vals.append(np.ones_like(Mc.data))
+        ref = sp.csr_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))), shape=(n, n))
+        ref.sort_indices()
+        got = sp.csr_matrix(
+            (np.ones(csr.nnz), csr.indices, csr.indptr), shape=(n, n))
+        assert (got != ref).nnz == 0
+
+    def test_const_matrix_dot_is_exact(self):
+        """``A @ u`` with a KNOWN-constant (dense-stored) sparse matrix
+        must yield A's exact nonzero pattern — the conservative
+        contraction union would densify every row (r5: this is what
+        keeps dense-matmul-written stencil residuals dia-tier
+        eligible)."""
+        from nonlinearsolve_tpu.ops.sparsity_trace import detect_sparsity_exact
+        import scipy.sparse as sp
+        n = 64
+        d = np.ones(n)
+        A = sp.diags([3.0 * d, -d[:-1], -d[:-1]], [0, 1, -1],
+                     format="csr")
+        Aj = jnp.asarray(A.toarray())
+        csr = detect_sparsity_exact(lambda u: Aj @ u + 0.1 * u ** 3, n)
+        assert csr is not None and csr.nnz == A.nnz   # tridiag, not dense
+        # rhs-const and batched cases stay exact too
+        csr2 = detect_sparsity_exact(lambda u: u @ Aj + u, n)
+        assert csr2 is not None and csr2.nnz == A.nnz
+        W = jnp.asarray(np.where(np.abs(np.random.default_rng(4)
+                                        .standard_normal((2, 4, 3)))
+                                 > 1.0, 1.0, 0.0))
+        f = lambda u: jnp.einsum("bij,bjk->bik", u.reshape(2, 3, 4),
+                                 W).reshape(-1)
+        m = self._pattern(f, 24)
+        J = np.asarray(jax.jacfwd(f)(
+            jnp.asarray(np.random.default_rng(3).standard_normal(24))))
+        assert m is not None and (m == (J != 0)).all()
+
+    def test_static_index_ops(self):
+        """gather/scatter/dynamic-slice with CONSTANT indices resolve
+        exactly (r5 value propagation — ``u[idx]``, ``jnp.take``,
+        ``.at[...].set/add`` and the ravel_pytree ``split`` all trace);
+        TRACED indices still fall back."""
+        from nonlinearsolve_tpu.ops.sparsity_trace import detect_sparsity_exact
+        idx = jnp.array([3, 1, 2, 0, 7, 6, 5, 4])
+        sidx = jnp.array([1, 3, 3, 5])
+        cases = [
+            (lambda u: jnp.split(u, 2)[0] * jnp.split(u, 2)[1], 8),
+            (lambda u: u[idx] + u ** 2, 8),
+            (lambda u: jnp.take(u, jnp.array([0, 0, 1, 2])), 4),
+            (lambda u: u.at[2:5].set(u[:3] * 2.0), 8),
+            (lambda u: jnp.zeros(8).at[sidx].add(u[:4]) + u, 8),
+            (lambda u: jnp.zeros(8).at[jnp.array([1, 3, 5, 6])].set(
+                u[:4]) + u, 8),
+            (lambda u: jax.lax.dynamic_slice(u, (2,), (3,)) + u[:3], 8),
+            (lambda u: jax.lax.dynamic_update_slice(u, u[:2] * 3, (4,)), 8),
+            (lambda u: u.reshape(4, 4)[jnp.array([2, 0]), :].reshape(-1),
+             16),
+            (lambda u: jnp.zeros((4, 4)).at[jnp.array([1, 2]), :].add(
+                u.reshape(2, 8)[:, :4]).reshape(-1), 16),
+        ]
+        for f, n in cases:
+            m = self._pattern(f, n)
+            assert m is not None
+            J = np.asarray(jax.jacfwd(f)(
+                jnp.asarray(np.random.default_rng(3).standard_normal(n))))
+            assert not ((J != 0) & ~m).any()
+        # data-dependent index -> unsupported (probe fallback)
+        assert detect_sparsity_exact(
+            lambda u: u[jnp.int32(u[0] > 0)] * jnp.ones(1), 4) is None
+
+    def test_probe_guard_raises_informative(self):
+        """A tracer-unsupported residual at large n must raise a
+        helpful error instead of attempting a dense device jacobian
+        (observed: 65k² probe → RESOURCE_EXHAUSTED on-chip)."""
+        from nonlinearsolve_tpu.ops.coloring import detect_sparsity
+        n = 8192
+
+        def f(u):
+            # TRACED index: the value pipeline can't resolve it
+            j = jnp.clip(jnp.int32(u[0]), 0, n - 1)
+            return u * jax.lax.dynamic_index_in_dim(u, j, keepdims=False)
+
+        with pytest.raises(ValueError, match="sparsity"):
+            detect_sparsity(f, n)
 
 
 class TestBSR:
