@@ -489,10 +489,16 @@ def main():
     seen_v = [pr["vpu_gops"] for pr in probe_log
               if np.isfinite(pr["vpu_gops"])]
     if seen_t and seen_v and on_tpu:
+        # outlier-guarded ratchet: a single bogus window (dispatch ack
+        # before completion) once recorded a physically impossible
+        # 6.1 TB/s triad and poisoned the nominal forever — cap any new
+        # max at 1.5x the run's median before ratcheting
+        def guarded(vals):
+            return float(min(max(vals), 1.5 * float(np.median(vals))))
         nominal["triad_gbps"] = float(np.nanmax(
-            [nominal.get("triad_gbps", float("nan")), max(seen_t)]))
+            [nominal.get("triad_gbps", float("nan")), guarded(seen_t)]))
         nominal["vpu_gops"] = float(np.nanmax(
-            [nominal.get("vpu_gops", float("nan")), max(seen_v)]))
+            [nominal.get("vpu_gops", float("nan")), guarded(seen_v)]))
         try:
             with open(probe_path, "w") as fh:
                 json.dump(nominal, fh, indent=1)
